@@ -1,0 +1,404 @@
+"""Vectorized numpy codec core — bit-identical to lemire/simdcomp's SSE wire
+format.
+
+This module is pure numpy (no Spark): it is the "engine room" every Spark
+codec UDF calls into.  The wire format it reproduces is the reference's
+4-lane vertically interleaved layout (see ``/root/reference``):
+
+* lane ``l = i % 4``, position-in-lane ``k = i // 4``
+  (``src/simdfor.c:14996`` — "we have 4 interleaved lanes");
+* value ``i`` occupies bits ``[k*b, (k+1)*b)`` of lane ``l``'s little-endian
+  bitstream, materialized 32 bits at a time, 4 lanes side by side per 128-bit
+  word; a value crossing a 32-bit boundary spills its high bits into the same
+  lane of the next 128-bit word (``src/simdfor.c:15006-15012``);
+* compressed size = ``ceil(ceil(n/4)*b/32)*16`` bytes for ``0 < b < 32``,
+  ``0`` for ``b == 0``, ``4*n`` for ``b == 32``
+  (``src/simdbitpacking.c:14370-14377``, ``src/simdfor.c:15034-15041``);
+* ``b == 32`` stores the RAW ORIGINAL values for all three families —
+  plain (``src/simdbitpacking.c:14198-14201``), FOR (``ipackFOR32``,
+  ``src/simdfor.c:6954``) and d1 (``ipackwithoutmask32``,
+  ``src/simdintegratedbitpacking.c:15978``) — no subtraction, no delta;
+* plain short-block tail pads with 0 (``src/simdbitpacking.c:14216-14224``),
+  FOR pads with ``initvalue`` so the packed residual is 0
+  (``src/simdfor.c:15072-15080``);
+* d1 deltas wrap mod 2**32 (``Delta`` macro,
+  ``src/simdintegratedbitpacking.c:7-12``).
+
+All kernels are batched: they take a *matrix of blocks* ``(nblk, rows, 4)``
+and produce ``(nblk, nwords, 4)`` words, so one call packs every same-width
+block of an Arrow batch at once.  ``rows == 32`` is a full 128-int block;
+``rows < 32`` is the streaming short-length layout (identical recurrence,
+``src/simdbitpacking.c:14190-14240``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U32 = np.uint32
+FULL_BLOCK = 128  # SIMDBlockSize, include/simdcomputil.h:22
+
+
+# ---------------------------------------------------------------------------
+# Width / statistics primitives (reference §2.1: bits, maxbits, simdmaxmin,
+# simdmaxbitsd1 — src/simdcomputil.c)
+# ---------------------------------------------------------------------------
+
+def bits_u32(arr: np.ndarray) -> np.ndarray:
+    """Per-element integer log: bits(v) = v==0 ? 0 : 32 - clz(v).
+
+    Mirrors ``bits()`` (src/simdcomputil.c:16-29).  uint32 < 2**53 is exact
+    in float64, so frexp's exponent IS the bit length.
+    """
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    _, exp = np.frexp(arr.astype(np.float64))
+    return exp.astype(np.int64)
+
+
+def maxbits(arr: np.ndarray) -> int:
+    """bits(OR-reduction) — ``maxbits``/``maxbits_length``
+    (src/simdcomputil.c:42-51, 160-178)."""
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    if arr.size == 0:
+        return 0
+    acc = np.bitwise_or.reduce(arr.reshape(-1))
+    return int(bits_u32(np.asarray([acc]))[0])
+
+
+def maxbits_rows(mat: np.ndarray) -> np.ndarray:
+    """Per-row maxbits over a (n, m) uint32 matrix (vectorized analyze pass)."""
+    acc = np.bitwise_or.reduce(np.ascontiguousarray(mat, dtype=U32), axis=1)
+    return bits_u32(acc)
+
+
+def minmax(arr: np.ndarray) -> tuple[int, int]:
+    """``simdmaxmin``/``simdmaxmin_length`` (src/simdcomputil.c:95-156)."""
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    return int(arr.min()), int(arr.max())
+
+
+def deltas_u32(arr: np.ndarray, init: int) -> np.ndarray:
+    """Wrapping successive differences, delta[0] = arr[0] - init (mod 2**32).
+
+    Mirrors the ``Delta`` macro semantics
+    (src/simdintegratedbitpacking.c:7-12): plain uint32 subtraction wraps.
+    """
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    out = np.empty_like(arr)
+    if arr.size == 0:
+        return out
+    out[0] = U32((int(arr[0]) - init) & 0xFFFFFFFF)
+    np.subtract(arr[1:], arr[:-1], out=out[1:])
+    return out
+
+
+def prefix_sum_u32(deltas: np.ndarray, init: int) -> np.ndarray:
+    """Inverse of :func:`deltas_u32` — ``PrefixSum`` macro semantics
+    (src/simdintegratedbitpacking.c:14-19), wrapping mod 2**32."""
+    d = np.ascontiguousarray(deltas, dtype=U32)
+    # uint64 cumsum is exact for < 2**32 elements, then wrap back.
+    acc = np.cumsum(d, dtype=np.uint64) + np.uint64(init & 0xFFFFFFFF)
+    return acc.astype(U32)
+
+
+def maxbits_d1(arr: np.ndarray, init: int) -> int:
+    """``simdmaxbitsd1``/``simdmaxbitsd1_length``
+    (src/simdcomputil.c:181-248): bits(OR of wrapping deltas)."""
+    return maxbits(deltas_u32(arr, init))
+
+
+def compressed_bytes(length: int, bit: int) -> int:
+    """``simdpack_compressedbytes`` (src/simdbitpacking.c:14370-14377) ==
+    ``simdpackFOR_compressedbytes`` (src/simdfor.c:15034-15041)."""
+    if bit == 0:
+        return 0
+    if bit == 32:
+        return length * 4
+    return (((length + 3) // 4) * bit + 31) // 32 * 16
+
+
+def compressed_bytes_arr(lengths: np.ndarray, bit: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`compressed_bytes` over parallel arrays."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    bit = np.asarray(bit, dtype=np.int64)
+    norm = (((lengths + 3) // 4) * bit + 31) // 32 * 16
+    out = np.where(bit == 0, 0, np.where(bit == 32, lengths * 4, norm))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Core pack/unpack recurrence (reference §2.2: simdpack / simdunpack and the
+# streaming shortlength variants — one kernel covers both since rows=32
+# reproduces the full-block layout word for word)
+# ---------------------------------------------------------------------------
+
+def pack_lanes(vals: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
+    """Pack ``vals`` of shape (nblk, rows, 4) at width ``bit`` into
+    ``(nblk, nwords, 4)`` uint32 words, nwords = ceil(rows*bit/32).
+
+    ``rows == 32`` reproduces ``simdpackwithoutmask``
+    (src/simdbitpacking.c:13913-14050); ``rows < 32`` reproduces
+    ``simdpack_shortlength`` (src/simdbitpacking.c:14190-14240) for inputs
+    pre-padded to a multiple of 4.  ``mask=True`` is the ``simdpack`` variant
+    (inputs masked to ``bit`` bits first, src/simdbitpacking.c:14052).
+
+    Callers handle bit==0 (no bytes) and bit==32 (raw copy) themselves.
+    """
+    assert 0 < bit < 32, bit
+    vals = np.ascontiguousarray(vals, dtype=U32)
+    nblk, rows, lanes = vals.shape
+    assert lanes == 4
+    if mask:
+        vals = vals & U32((1 << bit) - 1)
+    nwords = (rows * bit + 31) // 32
+    out = np.zeros((nblk, nwords, 4), dtype=U32)
+    for k in range(rows):
+        off = k * bit
+        w, s = off >> 5, off & 31
+        v = vals[:, k, :]
+        out[:, w, :] |= v << U32(s)
+        if s + bit > 32:
+            out[:, w + 1, :] |= v >> U32(32 - s)
+    return out
+
+
+def unpack_lanes(words: np.ndarray, rows: int, bit: int) -> np.ndarray:
+    """Inverse of :func:`pack_lanes`: (nblk, nwords, 4) → (nblk, rows, 4).
+
+    Mirrors ``simdunpack`` (src/simdbitpacking.c:13773-13911) /
+    ``simdunpack_shortlength`` (src/simdbitpacking.c:14242-14336).
+    """
+    assert 0 < bit < 32, bit
+    words = np.ascontiguousarray(words, dtype=U32)
+    nblk = words.shape[0]
+    out = np.empty((nblk, rows, 4), dtype=U32)
+    m = U32((1 << bit) - 1)
+    for k in range(rows):
+        off = k * bit
+        w, s = off >> 5, off & 31
+        v = words[:, w, :] >> U32(s)
+        if s + bit > 32:
+            v = v | (words[:, w + 1, :] << U32(32 - s))
+        out[:, k, :] = v & m
+    return out
+
+
+def _to_lanes(blocks: np.ndarray) -> np.ndarray:
+    """(nblk, n) with n % 4 == 0 → (nblk, n//4, 4) lane view (i%4 = lane)."""
+    nblk, n = blocks.shape
+    return blocks.reshape(nblk, n // 4, 4)
+
+
+def pack_blocks(blocks: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
+    """Pack (nblk, n) uint32 blocks (n multiple of 4, n<=128) at one width.
+
+    Returns (nblk, nbytes) uint8.  bit==0 → (nblk, 0); bit==32 → raw copy
+    (b==32 raw-copy semantics, src/simdbitpacking.c:14198-14201).
+    """
+    blocks = np.ascontiguousarray(blocks, dtype=U32)
+    nblk, n = blocks.shape
+    if bit == 0:
+        return np.empty((nblk, 0), dtype=np.uint8)
+    if bit == 32:
+        return blocks.view(np.uint8).reshape(nblk, n * 4)
+    words = pack_lanes(_to_lanes(blocks), bit, mask=mask)
+    return words.reshape(nblk, -1).view(np.uint8)
+
+
+def unpack_blocks(packed: np.ndarray, n: int, bit: int) -> np.ndarray:
+    """Inverse of :func:`pack_blocks`: (nblk, nbytes) uint8 → (nblk, n) uint32."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    nblk = packed.shape[0]
+    if bit == 0:
+        return np.zeros((nblk, n), dtype=U32)
+    if bit == 32:
+        return packed.view(U32).reshape(nblk, n)
+    words = packed.view(U32).reshape(nblk, -1, 4)
+    return unpack_lanes(words, (n + 3) // 4, bit)[:, :, :].reshape(nblk, -1)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Single-array convenience wrappers (the reference's *_length entry points) —
+# used by tests and by the compressed-domain point ops.  The Spark engine
+# uses the batched matrix forms above instead.
+# ---------------------------------------------------------------------------
+
+def _pad_to_lane_multiple(arr: np.ndarray, pad_value: int) -> np.ndarray:
+    n = arr.size
+    padded_n = ((n + 3) // 4) * 4
+    if padded_n == n:
+        return arr
+    out = np.full(padded_n, pad_value, dtype=U32)
+    out[:n] = arr
+    return out
+
+
+def simdpack_length(arr: np.ndarray, bit: int, mask: bool = False) -> bytes:
+    """``simdpack_length`` (src/simdbitpacking.c:14379-14399): full 128-blocks
+    then a zero-padded short tail, single width ``bit``."""
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    n = arr.size
+    if bit == 0:
+        return b""
+    if bit == 32:
+        return arr.tobytes()
+    nfull = n // FULL_BLOCK
+    chunks = []
+    if nfull:
+        full = arr[: nfull * FULL_BLOCK].reshape(nfull, FULL_BLOCK)
+        chunks.append(pack_blocks(full, bit, mask=mask).tobytes())
+    tail = arr[nfull * FULL_BLOCK:]
+    if tail.size:
+        tail = _pad_to_lane_multiple(tail, 0)
+        chunks.append(pack_blocks(tail.reshape(1, -1), bit, mask=mask).tobytes())
+    return b"".join(chunks)
+
+
+def simdunpack_length(data: bytes, n: int, bit: int) -> np.ndarray:
+    """Inverse of :func:`simdpack_length`."""
+    if bit == 0:
+        return np.zeros(n, dtype=U32)
+    if bit == 32:
+        return np.frombuffer(data, dtype=U32, count=n).copy()
+    nfull = n // FULL_BLOCK
+    out = np.empty(n, dtype=U32)
+    pos = 0
+    if nfull:
+        nb = compressed_bytes(FULL_BLOCK, bit)
+        buf = np.frombuffer(data, dtype=np.uint8, count=nfull * nb).reshape(nfull, nb)
+        out[: nfull * FULL_BLOCK] = unpack_blocks(buf, FULL_BLOCK, bit).reshape(-1)
+        pos = nfull * nb
+    ntail = n - nfull * FULL_BLOCK
+    if ntail:
+        nb = compressed_bytes(ntail, bit)
+        buf = np.frombuffer(data, dtype=np.uint8, count=nb, offset=pos).reshape(1, nb)
+        out[nfull * FULL_BLOCK:] = unpack_blocks(buf, ntail, bit).reshape(-1)[:ntail]
+    return out
+
+
+def simdpackFOR_length(init: int, arr: np.ndarray, bit: int) -> bytes:
+    """``simdpackFOR_length`` (src/simdfor.c:15043-15096): packs (v - init)
+    wrapping; tail padded with ``init`` (residual 0); b==32 → raw values."""
+    arr = np.ascontiguousarray(arr, dtype=U32)
+    if bit == 0:
+        return b""
+    if bit == 32:
+        return arr.tobytes()
+    resid = (arr - U32(init & 0xFFFFFFFF))
+    padded = _pad_to_lane_multiple(resid, 0)
+    # FOR has no per-128-block framing in the _length variant: one stream.
+    return pack_lanes(padded.reshape(1, -1, 4), bit).tobytes()
+
+
+def simdunpackFOR_length(init: int, data: bytes, n: int, bit: int) -> np.ndarray:
+    """Inverse of :func:`simdpackFOR_length` (src/simdfor.c:15098-15195)."""
+    if bit == 0:
+        return np.full(n, U32(init & 0xFFFFFFFF), dtype=U32)
+    if bit == 32:
+        return np.frombuffer(data, dtype=U32, count=n).copy()
+    rows = (n + 3) // 4
+    words = np.frombuffer(data, dtype=U32).reshape(1, -1, 4)
+    vals = unpack_lanes(words, rows, bit).reshape(-1)[:n]
+    return vals + U32(init & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-domain point operations (reference §2.3 #19-20, §2.4 #25-28)
+# ---------------------------------------------------------------------------
+
+def select_for(init: int, packed: bytes, bit: int, slot: int) -> int:
+    """``simdselectFOR`` (src/simdfor.c:14987-15014): random access to one
+    element of a FOR-packed stream without decoding the block."""
+    if bit == 0:
+        return init & 0xFFFFFFFF
+    words = np.frombuffer(packed, dtype=U32)
+    if bit == 32:
+        return int(words[slot])
+    lane = slot % 4
+    bitsinlane = (slot // 4) * bit
+    w1 = bitsinlane // 32
+    w2 = (bitsinlane + bit - 1) // 32
+    first = int(words[4 * w1 + lane]) >> (bitsinlane % 32)
+    m = (1 << bit) - 1
+    if w1 == w2:
+        v = first & m
+    else:
+        second = int(words[4 * w1 + 4 + lane])
+        v = (first | (second << (32 - (bitsinlane % 32)))) & m
+    return (v + init) & 0xFFFFFFFF
+
+
+def search_for(init: int, packed: bytes, bit: int, length: int, key: int
+               ) -> tuple[int, int]:
+    """``simdsearchwithlengthFOR`` (src/simdfor.c:15016-15032): lower-bound
+    binary search over a FOR-packed sorted stream via :func:`select_for`.
+    Returns (index, value-at-index)."""
+    count, begin = length, 0
+    while count > 0:
+        step = count // 2
+        val = select_for(init, packed, bit, begin + step)
+        if val < key:
+            begin += step + 1
+            count -= step + 1
+        else:
+            count = step
+    value = select_for(init, packed, bit, begin) if begin < length else 0
+    return begin, value
+
+
+def select_d1(init: int, packed: bytes, bit: int, slot: int) -> int:
+    """``simdselectd1`` (src/simdpackedselect.c:8096-15214) semantics:
+    value at ``slot`` of a d1-packed 128-block.  Decodes the minimal prefix
+    (lane-partial cumsum) rather than per-width unrolled kernels."""
+    slot &= 127
+    if bit == 0:
+        return init & 0xFFFFFFFF
+    if bit == 32:
+        return int(np.frombuffer(packed, dtype=U32)[slot])
+    words = np.frombuffer(packed, dtype=U32).reshape(1, -1, 4)
+    deltas = unpack_lanes(words, 32, bit).reshape(-1)[: slot + 1]
+    return int((np.sum(deltas, dtype=np.uint64) + np.uint64(init & 0xFFFFFFFF))
+               & np.uint64(0xFFFFFFFF))
+
+
+def search_d1(init: int, packed: bytes, bit: int, length: int, key: int
+              ) -> tuple[int, int]:
+    """``simdsearchwithlengthd1`` (src/simdpackedsearch.c:8284-8400)
+    semantics: first index i<length with value[i] >= key over a d1-packed
+    block; returns (length, last+?) convention — here (index, value) with
+    index==length when no element qualifies (value then undefined = 0)."""
+    if length == 0:
+        return 0, 0
+    if bit == 0:
+        v = init & 0xFFFFFFFF
+        return (0, v) if v >= key else (length, 0)
+    if bit == 32:
+        vals = np.frombuffer(packed, dtype=U32, count=length)
+    else:
+        words = np.frombuffer(packed, dtype=U32).reshape(1, -1, 4)
+        deltas = unpack_lanes(words, 32, bit).reshape(-1)[:length]
+        vals = prefix_sum_u32(deltas, init)
+    idx = int(np.searchsorted(vals, U32(key & 0xFFFFFFFF), side="left"))
+    if idx >= length:
+        return length, 0
+    return idx, int(vals[idx])
+
+
+# ---------------------------------------------------------------------------
+# Vectorized segment scatter/gather — the glue that lets the Spark UDFs stay
+# numpy-only while rows have ragged block layouts.
+# ---------------------------------------------------------------------------
+
+def multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [s, s+len) ranges, fully vectorized."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    idx = np.arange(total, dtype=np.int64)
+    # offset within each segment = idx - segment_start_position
+    seg_starts_in_out = ends - lens
+    seg_id = np.searchsorted(ends, idx, side="right")
+    return starts[seg_id] + (idx - seg_starts_in_out[seg_id])
