@@ -1,0 +1,262 @@
+"""Batched multi-row block codec: ragged rows of uint32 tokens ⇄ per-row
+(widths, inits, payload) triples in the simdcomp wire format.
+
+This is the layer between the Arrow batch a Spark UDF receives and the
+per-width numpy kernels in :mod:`simdcomp_spark.kernels`.  Design:
+
+* every row is segmented into full 128-int blocks + one short tail block,
+  exactly like ``simdpack_length`` (/root/reference/src/simdbitpacking.c:14379);
+* each block gets its own width ``b`` (the reference's per-block ``maxbits``
+  adaptive width, /root/reference/example.c:143-145) stored as one uint8 in a
+  per-row ``widths`` binary column — Spark columns replace the demo format's
+  1-byte stream header (/root/reference/example.c:68);
+* FOR blocks store a per-block uint32 base (block min, as in
+  /root/reference/tests/unit.c:659-666); d1 blocks store the per-block chain
+  init (previous element), making every block independently decodable — the
+  reference chains offsets sequentially (/root/reference/example.c:71), we
+  trade 4 bytes/block for embarrassing parallelism (SURVEY.md §3.2);
+* all heavy work is grouped by (block length, width) so each group is ONE
+  vectorized pack/unpack over a dense matrix — no per-row numpy calls, no
+  per-value Python.
+
+Wire-format invariants (verified bit-identical in tests/test_kernels.py):
+full blocks match ``simdpackwithoutmask``/``simdpackFOR``/
+``simdpackwithoutmaskd1``; tails match ``simdpack_shortlength`` semantics
+(d1 tails are an engine extension: short-layout over deltas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels as K
+
+U32 = np.uint32
+MODES = ("plain", "for", "d1")
+
+
+def _block_table(lens: np.ndarray):
+    """Vectorized block table for a batch of row lengths.
+
+    Returns (row_id, blk_start_in_flat, blk_len) for every block, in
+    (row, seq) order, plus per-row block counts.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    nblocks = (lens + K.FULL_BLOCK - 1) // K.FULL_BLOCK
+    total = int(nblocks.sum())
+    row_id = np.repeat(np.arange(lens.size, dtype=np.int64), nblocks)
+    # sequence number of each block within its row
+    ends = np.cumsum(nblocks)
+    seq = np.arange(total, dtype=np.int64) - np.repeat(ends - nblocks, nblocks)
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    blk_start = row_starts[row_id] + seq * K.FULL_BLOCK
+    blk_len = np.minimum(lens[row_id] - seq * K.FULL_BLOCK, K.FULL_BLOCK)
+    return row_id, blk_start, blk_len, nblocks
+
+
+def _gather_rows(flat: np.ndarray, starts: np.ndarray, length: int) -> np.ndarray:
+    """(len(starts), length) matrix gathered from flat at given starts."""
+    if starts.size == 0:
+        return np.empty((0, length), dtype=flat.dtype)
+    idx = starts[:, None] + np.arange(length, dtype=np.int64)[None, :]
+    return flat[idx]
+
+
+def encode_batch(arrs: list[np.ndarray], mode: str
+                 ) -> tuple[list[bytes], list[bytes], list[bytes]]:
+    """Encode a batch of uint32 rows. Returns per-row (widths, inits, payload).
+
+    widths = uint8 per block; inits = uint32-LE per block ('for': block min,
+    'd1': chain init; 'plain': empty); payload = concatenated packed blocks.
+    """
+    assert mode in MODES
+    nrows = len(arrs)
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrows)
+    if lens.sum() == 0:
+        return [b""] * nrows, [b""] * nrows, [b""] * nrows
+    flat = np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]) \
+        if nrows > 1 else np.ascontiguousarray(arrs[0], dtype=U32)
+    row_id, blk_start, blk_len, nblocks = _block_table(lens)
+    total_blocks = row_id.size
+
+    widths = np.zeros(total_blocks, dtype=np.uint8)
+    inits = np.zeros(total_blocks, dtype=U32)
+    if mode == "d1":
+        # chain init: previous element in the same row, 0 for the first block
+        first_of_row = blk_start == np.concatenate(([0], np.cumsum(lens)[:-1]))[row_id]
+        safe_prev = np.where(first_of_row, 0, blk_start - 1)
+        inits = np.where(first_of_row, U32(0), flat[safe_prev]).astype(U32)
+
+    # ---- analyze + pack, grouped by (block length, width) ----
+    packed_per_block: list = [None] * total_blocks
+    sizes = np.zeros(total_blocks, dtype=np.int64)
+
+    for blen in np.unique(blk_len):
+        blen = int(blen)
+        sel = np.nonzero(blk_len == blen)[0]
+        mat = _gather_rows(flat, blk_start[sel], blen)
+        if mode == "plain":
+            vals = mat
+            widths[sel] = K.maxbits_rows(mat).astype(np.uint8)
+        elif mode == "for":
+            mn = mat.min(axis=1)
+            mx = mat.max(axis=1)
+            inits[sel] = mn
+            widths[sel] = K.bits_u32(mx - mn).astype(np.uint8)
+            vals = mat - mn[:, None]
+        else:  # d1
+            vals = mat.copy()
+            vals[:, 1:] = mat[:, 1:] - mat[:, :-1]
+            vals[:, 0] = mat[:, 0] - inits[sel]
+            widths[sel] = K.maxbits_rows(vals).astype(np.uint8)
+
+        w_here = widths[sel]
+        for b in np.unique(w_here):
+            b = int(b)
+            gsel = sel[w_here == b]
+            gidx = np.nonzero(w_here == b)[0]
+            if b == 0:
+                for g in gsel:
+                    packed_per_block[g] = b""
+                continue
+            if b == 32:
+                # raw ORIGINAL values in all families (simdbitpacking.c:14198,
+                # ipackFOR32 simdfor.c:6954, ipackwithoutmask32)
+                src = mat[gidx] if mode == "plain" else _gather_rows(
+                    flat, blk_start[gsel], blen)
+                rowsz = blen * 4
+                by = np.ascontiguousarray(src).view(np.uint8).reshape(-1, rowsz)
+            else:
+                padded = vals[gidx]
+                if blen % 4:
+                    pad = np.zeros((padded.shape[0], 4 - blen % 4), dtype=U32)
+                    padded = np.concatenate([padded, pad], axis=1)
+                by = K.pack_blocks(padded, b)
+            sizes[gsel] = by.shape[1]
+            for j, g in enumerate(gsel):
+                packed_per_block[g] = by[j]
+
+    # ---- assemble per-row outputs ----
+    widths_out, inits_out, payload_out = [], [], []
+    pos = 0
+    empty_u8 = np.empty(0, dtype=np.uint8)
+    for r in range(nrows):
+        nb = int(nblocks[r])
+        if nb == 0:
+            widths_out.append(b"")
+            inits_out.append(b"")
+            payload_out.append(b"")
+            continue
+        widths_out.append(widths[pos:pos + nb].tobytes())
+        inits_out.append(inits[pos:pos + nb].tobytes() if mode != "plain" else b"")
+        chunks = packed_per_block[pos:pos + nb]
+        payload_out.append(b"".join(
+            c.tobytes() if isinstance(c, np.ndarray) else c for c in chunks))
+        pos += nb
+    return widths_out, inits_out, payload_out
+
+
+def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
+                 inits_list: list[bytes], payload_list: list[bytes],
+                 mode: str) -> list[np.ndarray]:
+    """Inverse of :func:`encode_batch`. Returns list of uint32 arrays."""
+    assert mode in MODES
+    nrows = len(payload_list)
+    lens = np.asarray(n_toks, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.empty(0, dtype=U32) for _ in range(nrows)]
+    row_id, blk_start, blk_len, nblocks = _block_table(lens)
+    total_blocks = row_id.size
+
+    widths = np.concatenate([
+        np.frombuffer(w, dtype=np.uint8) if w else np.empty(0, np.uint8)
+        for w in widths_list]) if nrows > 1 else np.frombuffer(widths_list[0], np.uint8)
+    assert widths.size == total_blocks, (widths.size, total_blocks)
+    if mode != "plain":
+        inits = np.concatenate([
+            np.frombuffer(i, dtype=U32) if i else np.empty(0, U32)
+            for i in inits_list]) if nrows > 1 else np.frombuffer(inits_list[0], U32)
+    else:
+        inits = np.zeros(total_blocks, dtype=U32)
+
+    sizes = K.compressed_bytes_arr(blk_len, widths.astype(np.int64))
+    # per-block source offset within its row payload, then global offset
+    # (payloads are per-row bytes; build one flat buffer + per-row starts)
+    payload_flat = np.frombuffer(b"".join(payload_list), dtype=np.uint8)
+    row_pl_lens = np.fromiter((len(p) for p in payload_list), dtype=np.int64,
+                              count=nrows)
+    row_pl_starts = np.concatenate(([0], np.cumsum(row_pl_lens)[:-1]))
+    # offset of each block inside its row payload: exclusive cumsum of sizes,
+    # restarted per row (subtract each row's first-block exclusive cumsum)
+    excl = np.cumsum(sizes) - sizes
+    row_first_block = np.cumsum(nblocks) - nblocks  # clamp: rows w/o blocks unused
+    row_base = excl[np.minimum(row_first_block, total_blocks - 1)]
+    blk_src_off = excl - row_base[row_id]
+    src_start = row_pl_starts[row_id] + blk_src_off
+
+    out = np.empty(total, dtype=U32)
+
+    keys = blk_len.astype(np.int64) * 64 + widths.astype(np.int64)
+    for key in np.unique(keys):
+        blen, b = int(key) // 64, int(key) % 64
+        sel = np.nonzero(keys == key)[0]
+        nb = int(sizes[sel[0]])
+        if b == 0:
+            # plain: all zeros; FOR: broadcast base; d1: broadcast chain init
+            # (iunpackFOR0 src/simdfor.c:7-20, iunpack0
+            # src/simdintegratedbitpacking.c:21-35)
+            src0 = inits[sel] if mode != "plain" else np.zeros(sel.size, U32)
+            vals = np.broadcast_to(src0[:, None], (sel.size, blen))
+        else:
+            seg = _gather_rows(payload_flat, src_start[sel], nb)
+            if b == 32:
+                vals = np.ascontiguousarray(seg).view(U32).reshape(sel.size, blen)
+            else:
+                rows4 = (blen + 3) // 4
+                words = np.ascontiguousarray(seg).view(U32).reshape(sel.size, -1, 4)
+                vals = K.unpack_lanes(words, rows4, b).reshape(sel.size, -1)[:, :blen]
+                if mode == "for":
+                    vals = vals + inits[sel][:, None]
+                elif mode == "d1":
+                    acc = np.cumsum(vals, axis=1, dtype=np.uint64) + \
+                        inits[sel][:, None].astype(np.uint64)
+                    vals = acc.astype(U32)
+        # scatter decoded values into the flat output
+        idx = blk_start[sel][:, None] + np.arange(blen, dtype=np.int64)[None, :]
+        out[idx.reshape(-1)] = np.ascontiguousarray(vals).reshape(-1)
+
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return [out[row_starts[r]:row_starts[r] + lens[r]] for r in range(nrows)]
+
+
+def encoded_sizes(arrs: list[np.ndarray], mode: str) -> np.ndarray:
+    """Exact payload bytes per row for ``mode`` WITHOUT materializing the
+    payload — the analyze pass only (used by the codec auto-selector)."""
+    nrows = len(arrs)
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrows)
+    if lens.sum() == 0:
+        return np.zeros(nrows, dtype=np.int64)
+    flat = np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]) \
+        if nrows > 1 else np.ascontiguousarray(arrs[0], dtype=U32)
+    row_id, blk_start, blk_len, nblocks = _block_table(lens)
+    widths = np.zeros(row_id.size, dtype=np.int64)
+    for blen in np.unique(blk_len):
+        blen = int(blen)
+        sel = np.nonzero(blk_len == blen)[0]
+        mat = _gather_rows(flat, blk_start[sel], blen)
+        if mode == "plain":
+            widths[sel] = K.maxbits_rows(mat)
+        elif mode == "for":
+            widths[sel] = K.bits_u32(mat.max(axis=1) - mat.min(axis=1))
+        else:
+            d = mat.copy()
+            d[:, 1:] = mat[:, 1:] - mat[:, :-1]
+            first = blk_start == np.concatenate(([0], np.cumsum(lens)[:-1]))[row_id]
+            prev = np.where(first[sel], U32(0), flat[np.maximum(blk_start[sel] - 1, 0)])
+            d[:, 0] = mat[:, 0] - prev
+            widths[sel] = K.maxbits_rows(d)
+    sizes = K.compressed_bytes_arr(blk_len, widths)
+    per_row = np.zeros(nrows, dtype=np.int64)
+    np.add.at(per_row, row_id, sizes)
+    return per_row

@@ -1,0 +1,171 @@
+"""Codec-layer tests: batched block engine vs the single-array kernel
+oracles, round-trips for every codec over the FIXTURES.md pattern corpus,
+auto-selector sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simdcomp_spark import blocks, kernels as K
+from simdcomp_spark.codecs import REGISTRY
+from simdcomp_spark.codecs import fsst
+from simdcomp_spark.codecs.auto import choose_codec
+
+U32 = np.uint32
+RNG = np.random.default_rng(42)
+
+LENGTHS = [0, 1, 2, 3, 4, 5, 127, 128, 129, 255, 256, 257, 1000, 4096]
+
+
+def corpus() -> list[np.ndarray]:
+    """FIXTURES.md row patterns."""
+    rows = []
+    for b in (0, 1, 7, 16, 30):
+        for n in (1, 127, 128, 129, 1000):
+            rows.append(np.full(n, (1 << b) - 1, dtype=U32))          # const_bw
+    for b in (1, 5, 11, 20, 31, 32):
+        mask = 0xFFFFFFFF if b == 32 else (1 << b) - 1
+        for n in LENGTHS:
+            rows.append(RNG.integers(0, 2**32, size=n, dtype=U32) & U32(mask))
+    for g in (1, 3, 81, 243):                                          # sorted_gap
+        rows.append(np.cumsum(RNG.integers(0, g + 1, size=500, dtype=U32)).astype(U32))
+    for g in (3, 19683, 387420489):                                    # lingap wrap
+        rows.append((np.arange(300, dtype=np.uint64) * g).astype(U32))
+    rows.append(RNG.integers(0, 50257, size=1024, dtype=U32))          # tokenish
+    rows.append(np.repeat(RNG.integers(0, 100, size=30, dtype=U32),
+                          RNG.integers(1, 40, size=30)))               # runs
+    rows.append(np.empty(0, dtype=U32))
+    return rows
+
+
+def test_block_batch_matches_single_array_kernels():
+    """encode_batch('plain') must byte-match simdpack_length applied per row
+    with per-block maxbits — i.e. the demo format of example.c minus the
+    inline headers."""
+    arrs = corpus()
+    widths, inits, payloads = blocks.encode_batch(arrs, "plain")
+    for a, w, p in zip(arrs, widths, payloads):
+        wid = np.frombuffer(w, dtype=np.uint8)
+        expect = b""
+        for i in range(0, a.size, 128):
+            blk = a[i:i + 128]
+            b = K.maxbits(blk)
+            assert b == wid[i // 128]
+            expect += K.simdpack_length(blk, b)
+        assert p == expect
+
+
+def test_block_batch_for_matches_kernel():
+    arrs = [a for a in corpus() if a.size]
+    widths, inits, payloads = blocks.encode_batch(arrs, "for")
+    for a, w, ini, p in zip(arrs, widths, inits, payloads):
+        wid = np.frombuffer(w, dtype=np.uint8)
+        bases = np.frombuffer(ini, dtype=U32)
+        expect = b""
+        for j, i in enumerate(range(0, a.size, 128)):
+            blk = a[i:i + 128]
+            mn, mx = K.minmax(blk)
+            b = int(K.bits_u32(np.asarray([mx - mn], U32))[0])
+            assert b == wid[j] and mn == bases[j]
+            if b == 32:
+                expect += blk.tobytes()
+            else:
+                expect += K.simdpackFOR_length(mn, blk, b)
+        assert p == expect
+
+
+def test_block_batch_d1_matches_reference_chaining():
+    """Full 128-blocks of the d1 codec must byte-match the reference's
+    chained simdpackwithoutmaskd1 (example.c:56-75) because our stored
+    per-block init IS the previous element."""
+    a = np.cumsum(RNG.integers(0, 100, size=512, dtype=U32)).astype(U32)
+    widths, inits, payloads = blocks.encode_batch([a], "d1")
+    wid = np.frombuffer(widths[0], np.uint8)
+    ini = np.frombuffer(inits[0], U32)
+    pos = 0
+    prev = 0
+    for j in range(4):
+        blk = a[j * 128:(j + 1) * 128]
+        assert ini[j] == prev
+        b = K.maxbits_d1(blk, prev)
+        assert wid[j] == b
+        sz = K.compressed_bytes(128, b)
+        expect = K.pack_blocks(K.deltas_u32(blk, prev).reshape(1, 128), b).tobytes() \
+            if 0 < b < 32 else (blk.tobytes() if b == 32 else b"")
+        assert payloads[0][pos:pos + sz] == expect
+        pos += sz
+        prev = int(blk[-1])
+
+
+@pytest.mark.parametrize("name", ["bitpack", "for", "d1", "rle", "dict"])
+def test_codec_roundtrip_corpus(name):
+    codec = REGISTRY[name]
+    arrs = corpus()
+    n_toks = np.array([a.size for a in arrs])
+    w, i, p = codec.encode_rows(arrs)
+    back = codec.decode_rows(n_toks, w, i, p)
+    for a, b in zip(arrs, back):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["bitpack", "for", "d1", "rle", "dict"])
+def test_payload_sizes_exact(name):
+    codec = REGISTRY[name]
+    arrs = [a for a in corpus()]
+    sizes = codec.payload_sizes(arrs)
+    _, _, payloads = codec.encode_rows(arrs)
+    np.testing.assert_array_equal(sizes, [len(p) for p in payloads])
+
+
+def test_bitpack_size_is_reference_bound():
+    """north rule: compressed size ≤ reference bits(max)-per-block packing.
+    For the bitpack codec it's exactly equal; the selector can only improve."""
+    arrs = [a for a in corpus() if a.size]
+    _, _, payloads = blocks.encode_batch(arrs, "plain")
+    for a, p in zip(arrs, payloads):
+        bound = sum(K.compressed_bytes(min(128, a.size - i), K.maxbits(a[i:i + 128]))
+                    for i in range(0, a.size, 128))
+        assert len(p) == bound
+
+
+def test_auto_selector_prefers_sensible_codecs():
+    sorted_rows = [np.cumsum(RNG.integers(0, 4, size=1000, dtype=U32)).astype(U32)
+                   for _ in range(8)]
+    name, costs = choose_codec(sorted_rows)
+    assert name == "d1", costs
+    const_rows = [np.repeat(U32(7), 5000) for _ in range(8)]
+    name, costs = choose_codec(const_rows)
+    # a 1-entry dict (codes at 0 bits) is even cheaper than RLE here
+    assert name in ("rle", "dict") and costs[name] < costs["bitpack"], costs
+    run_rows = [np.repeat(RNG.integers(0, 2**30, size=100, dtype=U32),
+                          RNG.integers(40, 60, size=100)) for _ in range(8)]
+    name, costs = choose_codec(run_rows)
+    assert name == "rle", costs
+    shifted = [U32(1 << 30) + RNG.integers(0, 16, size=1000).astype(U32)
+               for _ in range(8)]
+    name, costs = choose_codec(shifted)
+    assert name in ("for", "d1"), costs
+    random_rows = [RNG.integers(0, 50257, size=1000, dtype=U32) for _ in range(8)]
+    name, costs = choose_codec(random_rows)
+    assert name in ("bitpack", "for"), costs
+    # every candidate's predicted bytes must be achievable (≥ actual is a bug)
+    for codec_name, predicted in costs.items():
+        codec = REGISTRY[codec_name]
+        w, i, p = codec.encode_rows(random_rows)
+        actual = sum(len(x) for x in p)
+        assert predicted >= actual  # prediction includes metadata overhead
+
+
+def test_fsst_roundtrip():
+    strings = [f"doc_{i:08d}_common_prefix_{i % 7}".encode() for i in range(200)]
+    strings += [b"", b"x", b"\xff\x00\xfe escape bytes \xff\xff"]
+    table, encs = fsst.encode_batch(strings)
+    back = fsst.decode_batch(encs, table)
+    assert back == strings
+    # compresses the redundant corpus
+    assert sum(map(len, encs)) < sum(map(len, strings))
+    # table survives serialization
+    t2 = fsst.SymbolTable.deserialize(table.serialize())
+    assert fsst.decode_batch(encs, t2) == strings
+    assert [t2.encode(s) for s in strings] == encs
