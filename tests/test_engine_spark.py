@@ -1,0 +1,94 @@
+"""Spark pipeline tests: round-trip identity through the full DataFrame
+path (split → salt → encode UDF → parquet → decode UDF → reassembly),
+resume-from-manifest, metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simdcomp_spark import engine, fixtures, manifest
+from simdcomp_spark import kernels as K
+
+
+@pytest.fixture(scope="module")
+def unit_df(spark):
+    return fixtures.unit_table(spark).cache()
+
+
+@pytest.mark.parametrize("codec", ["bitpack", "for", "d1", "rle", "dict", "auto"])
+def test_spark_roundtrip_all_codecs(spark, unit_df, codec):
+    enc = engine.encode(unit_df, codec=codec, split_threshold=1 << 14)
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_skew_split_segments(spark, unit_df):
+    split = engine.split_long_rows(unit_df, threshold=1 << 14)
+    huge = split.where(F.col("doc_id") == "doc_tokenish_huge_00000000")
+    segs = huge.select("seg_id", "n_tok").orderBy("seg_id").collect()
+    assert len(segs) == (70000 + (1 << 14) - 1) // (1 << 14)
+    assert sum(r["n_tok"] for r in segs) == 70000
+    assert all(r["n_tok"] <= (1 << 14) for r in segs)
+
+
+def test_compressed_size_bound_on_spark(spark, unit_df):
+    """north rule: payload ≤ reference bits(max)-per-block packing, per row
+    (equality for bitpack)."""
+    enc = engine.encode(unit_df, codec="bitpack", split_threshold=None)
+    rows = enc.select("doc_id", "n_tok", "widths", "payload").collect()
+    assert rows
+    for r in rows:
+        wid = np.frombuffer(r["widths"], dtype=np.uint8)
+        n = r["n_tok"]
+        expect = sum(
+            K.compressed_bytes(min(128, n - 128 * i), int(b))
+            for i, b in enumerate(wid))
+        assert len(r["payload"]) == expect
+
+
+def test_parquet_write_read_roundtrip(spark, unit_df, tmp_path):
+    out = str(tmp_path / "enc.parquet")
+    engine.encode(unit_df, codec="auto").write.parquet(out)
+    enc = spark.read.parquet(out)
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_resume_from_manifest(spark, unit_df, tmp_path):
+    out = str(tmp_path / "table")
+    s1 = manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
+    assert s1["encoded"] == 8 and s1["skipped"] == 0
+    # wipe two shards' manifests → only those re-encode
+    import os
+    for s in (2, 5):
+        os.remove(f"{out}/_manifest/shard={s}.json")
+    s2 = manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
+    assert s2["skipped"] == 6 and s2["encoded"] == 2
+    s3 = manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
+    assert s3["encoded"] == 0 and s3["skipped"] == 8
+    # decoded content still identical (shards 2,5 were double-appended —
+    # dedupe by (doc_id, seg_id) as a reader of a resumed table must)
+    enc = manifest.read_encoded(spark, out).dropDuplicates(["doc_id", "seg_id"])
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_partition_metrics_shape(spark, unit_df):
+    m = engine.partition_metrics(engine.encode(unit_df, codec="auto"))
+    rows = m.collect()
+    assert rows
+    total_tokens = sum(r["tokens"] for r in rows)
+    assert total_tokens == unit_df.agg(F.sum("n_tok")).first()[0]
+    for r in rows:
+        assert r["bits_per_token"] > 0 and r["tokens_per_sec"] > 0
+
+
+def test_distributed_fixture_deterministic(spark):
+    a = fixtures.tokenish_table(spark, 200, parts=4)
+    b = fixtures.tokenish_table(spark, 200, parts=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 200
+    # skew row present
+    assert a.where(F.col("n_tok") == 80000).count() == 1
