@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full encode→decode round-trip of token arrays
+                 built from sf0.001 lineitem, returning per-codec metrics.
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 north-rule codecs + training-pipeline ops).
+oracle_sql()   — matching DuckDB SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from simdcomp_spark import engine  # noqa: E402
+from simdcomp_spark.queries import ORACLES, QUERIES, tokens_table  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: encode the lineitem token table with the
+    auto-selected codec, decode, verify bit-identity inline, and return the
+    per-partition codec/bits-per-token/throughput metrics DataFrame."""
+    sf_dir = "/root/testdata/sf0.001"
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_linenumber", "l_partkey", "lineitem").cache()
+    enc = engine.encode(tok, codec="auto").cache()
+    mismatches = engine.verify_roundtrip(tok, engine.decode(enc))
+    metrics = engine.partition_metrics(enc)
+    return metrics.withColumn("roundtrip_mismatches", F.lit(mismatches))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

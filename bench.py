@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., plus informational extras}
+
+--scaling mode: run the SAME encode job at local[8] and local[32] on
+identical pre-materialized input (fresh JVM each, via subprocess) and report
+throughput at both + scaling efficiency (BASELINE.md target ≥ 0.8) into
+BENCH.md.
+
+--encode-only --cores N: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+GEN_PARTS = 64  # fixed → identical table at any core count
+
+
+def _sf_of(path: str) -> float:
+    name = Path(path).name
+    return float(name[2:]) if name.startswith("sf") else -1.0
+
+
+def _materialize_tokens(spark, n_docs: int, path: str):
+    from simdcomp_spark import fixtures
+    fixtures.tokenish_table(spark, n_docs, parts=GEN_PARTS) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _encode_job(spark, tokens_path: str, codec: str = "auto"):
+    """The measured unit: scan → skew-split → salt shuffle → encode UDF."""
+    from pyspark.sql import functions as F
+    from simdcomp_spark import engine
+    df = spark.read.parquet(tokens_path)
+    enc = engine.encode(df, codec=codec)
+    agg = enc.agg(F.sum("n_tok").alias("tokens"),
+                  F.sum(F.length("payload")).alias("payload_bytes"),
+                  (F.sum(F.length("widths")) + F.sum(F.length("inits"))
+                   ).alias("meta_bytes"),
+                  F.count("*").alias("rows")).first()
+    return {"tokens": int(agg["tokens"]), "rows": int(agg["rows"]),
+            "payload_bytes": int(agg["payload_bytes"]),
+            "meta_bytes": int(agg["meta_bytes"])}
+
+
+def run_encode_only(cores: int, tokens_path: str) -> dict:
+    from simdcomp_spark import engine
+    spark = engine.get_spark(app=f"bench-enc-{cores}", cores=cores,
+                             shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Python-worker pool so we time encode, not process spawn
+    _encode_job(spark, tokens_path, codec="bitpack")
+    t0 = time.perf_counter()
+    stats = _encode_job(spark, tokens_path, codec="auto")
+    dt = time.perf_counter() - t0
+    stats["seconds"] = dt
+    stats["tokens_per_sec"] = stats["tokens"] / dt
+    stats["cores"] = cores
+    spark.stop()
+    return stats
+
+
+def run_bench() -> dict:
+    from simdcomp_spark import engine
+    import __spark_entry__ as em
+
+    spark = engine.get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = {}
+    extras: dict = {}
+
+    # headline: encode+decode throughput on the deterministic tokens table
+    with tempfile.TemporaryDirectory() as tmp:
+        tokens_path = f"{tmp}/tokens.parquet"
+        _materialize_tokens(spark, BENCH_DOCS, tokens_path)
+        t0 = time.perf_counter()
+        stats = _encode_job(spark, tokens_path, codec="auto")
+        queries["encode_auto"] = time.perf_counter() - t0
+        extras["encode_tokens"] = stats["tokens"]
+        extras["encode_tokens_per_sec"] = stats["tokens"] / queries["encode_auto"]
+        extras["bits_per_token"] = (
+            8.0 * (stats["payload_bytes"] + stats["meta_bytes"]) / stats["tokens"])
+
+        t0 = time.perf_counter()
+        stats_bp = _encode_job(spark, tokens_path, codec="bitpack")
+        queries["encode_bitpack"] = time.perf_counter() - t0
+        extras["bitpack_bits_per_token"] = (
+            8.0 * (stats_bp["payload_bytes"] + stats_bp["meta_bytes"])
+            / stats_bp["tokens"])
+
+        from simdcomp_spark import engine as eng
+        df = spark.read.parquet(tokens_path)
+        enc = eng.encode(df, codec="auto")
+        enc.write.mode("overwrite").parquet(f"{tmp}/enc.parquet")
+        enc2 = spark.read.parquet(f"{tmp}/enc.parquet")
+        t0 = time.perf_counter()
+        from pyspark.sql import functions as F
+        dec = eng.decode(enc2, reassemble=True)
+        n = dec.agg(F.sum("n_tok")).first()[0]
+        queries["decode_auto"] = time.perf_counter() - t0
+        extras["decode_tokens_per_sec"] = int(n) / queries["decode_auto"]
+
+    # driver-facing queries on the sf dir
+    for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
+                 "auto_roundtrip", "compressed_size", "exact_dedup",
+                 "token_count", "ann_topk"):
+        q = em.queries()[name]
+        t0 = time.perf_counter()
+        q(spark, SF_DIR).count()
+        queries[name] = time.perf_counter() - t0
+
+    spark.stop()
+    out = {
+        "metric": "headline query wall time (encode/decode throughput + "
+                  "operator queries)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf_of(SF_DIR),
+    }
+    out.update({k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in extras.items()})
+    return out
+
+
+def run_scaling(pairs=(8, 32)) -> dict:
+    from simdcomp_spark import engine
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    tokens_path = f"{tmp}/tokens.parquet"
+    spark = engine.get_spark(app="bench-gen", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    _materialize_tokens(spark, BENCH_DOCS, tokens_path)
+    spark.stop()
+
+    results = {}
+    for cores in pairs:
+        r = subprocess.run(
+            [sys.executable, __file__, "--encode-only", "--cores", str(cores),
+             "--tokens-path", tokens_path],
+            capture_output=True, text=True, check=True)
+        results[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+    lo, hi = min(pairs), max(pairs)
+    eff = (results[hi]["tokens_per_sec"] / results[lo]["tokens_per_sec"]) \
+        / (hi / lo)
+    summary = {"scaling": {str(c): results[c] for c in pairs},
+               "scaling_efficiency": round(eff, 3),
+               "from_cores": lo, "to_cores": hi}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--encode-only" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        path = sys.argv[sys.argv.index("--tokens-path") + 1]
+        print(json.dumps(run_encode_only(cores, path)))
+    else:
+        print(json.dumps(run_bench()))

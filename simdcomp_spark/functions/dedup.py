@@ -1,0 +1,117 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all DataFrame-native:
+* exact          — hash groupBy (one shuffle, map-side combinable);
+* n-gram Jaccard — EXACT pair similarity via a shingle inverted index
+                   (explode → self-join on shingle → integer counts; the
+                   standard scalable exact-dedup plan: the join key is the
+                   shingle, so only docs sharing a shingle ever meet);
+* MinHash + LSH  — shingle → K minhashes → B bands → bucket join →
+                   candidate pairs (sub-quadratic at 100 TB);
+* SimHash        — 64-bit signature from word-hash bit votes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
+    """Group identical texts: (text_hash, n_docs, first_doc)."""
+    return (df.select(F.md5(F.col(col).cast("binary")).alias("text_hash"),
+                      "doc_id")
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+def _shingles(col: str, k: int = 3):
+    """Distinct word k-gram shingles as an array column (JVM-side)."""
+    words = F.split(F.col(col), " ")
+    n = F.size(words)
+    return F.array_distinct(F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def ngram_jaccard_pairs(df: DataFrame, col: str = "text", k: int = 3,
+                        min_pct: int = 15) -> DataFrame:
+    """EXACT all-pairs word-k-gram Jaccard ≥ min_pct/100 via inverted index.
+
+    Integer arithmetic only (inter*100 >= min_pct*union) so any SQL engine
+    reproduces it bit-for-bit.  Returns (doc_a, doc_b, inter, union_sz)."""
+    sh = (df.select("doc_id", F.explode(_shingles(col, k)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("inter"))
+            .where(F.col("inter") * 100 >= min_pct * F.col("union_sz"))
+            .select("doc_a", "doc_b", "inter", "union_sz"))
+
+
+def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """K minhashes per doc: min over shingles of xxhash64(shingle, seed)."""
+    sh = _shingles(col, k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    return df.select("doc_id", sig.alias("minhash"))
+
+
+def minhash_lsh_candidates(df: DataFrame, col: str = "text", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of ≥1 band.
+
+    The band bucket is the join key → sub-quadratic; at cluster scale the
+    bucket join shuffles only signatures, never documents."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, col, k, num_hashes)
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("minhash")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]).alias("bkt"))
+            for b in range(bands)])).alias("bb"))
+    buckets = buckets.select("doc_id", "bb.band", "bb.bkt")
+    return (buckets.alias("x").join(buckets.alias("y"), ["band", "bkt"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def simhash(df: DataFrame, col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote of word hashes (JVM-side:
+    aggregate over bit positions with shiftright/bitwise ops)."""
+    words = F.split(F.col(col), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def _vote_fn(i):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(i))
+        bit_i = (1 << i) if i < 63 else -(1 << 63)  # avoid int64 overflow
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_i).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return df.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_keep_first(df: DataFrame, col: str = "text") -> DataFrame:
+    """Exact dedup that keeps the lowest doc_id per duplicate group."""
+    w = Window.partitionBy(F.md5(F.col(col).cast("binary"))).orderBy("doc_id")
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline; all math in double via
+  JVM ``zip_with``/``aggregate`` expressions (no Python in the plan);
+* LSH-bucketed ANN — random-hyperplane signatures, bucket join, rerank
+  within buckets: the 100 TB path (shuffles signatures, not vectors);
+* embedding-cosine near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_to_query(df: DataFrame, query: list[float],
+                    col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    e = _as_double(F.col(col))
+    sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return df.withColumn("sim", sim)
+
+
+def ann_topk_bruteforce(df: DataFrame, query: list[float], k: int = 10,
+                        col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine; deterministic tiebreak on vec_id."""
+    sims = cosine_to_query(df, query, col)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", F.col("rank").cast("int").alias("rank")))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature(df: DataFrame, dim: int, bits: int = 16,
+                  col: str = "embedding", seed: int = 7) -> DataFrame:
+    """Random-hyperplane signature as a long column (JVM expressions)."""
+    planes = _hyperplanes(dim, bits, seed)
+    e = _as_double(F.col(col))
+    bit_cols = []
+    for i in range(bits):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit_cols.append(
+            F.when(_dot(e, p) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return df.withColumn("lsh_sig", sig)
+
+
+def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
+                 bits: int = 16, probe_hamming: int = 1,
+                 col: str = "embedding", seed: int = 7) -> DataFrame:
+    """Approximate top-k: filter to buckets within ``probe_hamming`` of the
+    query signature, then exact rerank.  At scale the signature filter is a
+    cheap scan predicate; only the surviving fraction pays the full dot."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qsig = 0
+    for i in range(bits):
+        if float(np.dot(planes[i], query)) > 0:
+            qsig |= 1 << i
+    sigs = lsh_signature(df, dim, bits, col, seed)
+    ham = F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig)))
+    cand = sigs.where(ham <= probe_hamming)
+    return ann_topk_bruteforce(cand, query, k, col)
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         bits: int = 16, col: str = "embedding",
+                         seed: int = 7) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket join (exact-signature match)
+    then exact cosine filter.  Returns (vec_a, vec_b, sim)."""
+    first = df.select(col).first()
+    dim = len(first[0]) if first else 0
+    sigs = lsh_signature(df, dim, bits, col, seed).select(
+        "vec_id", F.col(col).alias("emb"), "lsh_sig")
+    j = (sigs.alias("x").join(sigs.alias("y"), "lsh_sig")
+         .where(F.col("x.vec_id") < F.col("y.vec_id")))
+    a, b = _as_double(F.col("x.emb")), _as_double(F.col("y.emb"))
+    sim = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return (j.select(F.col("x.vec_id").alias("vec_a"),
+                     F.col("y.vec_id").alias("vec_b"), sim.alias("sim"))
+            .where(F.col("sim") >= threshold))

@@ -346,17 +346,20 @@ def search_for(init: int, packed: bytes, bit: int, length: int, key: int
     return begin, value
 
 
-def select_d1(init: int, packed: bytes, bit: int, slot: int) -> int:
+def select_d1(init: int, packed: bytes, bit: int, slot: int,
+              length: int = FULL_BLOCK) -> int:
     """``simdselectd1`` (src/simdpackedselect.c:8096-15214) semantics:
-    value at ``slot`` of a d1-packed 128-block.  Decodes the minimal prefix
-    (lane-partial cumsum) rather than per-width unrolled kernels."""
+    value at ``slot`` of a d1-packed block.  Decodes the minimal prefix
+    (lane-partial cumsum) rather than per-width unrolled kernels.
+    ``length < 128`` handles the engine's short tail blocks."""
     slot &= 127
     if bit == 0:
         return init & 0xFFFFFFFF
     if bit == 32:
         return int(np.frombuffer(packed, dtype=U32)[slot])
+    rows = (length + 3) // 4
     words = np.frombuffer(packed, dtype=U32).reshape(1, -1, 4)
-    deltas = unpack_lanes(words, 32, bit).reshape(-1)[: slot + 1]
+    deltas = unpack_lanes(words, rows, bit).reshape(-1)[: slot + 1]
     return int((np.sum(deltas, dtype=np.uint64) + np.uint64(init & 0xFFFFFFFF))
                & np.uint64(0xFFFFFFFF))
 
@@ -376,7 +379,7 @@ def search_d1(init: int, packed: bytes, bit: int, length: int, key: int
         vals = np.frombuffer(packed, dtype=U32, count=length)
     else:
         words = np.frombuffer(packed, dtype=U32).reshape(1, -1, 4)
-        deltas = unpack_lanes(words, 32, bit).reshape(-1)[:length]
+        deltas = unpack_lanes(words, (length + 3) // 4, bit).reshape(-1)[:length]
         vals = prefix_sum_u32(deltas, init)
     idx = int(np.searchsorted(vals, U32(key & 0xFFFFFFFF), side="left"))
     if idx >= length:

@@ -1,0 +1,469 @@
+"""Driver-facing query surface: every operator from SURVEY.md §2 plus the
+training-pipeline operators, each as a (spark, sf_dir) → DataFrame callable
+with (where SQL-expressible) a matching DuckDB oracle.
+
+Design note: the oracle checks END-TO-END identity through OUR engine — the
+Spark side routes token arrays through encode→(parquet-able binary)→decode
+(or compressed-domain kernels), while the oracle recomputes the expected
+answer from the raw tables in pure SQL.  Column names and types are aligned
+pair-by-pair (the driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import engine, kernels as K, strings
+from .functions import dedup, similarity, text as textfn
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokens_table(spark, sf_dir, table, key, order_col, val_col, source
+                 ) -> DataFrame:
+    """Group ``table`` by ``key``; tokens = val_col as int32, ordered by
+    (order_col, val_col) — the canonical array-building step."""
+    df = _t(spark, sf_dir, table)
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(order_col).alias("o"), F.col(val_col).cast("long").alias("v")))),
+        lambda s: s.v.cast("int"))
+    return (df.groupBy(key)
+            .agg(arr.alias("tokens"))
+            .select(F.col(key).cast("string").alias("doc_id"),
+                    "tokens",
+                    F.size("tokens").alias("n_tok"),
+                    F.lit(source).alias("source")))
+
+
+def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str
+                        ) -> DataFrame:
+    enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=True)
+    dec = engine.decode(enc, reassemble=False)
+    ex = dec.select(F.col("doc_id").cast("long").alias(key_name),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select(key_name, F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
+_RT_ORACLE = """
+SELECT CAST({key} AS BIGINT) AS {key},
+       CAST(row_number() OVER (PARTITION BY {key} ORDER BY {order}, {val}) - 1 AS INT) AS pos,
+       CAST({val} AS INT) AS tok
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# block-codec round-trips (reference §2.2-§2.4 + north-rule codecs)
+# ---------------------------------------------------------------------------
+
+def q_bitpack_roundtrip(spark, sf_dir):
+    """simdpackwithoutmask/simdunpack round-trip (SURVEY §2.2 #9-#10)."""
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_linenumber", "l_partkey", "lineitem")
+    return _roundtrip_exploded(tok, "bitpack", "l_orderkey")
+
+
+def q_for_roundtrip(spark, sf_dir):
+    """simdpackFOR/simdunpackFOR round-trip (SURVEY §2.3 #15-#16)."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    return _roundtrip_exploded(tok, "for", "user_id")
+
+
+def q_d1_roundtrip(spark, sf_dir):
+    """simdpackwithoutmaskd1/simdunpackd1 round-trip on sorted runs
+    (SURVEY §2.4 #23-#24)."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    return _roundtrip_exploded(tok, "d1", "o_custkey")
+
+
+def q_rle_roundtrip(spark, sf_dir):
+    """RLE codec round-trip (north rule, SURVEY §2.6) on run-heavy sorted
+    quantities."""
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_quantity", "l_quantity", "lineitem")
+    return _roundtrip_exploded(tok, "rle", "l_orderkey")
+
+
+def q_dict_roundtrip(spark, sf_dir):
+    """Dictionary codec round-trip (north rule, SURVEY §2.6)."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderdate", "o_orderkey", "orders")
+    return _roundtrip_exploded(tok, "dict", "o_custkey")
+
+
+def q_auto_roundtrip(spark, sf_dir):
+    """Cost-model auto-selector round-trip (north rule): whatever codec the
+    selector picks per partition must still decode bit-identically."""
+    df = _t(spark, sf_dir, "events")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("event_id").alias("o"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v")))),
+        lambda s: s.v.cast("int"))
+    tok = (df.groupBy("user_id").agg(arr.alias("tokens"))
+           .select(F.col("user_id").cast("string").alias("doc_id"), "tokens",
+                   F.size("tokens").alias("n_tok"), F.lit("ev").alias("source")))
+    return _roundtrip_exploded(tok, "auto", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# analyzers + size formula (reference §2.1, #11)
+# ---------------------------------------------------------------------------
+
+def q_maxbits(spark, sf_dir):
+    """maxbits_length (SURVEY §2.1 #2-#3) via the encoded widths column:
+    bits(OR of values) == max over per-block widths."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame({
+                "user_id": pdf["doc_id"].astype("int64"),
+                "maxbits": [int(np.frombuffer(w, np.uint8).max()) if len(w)
+                            else 0 for w in pdf["widths"]]})
+
+    return enc.mapInPandas(f, schema="user_id long, maxbits int") \
+        .withColumn("maxbits", F.col("maxbits").cast("int"))
+
+
+def q_maxbits_d1(spark, sf_dir):
+    """simdmaxbitsd1_length (SURVEY §2.1 #6-#7) via d1 widths."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame({
+                "o_custkey": pdf["doc_id"].astype("int64"),
+                "maxbits_d1": [int(np.frombuffer(w, np.uint8).max()) if len(w)
+                               else 0 for w in pdf["widths"]]})
+
+    return enc.mapInPandas(f, schema="o_custkey long, maxbits_d1 int")
+
+
+def q_compressed_size(spark, sf_dir):
+    """simdpack_compressedbytes (SURVEY §2.2 #11): actual payload bytes of
+    the bitpack codec must equal the reference size formula, per row."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    return enc.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("n_tok").cast("int").alias("n_tok"),
+                      F.length("payload").cast("long").alias("payload_bytes"))
+
+
+def q_minmax_decoded(spark, sf_dir):
+    """simdmaxmin (SURVEY §2.1 #4-#5) through a full FOR encode→decode."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    dec = engine.decode(engine.encode(tok, codec="for", split_threshold=None),
+                        reassemble=False)
+    return dec.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.array_min("tokens").cast("int").alias("min_tok"),
+                      F.array_max("tokens").cast("int").alias("max_tok"),
+                      F.col("n_tok").cast("int").alias("n_tok"))
+
+
+# ---------------------------------------------------------------------------
+# compressed-domain point ops (reference §2.3 #19-20, §2.4 #26)
+# ---------------------------------------------------------------------------
+
+def q_select_for(spark, sf_dir):
+    """simdselectFOR (SURVEY §2.3 #19): random access into block 0 of the
+    FOR-packed stream WITHOUT decoding it."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="for", split_threshold=None)
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            uids, slots, vals = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                if n == 0:
+                    continue
+                b = int(np.frombuffer(w, np.uint8)[0])
+                init = int(np.frombuffer(ini, np.uint32)[0])
+                blen = min(n, 128)
+                slot = min(64, n - 1)
+                nb = K.compressed_bytes(blen, b)
+                v = K.select_for(init, bytes(p[:nb]), b, slot)
+                uids.append(int(did))
+                slots.append(slot)
+                vals.append(np.int32(v))
+            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
+                                "slot": pd.Series(slots, dtype="int32"),
+                                "val": pd.Series(vals, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="user_id long, slot int, val int")
+
+
+def q_search_d1(spark, sf_dir):
+    """simdsearchwithlengthd1 (SURVEY §2.4 #26): lower-bound probe for a
+    constant key over d1-packed sorted order keys (block 0; groups ≤128)."""
+    KEY = 7500
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok = tok.where(F.col("n_tok").between(1, 128))
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, ns, idxs = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                b = int(np.frombuffer(w, np.uint8)[0])
+                init = int(np.frombuffer(ini, np.uint32)[0])
+                idx, _val = K.search_d1(init, bytes(p), b, n, KEY)
+                keys.append(int(did))
+                ns.append(n)
+                idxs.append(idx)
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "n": pd.Series(ns, dtype="int32"),
+                                "idx": pd.Series(idxs, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
+
+
+# ---------------------------------------------------------------------------
+# FSST string codec (north rule)
+# ---------------------------------------------------------------------------
+
+def q_fsst_roundtrip(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = strings.fsst_encode(df, "text")
+    dec = strings.fsst_decode(enc, "text_fsst", "text")
+    return dec.select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", textfn.ws_token_count("text"))
+
+
+def q_quality(spark, sf_dir):
+    return textfn.quality_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     k=3, min_pct=15)
+
+
+def q_ann_topk(spark, sf_dir):
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_bruteforce(df, qvec, k=10)
+
+
+# no-oracle (non-SQL-expressible) operators — driver records rows-only checks
+def q_lang_id(spark, sf_dir):
+    return textfn.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                        num_hashes=16, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textfn.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_lsh(df, qvec, k=10, bits=12, probe_hamming=2)
+
+
+QUERIES = {
+    "bitpack_roundtrip": q_bitpack_roundtrip,
+    "for_roundtrip": q_for_roundtrip,
+    "d1_roundtrip": q_d1_roundtrip,
+    "rle_roundtrip": q_rle_roundtrip,
+    "dict_roundtrip": q_dict_roundtrip,
+    "auto_roundtrip": q_auto_roundtrip,
+    "maxbits": q_maxbits,
+    "maxbits_d1": q_maxbits_d1,
+    "compressed_size": q_compressed_size,
+    "minmax_decoded": q_minmax_decoded,
+    "select_for": q_select_for,
+    "search_d1": q_search_d1,
+    "fsst_roundtrip": q_fsst_roundtrip,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "lang_id": q_lang_id,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "ann_lsh": q_ann_lsh,
+}
+
+_SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "
+                 "ELSE ((((n + 3) // 4) * w + 31) // 32) * 16 END")
+
+ORACLES = {
+    "bitpack_roundtrip": _RT_ORACLE.format(
+        key="l_orderkey", order="l_linenumber", val="l_partkey",
+        table="lineitem"),
+    "for_roundtrip": _RT_ORACLE.format(
+        key="user_id", order="event_id", val="event_id", table="events"),
+    "d1_roundtrip": _RT_ORACLE.format(
+        key="o_custkey", order="o_orderkey", val="o_orderkey", table="orders"),
+    "rle_roundtrip": _RT_ORACLE.format(
+        key="l_orderkey", order="l_quantity", val="l_quantity",
+        table="lineitem"),
+    "dict_roundtrip": _RT_ORACLE.format(
+        key="o_custkey", order="o_orderdate", val="o_orderkey",
+        table="orders"),
+    "auto_roundtrip": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id, CAST(round(value * 100, 0) AS BIGINT)) - 1 AS INT) AS pos,
+       CAST(round(value * 100, 0) AS INT) AS tok
+FROM events
+""",
+    "maxbits": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN bit_or(event_id) = 0 THEN 0
+            ELSE length(bin(bit_or(event_id))) END AS INT) AS maxbits
+FROM events GROUP BY user_id
+""",
+    "maxbits_d1": """
+WITH t AS (
+  SELECT o_custkey,
+         o_orderkey - lag(o_orderkey, 1, 0)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS d
+  FROM orders)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(CASE WHEN bit_or(d) = 0 THEN 0
+            ELSE length(bin(bit_or(d))) END AS INT) AS maxbits_d1
+FROM t GROUP BY o_custkey
+""",
+    "compressed_size": f"""
+WITH t AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+  FROM events),
+b AS (
+  SELECT user_id, rn // 128 AS blk, CAST(count(*) AS BIGINT) AS n,
+         CASE WHEN bit_or(event_id) = 0 THEN 0
+              ELSE length(bin(bit_or(event_id))) END AS w
+  FROM t GROUP BY user_id, rn // 128)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(n) AS INT) AS n_tok,
+       CAST(sum({_SIZE_FORMULA}) AS BIGINT) AS payload_bytes
+FROM b GROUP BY user_id
+""",
+    "minmax_decoded": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(event_id) AS INT) AS min_tok,
+       CAST(max(event_id) AS INT) AS max_tok,
+       CAST(count(*) AS INT) AS n_tok
+FROM events GROUP BY user_id
+""",
+    "select_for": """
+WITH t AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS c
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(LEAST(c - 1, 64) AS INT) AS slot,
+       CAST(event_id AS INT) AS val
+FROM t WHERE rn = LEAST(c - 1, 64)
+""",
+    "search_d1": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(*) FILTER (WHERE o_orderkey < 7500) AS INT) AS idx
+FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 1 AND 128
+""",
+    "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+    "exact_dedup": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM documents GROUP BY md5(text)
+""",
+    "token_count": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+FROM documents
+""",
+    "quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper
+FROM documents
+""",
+    "ngram_jaccard": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS sh
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter,
+       sa.sz + sb.sz - inter AS union_sz
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 >= 15 * (sa.sz + sb.sz - inter)
+""",
+    "ann_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e, q),
+r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
+}

@@ -1,0 +1,68 @@
+"""FSST string-column compression as Spark DataFrame operators.
+
+The symbol table is learned once per partition (the FSST paper's per-block
+table, at Spark granularity) and carried on every row of that partition as a
+``fsst_table`` binary column — Parquet dictionary-encodes the repeated value
+down to one copy per row group, so the storage cost is one table per file
+chunk, exactly like the paper's per-block header.  Decode caches
+deserialized tables per distinct bytes within a batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from .codecs import fsst
+
+
+def fsst_encode(df: DataFrame, col: str, out_col: str | None = None,
+                sample_rows: int = 2048) -> DataFrame:
+    """Replace string column ``col`` with FSST-encoded binary + table."""
+    out_col = out_col or f"{col}_fsst"
+    out_fields = [f"{f.name} {f.dataType.simpleString()}"
+                  for f in df.schema.fields if f.name != col]
+    schema = ", ".join(out_fields + [f"{out_col} binary", "fsst_table binary"])
+
+    def enc(it):
+        import pandas as pd
+        table = None
+        tbytes = None
+        for pdf in it:
+            raw = [s.encode("utf-8", "surrogatepass") if isinstance(s, str)
+                   else (s or b"") for s in pdf[col]]
+            if table is None:
+                table = fsst.SymbolTable(fsst.train(raw[:sample_rows]))
+                tbytes = table.serialize()
+            encs = [table.encode(s) for s in raw]
+            out = pdf.drop(columns=[col]).copy()
+            out[out_col] = encs
+            out["fsst_table"] = [tbytes] * len(pdf)
+            yield out
+
+    return df.mapInPandas(enc, schema=schema)
+
+
+def fsst_decode(df: DataFrame, enc_col: str, out_col: str) -> DataFrame:
+    """Inverse of :func:`fsst_encode`; drops the table column."""
+    out_fields = [f"{f.name} {f.dataType.simpleString()}"
+                  for f in df.schema.fields
+                  if f.name not in (enc_col, "fsst_table")]
+    schema = ", ".join(out_fields + [f"{out_col} string"])
+
+    def dec(it):
+        cache: dict[bytes, fsst.SymbolTable] = {}
+        for pdf in it:
+            texts = []
+            for enc, tb in zip(pdf[enc_col], pdf["fsst_table"]):
+                tb = bytes(tb)
+                t = cache.get(tb)
+                if t is None:
+                    t = cache[tb] = fsst.SymbolTable.deserialize(tb)
+                texts.append(t.decode(bytes(enc)).decode("utf-8",
+                                                         "surrogatepass"))
+            out = pdf.drop(columns=[enc_col, "fsst_table"]).copy()
+            out[out_col] = texts
+            yield out
+
+    return df.mapInPandas(dec, schema=schema)
