@@ -60,8 +60,7 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     positionally (rolling-hash analog), fully JVM-side."""
     words = F.split(F.col(col), " ")
     rolled = F.aggregate(
-        F.zip_with(words, F.sequence(F.lit(1), F.size(words)),
-                   lambda w, i: F.xxhash64(w, i)),
+        F.transform(words, lambda w: F.xxhash64(w)),
         F.lit(0).cast("long"),
-        lambda acc, h: acc * F.lit(31) + h)
+        lambda acc, h: F.xxhash64(acc, h))  # overflow-free rolling combine
     return df.select("doc_id", rolled.alias("fingerprint"))

@@ -1,0 +1,136 @@
+"""Tests for training-pipeline operators: dedup, text, similarity,
+multimodal plumbing, streaming encode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simdcomp_spark import engine, fixtures, streaming
+from simdcomp_spark.functions import dedup, multimodal, similarity
+from simdcomp_spark.functions import text as textfn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),
+        (2, "el perro y el gato en la casa de la abuela", "es"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 0
+        (4, "completely different words here nothing shared", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["first_doc"]: r["n_docs"]
+           for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # doc 3 is an exact dup of doc 0
+    assert out[1] == 1
+
+
+def test_dedup_keep_first(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_keep_first(docs).collect())
+    assert kept == [0, 1, 2, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+             for r in dedup.ngram_jaccard_pairs(docs, k=3, min_pct=50).collect()}
+    assert (0, 3) in pairs  # identical docs: jaccard 1
+    assert (0, 1) in pairs  # one-word difference: high overlap
+    inter, union = pairs[(0, 1)]
+    # 7 shingles each, 6 shared ("lazy dog" vs "lazy cat" differ in last)
+    assert inter == 6 and union == 8
+
+
+def test_minhash_lsh_recalls_exact_dup(spark, docs):
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert (0, 3) in cand  # identical docs always collide in every band
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[3]
+    d01 = bin((sigs[0] ^ sigs[1]) & ((1 << 64) - 1)).count("1")
+    d04 = bin((sigs[0] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+    assert d01 < d04  # near-dup is closer in hamming space than unrelated
+
+
+def test_lang_id_heuristic(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textfn.lang_id(docs).collect()}
+    assert out[0] == "en" and out[2] == "es"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "c b a")],
+                               "doc_id long, text string")
+    fps = [r["fingerprint"] for r in textfn.fingerprint(df).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_ann_bruteforce_self_is_top1(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)], 0)
+            for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    q = vecs[7][1]
+    top = similarity.ann_topk_bruteforce(df, q, k=5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["rank"] == 1
+
+
+def test_ann_lsh_recall(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    vecs = [(i, [float(x) for x in (base + 0.01 * rng.standard_normal(16))], 0)
+            for i in range(20)]
+    vecs += [(i, [float(x) for x in rng.standard_normal(16)], 0)
+             for i in range(20, 200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    top = similarity.ann_topk_lsh(df, [float(x) for x in base], k=5,
+                                  bits=12, probe_hamming=3).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] < 20 for r in top)  # all hits from the near cluster
+
+
+def test_cosine_neardup_pairs(spark):
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(16)
+    vecs = [(0, [float(x) for x in v], 0),
+            (1, [float(x) for x in (v + 1e-4 * rng.standard_normal(16))], 0),
+            (2, [float(x) for x in rng.standard_normal(16)], 0)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    pairs = similarity.cosine_neardup_pairs(df, threshold=0.99).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_multimodal_plumbing(spark):
+    multimodal.set_decoder("image", multimodal.deterministic_fake_decoder("image"))
+    rows = [(f"m{i}", "image", bytes([i] * (100 + i)), "image/fake", 10, 10, 0)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert {r["n_bytes"] for r in feats} == {100 + i for i in range(20)}
+    frames = multimodal.frame_sample(df, every_nth=16)
+    assert frames.count() > 0
+    # unknown kind raises the documented NotImplementedError
+    bad = spark.createDataFrame([("x", "video", b"zz", "v", 0, 0, 0)],
+                                multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no 'video' decoder"):
+        multimodal.extract_features(bad).collect()
+
+
+def test_streaming_encode(spark, tmp_path):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    df = fixtures.unit_table(spark).limit(50).cache()
+    df.write.parquet(in_dir)
+    q = streaming.start_encode_stream(spark, in_dir, out_dir, codec="bitpack")
+    q.awaitTermination(120)
+    enc = spark.read.parquet(f"{out_dir}/data")
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(df, dec) == 0
