@@ -53,20 +53,32 @@ def deterministic_fake_decoder(kind: str) -> Callable[[bytes, dict], np.ndarray]
     return fn
 
 
-def extract_features(df: DataFrame, batch_pixels: int = 1 << 24) -> DataFrame:
+def extract_features(df: DataFrame, batch_pixels: int = 1 << 24,
+                     decoders: dict | None = None) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas.
 
     The UDF decodes each item, mean-pools to a fixed-length float feature,
     and reports byte/frame counts.  Arrow carries the binary payloads in
     zero-copy batches; ``batch_pixels`` documents the back-pressure knob a
-    real decoder honors per batch."""
+    real decoder honors per batch.  ``decoders`` travels WITH the closure to
+    the Python workers (module-level registration only exists driver-side).
+    """
+    decoders = dict(_DECODERS if decoders is None else decoders)
+
+    def _dec(kind, payload):
+        fn = decoders.get(kind)
+        if fn is None:
+            raise NotImplementedError(
+                f"no {kind!r} decoder registered in this environment — "
+                "install the media libs and pass decoders=")
+        return fn(payload, {})
 
     def fn(it):
         import pandas as pd
         for pdf in it:
             feats, nbytes, frames = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                data = _decode(kind, bytes(payload), {})
+                data = _dec(kind, bytes(payload))
                 pooled = data.astype(np.float32)
                 if pooled.size < 16:
                     pooled = np.pad(pooled, (0, 16 - pooled.size))
@@ -84,9 +96,17 @@ def extract_features(df: DataFrame, batch_pixels: int = 1 << 24) -> DataFrame:
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
+def frame_sample(df: DataFrame, every_nth: int = 10,
+                 decoders: dict | None = None) -> DataFrame:
     """Video-style frame sampling stub: keeps every Nth 'frame' of the
     decoded stream, preserving the (media_id, frame_no) grain."""
+    decoders = dict(_DECODERS if decoders is None else decoders)
+
+    def _dec(kind, payload):
+        fn = decoders.get(kind)
+        if fn is None:
+            raise NotImplementedError(f"no {kind!r} decoder registered")
+        return fn(payload, {})
 
     def fn(it):
         import pandas as pd
@@ -94,7 +114,7 @@ def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
             rows = {"media_id": [], "frame_no": [], "frame": []}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
-                data = _decode(kind, bytes(payload), {})
+                data = _dec(kind, bytes(payload))
                 for j in range(0, data.size, every_nth):
                     rows["media_id"].append(mid)
                     rows["frame_no"].append(j)
