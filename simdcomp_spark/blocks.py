@@ -17,7 +17,10 @@ per-width numpy kernels in :mod:`simdcomp_spark.kernels`.  Design:
   trade 4 bytes/block for embarrassing parallelism (SURVEY.md §3.2);
 * all heavy work is grouped by (block length, width) so each group is ONE
   vectorized pack/unpack over a dense matrix — no per-row numpy calls, no
-  per-value Python.
+  per-value Python;
+* the native interface is FLAT (one values buffer + row lengths, one payload
+  buffer + row payload lengths) so the Spark ``mapInArrow`` path moves
+  Arrow list/binary columns in and out with zero per-row materialization.
 
 Wire-format invariants (verified bit-identical in tests/test_kernels.py):
 full blocks match ``simdpackwithoutmask``/``simdpackFOR``/
@@ -27,6 +30,8 @@ full blocks match ``simdpackwithoutmask``/``simdpackFOR``/
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from . import kernels as K
@@ -35,17 +40,32 @@ U32 = np.uint32
 MODES = ("plain", "for", "d1")
 
 
+@dataclass
+class EncodedFlat:
+    """Flat encode result for a batch of rows, in (row, block-seq) order."""
+    nblocks: np.ndarray       # int64 per row
+    widths: np.ndarray        # uint8 per block
+    inits: np.ndarray         # uint32 per block ('' families: size 0)
+    payload: np.ndarray       # uint8, concatenated per-block packed bytes
+    payload_lens: np.ndarray  # int64 per row
+
+    def widths_offsets(self) -> np.ndarray:
+        return np.concatenate(([0], np.cumsum(self.nblocks)))
+
+    def payload_offsets(self) -> np.ndarray:
+        return np.concatenate(([0], np.cumsum(self.payload_lens)))
+
+
 def _block_table(lens: np.ndarray):
     """Vectorized block table for a batch of row lengths.
 
-    Returns (row_id, blk_start_in_flat, blk_len) for every block, in
-    (row, seq) order, plus per-row block counts.
+    Returns (row_id, blk_start_in_flat, blk_len, nblocks-per-row) for every
+    block, in (row, seq) order.
     """
     lens = np.asarray(lens, dtype=np.int64)
     nblocks = (lens + K.FULL_BLOCK - 1) // K.FULL_BLOCK
     total = int(nblocks.sum())
     row_id = np.repeat(np.arange(lens.size, dtype=np.int64), nblocks)
-    # sequence number of each block within its row
     ends = np.cumsum(nblocks)
     seq = np.arange(total, dtype=np.int64) - np.repeat(ends - nblocks, nblocks)
     row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -62,35 +82,31 @@ def _gather_rows(flat: np.ndarray, starts: np.ndarray, length: int) -> np.ndarra
     return np.take(flat, idx)  # ~100x faster than flat[idx] on this numpy
 
 
-def encode_batch(arrs: list[np.ndarray], mode: str
-                 ) -> tuple[list[bytes], list[bytes], list[bytes]]:
-    """Encode a batch of uint32 rows. Returns per-row (widths, inits, payload).
-
-    widths = uint8 per block; inits = uint32-LE per block ('for': block min,
-    'd1': chain init; 'plain': empty); payload = concatenated packed blocks.
-    """
+def encode_flat(flat: np.ndarray, lens: np.ndarray, mode: str) -> EncodedFlat:
+    """Encode a batch given as one flat uint32 buffer + per-row lengths."""
     assert mode in MODES
-    nrows = len(arrs)
-    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrows)
-    if lens.sum() == 0:
-        return [b""] * nrows, [b""] * nrows, [b""] * nrows
-    flat = np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]) \
-        if nrows > 1 else np.ascontiguousarray(arrs[0], dtype=U32)
+    flat = np.ascontiguousarray(flat, dtype=U32)
+    lens = np.asarray(lens, dtype=np.int64)
+    nrows = lens.size
+    if flat.size == 0:
+        z = np.zeros(nrows, dtype=np.int64)
+        return EncodedFlat((lens + 127) // 128, np.zeros(0, np.uint8),
+                           np.zeros(0, U32), np.zeros(0, np.uint8), z)
+
     row_id, blk_start, blk_len, nblocks = _block_table(lens)
     total_blocks = row_id.size
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
 
     widths = np.zeros(total_blocks, dtype=np.uint8)
-    inits = np.zeros(total_blocks, dtype=U32)
     if mode == "d1":
-        # chain init: previous element in the same row, 0 for the first block
-        first_of_row = blk_start == np.concatenate(([0], np.cumsum(lens)[:-1]))[row_id]
+        first_of_row = blk_start == row_starts[row_id]
         safe_prev = np.where(first_of_row, 0, blk_start - 1)
         inits = np.where(first_of_row, U32(0), flat[safe_prev]).astype(U32)
+    else:
+        inits = np.zeros(total_blocks if mode == "for" else 0, dtype=U32)
 
-    # ---- analyze + pack, grouped by (block length, width) ----
-    packed_per_block: list = [None] * total_blocks
-    sizes = np.zeros(total_blocks, dtype=np.int64)
-
+    # pass 1: analyze (widths per block), grouped by block length
+    group_cache: list[tuple[np.ndarray, np.ndarray, int]] = []
     for blen in np.unique(blk_len):
         blen = int(blen)
         sel = np.nonzero(blk_len == blen)[0]
@@ -100,102 +116,76 @@ def encode_batch(arrs: list[np.ndarray], mode: str
             widths[sel] = K.maxbits_rows(mat).astype(np.uint8)
         elif mode == "for":
             mn = mat.min(axis=1)
-            mx = mat.max(axis=1)
             inits[sel] = mn
-            widths[sel] = K.bits_u32(mx - mn).astype(np.uint8)
+            widths[sel] = K.bits_u32(mat.max(axis=1) - mn).astype(np.uint8)
             vals = mat - mn[:, None]
         else:  # d1
             vals = mat.copy()
             vals[:, 1:] = mat[:, 1:] - mat[:, :-1]
             vals[:, 0] = mat[:, 0] - inits[sel]
             widths[sel] = K.maxbits_rows(vals).astype(np.uint8)
+        group_cache.append((sel, vals, blen))
 
+    # sizes + destination offsets (blocks are already in (row, seq) order)
+    sizes = K.compressed_bytes_arr(blk_len, widths.astype(np.int64))
+    dst = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    payload = np.zeros(int(sizes.sum()), dtype=np.uint8)
+
+    # pass 2: pack per (blen, width) group, scatter into the payload buffer
+    for sel, vals, blen in group_cache:
         w_here = widths[sel]
         for b in np.unique(w_here):
             b = int(b)
-            gsel = sel[w_here == b]
-            gidx = np.nonzero(w_here == b)[0]
             if b == 0:
-                for g in gsel:
-                    packed_per_block[g] = b""
                 continue
+            gmask = w_here == b
+            gsel = sel[gmask]
             if b == 32:
                 # raw ORIGINAL values in all families (simdbitpacking.c:14198,
                 # ipackFOR32 simdfor.c:6954, ipackwithoutmask32)
-                src = mat[gidx] if mode == "plain" else _gather_rows(
-                    flat, blk_start[gsel], blen)
-                rowsz = blen * 4
-                by = np.ascontiguousarray(src).view(np.uint8).reshape(-1, rowsz)
+                by = _gather_rows(flat, blk_start[gsel], blen) \
+                    .view(np.uint8).reshape(gsel.size, blen * 4)
             else:
-                padded = vals[gidx]
+                padded = vals[gmask]
                 if blen % 4:
                     pad = np.zeros((padded.shape[0], 4 - blen % 4), dtype=U32)
                     padded = np.concatenate([padded, pad], axis=1)
-                by = K.pack_blocks(padded, b)
-            sizes[gsel] = by.shape[1]
-            for j, g in enumerate(gsel):
-                packed_per_block[g] = by[j]
+                by = K.pack_blocks(np.ascontiguousarray(padded), b)
+            idx = dst[gsel][:, None] + np.arange(by.shape[1], dtype=np.int64)
+            payload[idx] = by
 
-    # ---- assemble per-row outputs ----
-    widths_out, inits_out, payload_out = [], [], []
-    pos = 0
-    empty_u8 = np.empty(0, dtype=np.uint8)
-    for r in range(nrows):
-        nb = int(nblocks[r])
-        if nb == 0:
-            widths_out.append(b"")
-            inits_out.append(b"")
-            payload_out.append(b"")
-            continue
-        widths_out.append(widths[pos:pos + nb].tobytes())
-        inits_out.append(inits[pos:pos + nb].tobytes() if mode != "plain" else b"")
-        chunks = packed_per_block[pos:pos + nb]
-        payload_out.append(b"".join(
-            c.tobytes() if isinstance(c, np.ndarray) else c for c in chunks))
-        pos += nb
-    return widths_out, inits_out, payload_out
+    payload_lens = np.zeros(nrows, dtype=np.int64)
+    np.add.at(payload_lens, row_id, sizes)
+    return EncodedFlat(nblocks, widths, inits, payload, payload_lens)
 
 
-def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
-                 inits_list: list[bytes], payload_list: list[bytes],
-                 mode: str) -> list[np.ndarray]:
-    """Inverse of :func:`encode_batch`. Returns list of uint32 arrays."""
+def decode_flat(lens: np.ndarray, widths: np.ndarray, inits: np.ndarray,
+                payload: np.ndarray, payload_lens: np.ndarray, mode: str
+                ) -> np.ndarray:
+    """Inverse of :func:`encode_flat`: returns the flat uint32 token buffer
+    (row offsets = cumsum of ``lens``)."""
     assert mode in MODES
-    nrows = len(payload_list)
-    lens = np.asarray(n_toks, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
     total = int(lens.sum())
+    out = np.empty(total, dtype=U32)
     if total == 0:
-        return [np.empty(0, dtype=U32) for _ in range(nrows)]
+        return out
     row_id, blk_start, blk_len, nblocks = _block_table(lens)
     total_blocks = row_id.size
-
-    widths = np.concatenate([
-        np.frombuffer(w, dtype=np.uint8) if w else np.empty(0, np.uint8)
-        for w in widths_list]) if nrows > 1 else np.frombuffer(widths_list[0], np.uint8)
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
     assert widths.size == total_blocks, (widths.size, total_blocks)
     if mode != "plain":
-        inits = np.concatenate([
-            np.frombuffer(i, dtype=U32) if i else np.empty(0, U32)
-            for i in inits_list]) if nrows > 1 else np.frombuffer(inits_list[0], U32)
-    else:
-        inits = np.zeros(total_blocks, dtype=U32)
+        inits = np.ascontiguousarray(inits, dtype=U32)
 
     sizes = K.compressed_bytes_arr(blk_len, widths.astype(np.int64))
-    # per-block source offset within its row payload, then global offset
-    # (payloads are per-row bytes; build one flat buffer + per-row starts)
-    payload_flat = np.frombuffer(b"".join(payload_list), dtype=np.uint8)
-    row_pl_lens = np.fromiter((len(p) for p in payload_list), dtype=np.int64,
-                              count=nrows)
-    row_pl_starts = np.concatenate(([0], np.cumsum(row_pl_lens)[:-1]))
-    # offset of each block inside its row payload: exclusive cumsum of sizes,
-    # restarted per row (subtract each row's first-block exclusive cumsum)
+    # per-block source offset: exclusive cumsum restarted per row, plus the
+    # row's payload start
     excl = np.cumsum(sizes) - sizes
-    row_first_block = np.cumsum(nblocks) - nblocks  # clamp: rows w/o blocks unused
+    row_first_block = np.cumsum(nblocks) - nblocks
     row_base = excl[np.minimum(row_first_block, total_blocks - 1)]
-    blk_src_off = excl - row_base[row_id]
-    src_start = row_pl_starts[row_id] + blk_src_off
-
-    out = np.empty(total, dtype=U32)
+    row_pl_starts = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+    src_start = row_pl_starts[row_id] + (excl - row_base[row_id])
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
 
     keys = blk_len.astype(np.int64) * 64 + widths.astype(np.int64)
     for key in np.unique(keys):
@@ -203,13 +193,13 @@ def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
         sel = np.nonzero(keys == key)[0]
         nb = int(sizes[sel[0]])
         if b == 0:
-            # plain: all zeros; FOR: broadcast base; d1: broadcast chain init
+            # plain: zeros; FOR: broadcast base; d1: broadcast chain init
             # (iunpackFOR0 src/simdfor.c:7-20, iunpack0
             # src/simdintegratedbitpacking.c:21-35)
             src0 = inits[sel] if mode != "plain" else np.zeros(sel.size, U32)
             vals = np.broadcast_to(src0[:, None], (sel.size, blen))
         else:
-            seg = _gather_rows(payload_flat, src_start[sel], nb)
+            seg = _gather_rows(payload, src_start[sel], nb)
             if b == 32:
                 vals = np.ascontiguousarray(seg).view(U32).reshape(sel.size, blen)
             else:
@@ -222,25 +212,74 @@ def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
                     acc = np.cumsum(vals, axis=1, dtype=np.uint64) + \
                         inits[sel][:, None].astype(np.uint64)
                     vals = acc.astype(U32)
-        # scatter decoded values into the flat output (2-D assignment —
-        # the flattened-index form is pathologically slow on this numpy)
         idx = blk_start[sel][:, None] + np.arange(blen, dtype=np.int64)[None, :]
         out[idx] = vals
-
-    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    return [out[row_starts[r]:row_starts[r] + lens[r]] for r in range(nrows)]
+    return out
 
 
-def encoded_sizes(arrs: list[np.ndarray], mode: str) -> np.ndarray:
-    """Exact payload bytes per row for ``mode`` WITHOUT materializing the
-    payload — the analyze pass only (used by the codec auto-selector)."""
+# ---------------------------------------------------------------------------
+# list-of-bytes wrappers (codec-registry interface; tests + pandas UDF path)
+# ---------------------------------------------------------------------------
+
+def _concat_rows(arrs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     nrows = len(arrs)
     lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrows)
-    if lens.sum() == 0:
+    if nrows == 0 or lens.sum() == 0:
+        return np.zeros(0, dtype=U32), lens
+    if nrows == 1:
+        return np.ascontiguousarray(arrs[0], dtype=U32), lens
+    return np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]), lens
+
+
+def encode_batch(arrs: list[np.ndarray], mode: str
+                 ) -> tuple[list[bytes], list[bytes], list[bytes]]:
+    """Encode a batch of uint32 rows. Returns per-row (widths, inits, payload).
+
+    widths = uint8 per block; inits = uint32-LE per block ('for': block min,
+    'd1': chain init; 'plain': empty); payload = concatenated packed blocks.
+    """
+    flat, lens = _concat_rows(arrs)
+    enc = encode_flat(flat, lens, mode)
+    wo = enc.widths_offsets()
+    po = enc.payload_offsets()
+    wbuf, ibuf, pbuf = enc.widths.tobytes(), enc.inits.tobytes(), \
+        enc.payload.tobytes()
+    widths_out, inits_out, payload_out = [], [], []
+    for r in range(lens.size):
+        a, b = int(wo[r]), int(wo[r + 1])
+        widths_out.append(wbuf[a:b])
+        inits_out.append(ibuf[4 * a:4 * b] if mode != "plain" else b"")
+        payload_out.append(pbuf[int(po[r]):int(po[r + 1])])
+    return widths_out, inits_out, payload_out
+
+
+def decode_batch(n_toks: np.ndarray, widths_list: list[bytes],
+                 inits_list: list[bytes], payload_list: list[bytes],
+                 mode: str) -> list[np.ndarray]:
+    """Inverse of :func:`encode_batch`. Returns list of uint32 arrays."""
+    lens = np.asarray(n_toks, dtype=np.int64)
+    widths = np.frombuffer(b"".join(widths_list), dtype=np.uint8)
+    inits = np.frombuffer(b"".join(inits_list), dtype=U32) \
+        if mode != "plain" else np.zeros(0, U32)
+    payload = np.frombuffer(b"".join(payload_list), dtype=np.uint8)
+    payload_lens = np.fromiter((len(p) for p in payload_list),
+                               dtype=np.int64, count=len(payload_list))
+    out = decode_flat(lens, widths, inits, payload, payload_lens, mode)
+    row_starts = np.concatenate(([0], np.cumsum(lens)))
+    return [out[row_starts[r]:row_starts[r + 1]] for r in range(lens.size)]
+
+
+def encoded_sizes_flat(flat: np.ndarray, lens: np.ndarray, mode: str
+                       ) -> np.ndarray:
+    """Exact payload bytes per row for ``mode`` WITHOUT materializing the
+    payload — the analyze pass only (used by the codec auto-selector)."""
+    flat = np.ascontiguousarray(flat, dtype=U32)
+    lens = np.asarray(lens, dtype=np.int64)
+    nrows = lens.size
+    if flat.size == 0:
         return np.zeros(nrows, dtype=np.int64)
-    flat = np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]) \
-        if nrows > 1 else np.ascontiguousarray(arrs[0], dtype=U32)
     row_id, blk_start, blk_len, nblocks = _block_table(lens)
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     widths = np.zeros(row_id.size, dtype=np.int64)
     for blen in np.unique(blk_len):
         blen = int(blen)
@@ -253,11 +292,17 @@ def encoded_sizes(arrs: list[np.ndarray], mode: str) -> np.ndarray:
         else:
             d = mat.copy()
             d[:, 1:] = mat[:, 1:] - mat[:, :-1]
-            first = blk_start == np.concatenate(([0], np.cumsum(lens)[:-1]))[row_id]
-            prev = np.where(first[sel], U32(0), flat[np.maximum(blk_start[sel] - 1, 0)])
+            first = blk_start == row_starts[row_id]
+            prev = np.where(first[sel], U32(0),
+                            flat[np.maximum(blk_start[sel] - 1, 0)])
             d[:, 0] = mat[:, 0] - prev
             widths[sel] = K.maxbits_rows(d)
     sizes = K.compressed_bytes_arr(blk_len, widths)
     per_row = np.zeros(nrows, dtype=np.int64)
     np.add.at(per_row, row_id, sizes)
     return per_row
+
+
+def encoded_sizes(arrs: list[np.ndarray], mode: str) -> np.ndarray:
+    flat, lens = _concat_rows(arrs)
+    return encoded_sizes_flat(flat, lens, mode)

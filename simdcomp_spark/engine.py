@@ -1,8 +1,10 @@
 """Spark DataFrame encode/decode pipelines.
 
 Spark-first design (SURVEY.md §1.4, §4):
-* the ONLY Python in the hot path is Arrow-batched ``mapInPandas`` calling the
-  vectorized numpy codec core — no per-row Python, no RDDs;
+* the ONLY Python in the hot path is Arrow-batched ``mapInArrow`` calling the
+  vectorized numpy codec core — token list-columns and packed binary columns
+  move as RAW ARROW BUFFERS (one values buffer + offsets per batch), so there
+  is no per-row Python and no per-row object materialization at all;
 * salt-based repartitioning on ``pmod(xxhash64(doc_id, seg_id), shards)``
   spreads encode work evenly (north rule: explicit partitioning/skew
   handling);
@@ -28,10 +30,11 @@ import os
 import time
 
 import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import codecs
+from . import blocks, codecs
 from .codecs.auto import choose_codec
 
 ENCODED_SCHEMA = ("doc_id string, source string, seg_id int, n_tok int, "
@@ -40,6 +43,7 @@ ENCODED_SCHEMA = ("doc_id string, source string, seg_id int, n_tok int, "
 DECODED_SCHEMA = "doc_id string, source string, seg_id int, tokens array<int>"
 
 DEFAULT_SPLIT_THRESHOLD = 1 << 16  # tokens per segment
+_BLOCK_MODES = {"bitpack": "plain", "for": "for", "d1": "d1"}
 
 
 def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
@@ -56,10 +60,64 @@ def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # keep big numpy buffers on the Python workers' sbrk heap so pages
+        # stay faulted across batches/tasks (first-touch page faults cost
+        # ~50ms/MB in this kernel; mmap'd buffers are returned to the OS on
+        # free and re-fault every batch)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow buffer helpers (zero-copy list/binary column access)
+# ---------------------------------------------------------------------------
+
+def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """list<int32> column → (flat int32 values in row order, row lengths)."""
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    flat = vals[off[0]:off[-1]] if off.size else vals[:0]
+    lens = np.diff(off)
+    return flat, lens
+
+
+def _binary_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """binary column → (flat uint8 data in row order, row lengths)."""
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[col.offset:
+                                                 col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    flat = data[off[0]:off[-1]] if off.size else data[:0]
+    return flat, np.diff(off).astype(np.int64)
+
+
+def _binary_from_flat(data: np.ndarray, row_lens: np.ndarray) -> pa.Array:
+    off = np.zeros(row_lens.size + 1, dtype=np.int32)
+    np.cumsum(row_lens, out=off[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), row_lens.size,
+        [None, pa.py_buffer(np.ascontiguousarray(off)),
+         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+
+
+def _list_from_flat(values_i32: np.ndarray, row_lens: np.ndarray) -> pa.Array:
+    off = np.zeros(row_lens.size + 1, dtype=np.int32)
+    np.cumsum(row_lens, out=off[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(off, type=pa.int32()),
+        pa.array(np.ascontiguousarray(values_i32, dtype=np.int32),
+                 type=pa.int32()))
+
+
+def _rows_view(flat: np.ndarray, lens: np.ndarray) -> list[np.ndarray]:
+    off = np.concatenate(([0], np.cumsum(lens)))
+    return [flat[off[r]:off[r + 1]] for r in range(lens.size)]
 
 
 # ---------------------------------------------------------------------------
@@ -80,28 +138,27 @@ def split_long_rows(df: DataFrame, threshold: int = DEFAULT_SPLIT_THRESHOLD
     )
 
 
-def _as_u32_rows(series) -> list[np.ndarray]:
-    out = []
-    for v in series:
-        a = np.asarray(v, dtype=np.int32)
-        out.append(a.view(np.uint32))
-    return out
-
-
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
 
 def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
            split_threshold: int | None = DEFAULT_SPLIT_THRESHOLD,
-           salt: bool = True) -> DataFrame:
+           salt: bool = False) -> DataFrame:
     """tokens table → encoded table.
 
     codec: a registry name, or 'auto' → per-partition cost-model selection
-    (north rule).  shards: explicit salt-based repartition count (defaults to
-    spark.sql.shuffle.partitions).  salt=False skips the shuffle entirely
-    (narrow, scan-aligned encode — the fastest path when input partitioning
-    is already fine-grained)."""
+    (north rule).
+
+    Shuffle discipline (the 100 TB decision): by default the encode is
+    NARROW — scan-aligned, zero shuffles — because input task sizing is
+    already bounded by ``spark.sql.files.maxPartitionBytes`` and the
+    length-aware split bounds any single row.  ``salt=True`` inserts the
+    explicit salt-based repartition on ``pmod(xxhash64(doc_id, seg_id),
+    shards)`` BEFORE encoding, for inputs whose partitioning is itself
+    skewed (e.g. one giant input file); note it shuffles RAW token arrays
+    (4+ bytes/token in UnsafeRow) — prefer :func:`salt_encoded` afterwards,
+    which shuffles the ~2 bits/token compressed output instead."""
     spark = df.sparkSession
     if split_threshold is not None:
         df = split_long_rows(df, split_threshold)
@@ -112,36 +169,61 @@ def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
         df = df.withColumn(
             "_shard", F.pmod(F.xxhash64("doc_id", "seg_id"), F.lit(shards)))
         df = df.repartition(shards, "_shard").drop("_shard")
+    df = df.select("doc_id", "source", "seg_id", "n_tok", "tokens")
 
     def encode_fn(it):
-        import pandas as pd
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
         chosen = None if codec == "auto" else codec
         total_ns = 0  # cumulative per task; metrics take max() per pid
-        for pdf in it:
+        for batch in it:
             t0 = time.perf_counter_ns()
-            arrs = _as_u32_rows(pdf["tokens"])
+            tokens_col = batch.column(4)
+            flat_i32, lens = _list_to_flat(tokens_col)
+            flat = flat_i32.view(np.uint32)
             if chosen is None:
-                chosen, _costs = choose_codec(arrs)
-            c = codecs.get(chosen)
-            widths, inits, payloads = c.encode_rows(arrs)
+                chosen, _costs = choose_codec(_rows_view(flat, lens))
+            n = len(batch)
+            if chosen in _BLOCK_MODES:
+                enc = blocks.encode_flat(flat, lens, _BLOCK_MODES[chosen])
+                widths_arr = _binary_from_flat(enc.widths, enc.nblocks)
+                ini_lens = enc.nblocks * 4 if enc.inits.size else \
+                    np.zeros(n, dtype=np.int64)
+                inits_arr = _binary_from_flat(enc.inits.view(np.uint8),
+                                              ini_lens)
+                payload_arr = _binary_from_flat(enc.payload, enc.payload_lens)
+            else:
+                c = codecs.get(chosen)
+                w, i, p = c.encode_rows(_rows_view(flat, lens))
+                widths_arr = pa.array(w, type=pa.binary())
+                inits_arr = pa.array(i, type=pa.binary())
+                payload_arr = pa.array(p, type=pa.binary())
             total_ns += time.perf_counter_ns() - t0
-            enc_ns = total_ns
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "seg_id": pdf["seg_id"].astype("int32"),
-                "n_tok": pdf["n_tok"].astype("int32"),
-                "codec": chosen,
-                "widths": widths,
-                "inits": inits,
-                "payload": payloads,
-                "pid": np.int32(pid),
-                "enc_ns": np.int64(enc_ns),
-            })
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 batch.column(2).cast(pa.int32()),
+                 batch.column(3).cast(pa.int32()),
+                 pa.array([chosen] * n, type=pa.string()),
+                 widths_arr, inits_arr, payload_arr,
+                 pa.array(np.full(n, pid, dtype=np.int32)),
+                 pa.array(np.full(n, total_ns, dtype=np.int64))],
+                names=["doc_id", "source", "seg_id", "n_tok", "codec",
+                       "widths", "inits", "payload", "pid", "enc_ns"])
 
-    return df.mapInPandas(encode_fn, schema=ENCODED_SCHEMA)
+    return df.mapInArrow(encode_fn, schema=ENCODED_SCHEMA)
+
+
+def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
+    """Salt-based repartition of the ENCODED table (north rule: explicit
+    salt-based repartitioning) — rebalances output for writing/downstream
+    joins while shuffling compressed bytes, not raw tokens."""
+    spark = df_encoded.sparkSession
+    shards = shards or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (df_encoded
+            .withColumn("_shard", F.pmod(F.xxhash64("doc_id", "seg_id"),
+                                         F.lit(shards)))
+            .repartition(shards, "_shard").drop("_shard"))
 
 
 # ---------------------------------------------------------------------------
@@ -153,30 +235,48 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
 
     reassemble=False keeps (doc_id, seg_id, tokens) segments and skips the
     groupBy shuffle — use when no row exceeded the split threshold."""
+    cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
+            "inits", "payload"]
+    src = df_encoded.select(*cols)
 
     def decode_fn(it):
-        import pandas as pd
-        for pdf in it:
-            n_toks = pdf["n_tok"].to_numpy()
-            out_tokens: list = [None] * len(pdf)
-            for name in pdf["codec"].unique():
-                sel = np.nonzero((pdf["codec"] == name).to_numpy())[0]
-                c = codecs.get(name)
-                arrs = c.decode_rows(
-                    n_toks[sel],
-                    [pdf["widths"].iat[i] for i in sel],
-                    [pdf["inits"].iat[i] for i in sel],
-                    [pdf["payload"].iat[i] for i in sel])
-                for i, a in zip(sel, arrs):
-                    out_tokens[i] = a.view(np.int32)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "seg_id": pdf["seg_id"],
-                "tokens": out_tokens,
-            })
+        for batch in it:
+            n = len(batch)
+            n_toks = batch.column(3).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_col = batch.column(4)
+            names = codec_col.unique().to_pylist()
+            if len(names) == 1 and names[0] in _BLOCK_MODES:
+                wf, _wl = _binary_to_flat(batch.column(5))
+                inf, _il = _binary_to_flat(batch.column(6))
+                pf, pl = _binary_to_flat(batch.column(7))
+                out = blocks.decode_flat(
+                    n_toks, wf, inf.view(np.uint32), pf, pl,
+                    _BLOCK_MODES[names[0]])
+                tokens_arr = _list_from_flat(out.view(np.int32), n_toks)
+            else:
+                # mixed or non-block codecs in this batch: per-codec dispatch
+                codec_np = np.asarray(codec_col.to_pylist())
+                widths = batch.column(5).to_pylist()
+                inits = batch.column(6).to_pylist()
+                payloads = batch.column(7).to_pylist()
+                rows: list = [None] * n
+                for name in np.unique(codec_np):
+                    sel = np.nonzero(codec_np == name)[0]
+                    c = codecs.get(str(name))
+                    arrs = c.decode_rows(
+                        n_toks[sel], [widths[j] for j in sel],
+                        [inits[j] for j in sel], [payloads[j] for j in sel])
+                    for j, a in zip(sel, arrs):
+                        rows[j] = a.view(np.int32)
+                flat = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+                tokens_arr = _list_from_flat(flat, n_toks)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 batch.column(2).cast(pa.int32()), tokens_arr],
+                names=["doc_id", "source", "seg_id", "tokens"])
 
-    dec = df_encoded.mapInPandas(decode_fn, schema=DECODED_SCHEMA)
+    dec = src.mapInArrow(decode_fn, schema=DECODED_SCHEMA)
     if not reassemble:
         return dec.withColumn("n_tok", F.size("tokens"))
     return (
