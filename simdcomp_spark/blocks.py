@@ -306,3 +306,17 @@ def encoded_sizes_flat(flat: np.ndarray, lens: np.ndarray, mode: str
 def encoded_sizes(arrs: list[np.ndarray], mode: str) -> np.ndarray:
     flat, lens = _concat_rows(arrs)
     return encoded_sizes_flat(flat, lens, mode)
+
+
+def payload_bytes_from_widths(lens: np.ndarray, widths_flat: np.ndarray
+                              ) -> np.ndarray:
+    """Per-row payload byte counts reconstructed from row lengths + the flat
+    per-block widths stream (decode-side bookkeeping; pure formula)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if widths_flat.size == 0:
+        return np.zeros(lens.size, dtype=np.int64)
+    row_id, _bs, blk_len, _nb = _block_table(lens)
+    sizes = K.compressed_bytes_arr(blk_len, widths_flat.astype(np.int64))
+    out = np.zeros(lens.size, dtype=np.int64)
+    np.add.at(out, row_id, sizes)
+    return out

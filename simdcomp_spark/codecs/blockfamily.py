@@ -17,20 +17,27 @@ from __future__ import annotations
 import numpy as np
 
 from .. import blocks
-from .base import Codec
+from .base import Codec, FlatEncoded
 
 
 class _BlockCodec(Codec):
     mode: str
 
-    def encode_rows(self, arrs):
-        return blocks.encode_batch(arrs, self.mode)
+    def encode_flat(self, flat, lens):
+        e = blocks.encode_flat(flat, lens, self.mode)
+        ini_lens = e.nblocks * 4 if e.inits.size else \
+            np.zeros(lens.size, dtype=np.int64)
+        return FlatEncoded(e.widths, e.nblocks.astype(np.int64),
+                           e.inits.view(np.uint8), ini_lens,
+                           e.payload, e.payload_lens)
 
-    def decode_rows(self, n_toks, widths, inits, payloads):
-        return blocks.decode_batch(n_toks, widths, inits, payloads, self.mode)
+    def decode_flat(self, lens, widths, widths_lens, inits, inits_lens,
+                    payload, payload_lens):
+        return blocks.decode_flat(lens, widths, inits.view(np.uint32),
+                                  payload, payload_lens, self.mode)
 
-    def payload_sizes(self, arrs):
-        return blocks.encoded_sizes(arrs, self.mode)
+    def payload_sizes_flat(self, flat, lens):
+        return blocks.encoded_sizes_flat(flat, lens, self.mode)
 
 
 class BitPackCodec(_BlockCodec):

@@ -1,59 +1,128 @@
 """Per-row dictionary codec (north-rule addition, SURVEY.md §2.6).
 
-Wire format per row:
-    u32 n_dict | u8 bd | u8 bc | u16 pad |
-    simdpack_length(sorted_unique_values, bd) | simdpack_length(codes, bc)
+Wire format per non-empty row:
+    u32 n_dict |
+    widths_d: uint8 × ceil(n_dict/128) | widths_c: uint8 × ceil(n_tok/128) |
+    plain-block payload of sorted distinct values | plain-block payload of codes
 
 Rows stay self-contained (decodable in isolation — the property that makes
 blocks skippable at 100 TB scale); the dictionary is the row's own sorted
-distinct set, codes are positions in it.  The two sub-streams reuse the
-reference bit-packing layout.  A dict of size 1 gives bc=0 → codes cost
-nothing (constant rows compress to the header + one value).
+distinct set, codes are positions in it.  Both sub-streams reuse the
+reference per-block-maxbits layout, so code blocks adapt their width to the
+local code range.  The whole batch is processed with ONE lexsort — no
+per-row Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .. import kernels as K
-from .base import Codec
+from .. import blocks
+from ..kernels import multi_arange
+from .base import Codec, FlatEncoded
 
 U32 = np.uint32
-_HDR = 8
+_HDR = 4
+
+
+def _dict_streams(flat: np.ndarray, lens: np.ndarray):
+    """Vectorized per-row unique+codes: returns (uniq_flat, n_dict_per_row,
+    codes_flat in original token order)."""
+    nrows = lens.size
+    total = flat.size
+    if total == 0:
+        return np.empty(0, U32), np.zeros(nrows, np.int64), np.empty(0, U32)
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    order = np.lexsort((flat, row_of))
+    sv = flat[order]
+    sr = row_of[order]
+    newu = np.ones(total, dtype=bool)
+    newu[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+    uniq = sv[newu]
+    n_dict = np.bincount(sr[newu], minlength=nrows).astype(np.int64)
+    gid = np.cumsum(newu) - 1
+    # first group id of each row, forward-filled onto its tokens
+    row_first_gid = np.zeros(nrows, dtype=np.int64)
+    first_pos = np.ones(total, dtype=bool)
+    first_pos[1:] = sr[1:] != sr[:-1]
+    fp = np.nonzero(first_pos)[0]
+    row_first_gid[sr[fp]] = gid[fp]
+    code_sorted = gid - row_first_gid[sr]
+    codes = np.empty(total, dtype=U32)
+    codes[order] = code_sorted.astype(U32)
+    return uniq, n_dict, codes
 
 
 class DictCodec(Codec):
     name = "dict"
     _per_block_overhead = 0
 
-    def encode_rows(self, arrs):
-        payloads = []
-        for a in arrs:
-            a = np.ascontiguousarray(a, dtype=U32)
-            if a.size == 0:
-                payloads.append(b"")
-                continue
-            uniq, codes = np.unique(a, return_inverse=True)
-            bd = K.maxbits(uniq)
-            bc = K.bits_u32(np.asarray([uniq.size - 1], dtype=U32))[0] \
-                if uniq.size > 1 else 0
-            hdr = int(uniq.size).to_bytes(4, "little") + bytes([bd, int(bc), 0, 0])
-            payloads.append(hdr + K.simdpack_length(uniq, bd)
-                            + K.simdpack_length(codes.astype(U32), int(bc)))
-        n = len(arrs)
-        return [b""] * n, [b""] * n, payloads
+    def encode_flat(self, flat, lens):
+        flat = np.ascontiguousarray(flat, dtype=U32)
+        lens = np.asarray(lens, dtype=np.int64)
+        nrows = lens.size
+        uniq, n_dict, codes = _dict_streams(flat, lens)
+        ed = blocks.encode_flat(uniq, n_dict, "plain")
+        ec = blocks.encode_flat(codes, lens, "plain")
+        nbd, nbc = ed.nblocks, ec.nblocks
+        nonempty = lens > 0
+        sizes = np.where(nonempty,
+                         _HDR + nbd + nbc + ed.payload_lens + ec.payload_lens,
+                         0)
+        out = np.empty(int(sizes.sum()), dtype=np.uint8)
+        start = np.cumsum(sizes) - sizes
+        hdr = n_dict.astype(U32).view(np.uint8).reshape(nrows, 4)
+        ne = np.nonzero(nonempty)[0]
+        out[start[ne][:, None] + np.arange(4)] = hdr[ne]
+        cur = start + _HDR
+        out[multi_arange(cur, np.where(nonempty, nbd, 0))] = ed.widths
+        cur = cur + nbd
+        out[multi_arange(cur, np.where(nonempty, nbc, 0))] = ec.widths
+        cur = cur + nbc
+        out[multi_arange(cur, ed.payload_lens)] = ed.payload
+        cur = cur + ed.payload_lens
+        out[multi_arange(cur, ec.payload_lens)] = ec.payload
+        z = np.zeros(nrows, dtype=np.int64)
+        return FlatEncoded(np.zeros(0, np.uint8), z, np.zeros(0, np.uint8), z,
+                           out, sizes)
 
-    def decode_rows(self, n_toks, widths, inits, payloads):
-        out = []
-        for n, p in zip(n_toks, payloads):
-            n = int(n)
-            if n == 0:
-                out.append(np.empty(0, U32))
-                continue
-            nd = int.from_bytes(p[:4], "little")
-            bd, bc = p[4], p[5]
-            db = K.compressed_bytes(nd, bd)
-            uniq = K.simdunpack_length(p[_HDR:_HDR + db], nd, bd)
-            codes = K.simdunpack_length(p[_HDR + db:], n, bc)
-            out.append(uniq[codes])
-        return out
+    def decode_flat(self, lens, widths, widths_lens, inits, inits_lens,
+                    payload, payload_lens):
+        lens = np.asarray(lens, dtype=np.int64)
+        payload = np.ascontiguousarray(payload, dtype=np.uint8)
+        po = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+        nonempty = lens > 0
+        n_dict = np.zeros(lens.size, dtype=np.int64)
+        ne = np.nonzero(nonempty)[0]
+        if ne.size:
+            hdr = payload[po[ne][:, None] + np.arange(4)]
+            n_dict[ne] = np.ascontiguousarray(hdr).view(U32).reshape(-1)
+        nbd = (n_dict + 127) // 128
+        nbc = np.where(nonempty, (lens + 127) // 128, 0)
+        cur = po + _HDR
+        wd = payload[multi_arange(cur, np.where(nonempty, nbd, 0))]
+        cur = cur + nbd
+        wc = payload[multi_arange(cur, nbc)]
+        cur = cur + nbc
+        pd_lens = blocks.payload_bytes_from_widths(n_dict, wd)
+        pd = payload[multi_arange(cur, pd_lens)]
+        cur = cur + pd_lens
+        pc_lens = blocks.payload_bytes_from_widths(lens, wc)
+        pc = payload[multi_arange(cur, pc_lens)]
+        uniq = blocks.decode_flat(n_dict, wd, np.zeros(0, U32), pd, pd_lens,
+                                  "plain")
+        codes = blocks.decode_flat(lens, wc, np.zeros(0, U32), pc, pc_lens,
+                                   "plain")
+        dict_off = np.cumsum(n_dict) - n_dict
+        row_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        return uniq[dict_off[row_of] + codes.astype(np.int64)]
+
+    def payload_sizes_flat(self, flat, lens):
+        flat = np.ascontiguousarray(flat, dtype=U32)
+        lens = np.asarray(lens, dtype=np.int64)
+        uniq, n_dict, codes = _dict_streams(flat, lens)
+        sd = blocks.encoded_sizes_flat(uniq, n_dict, "plain")
+        sc = blocks.encoded_sizes_flat(codes, lens, "plain")
+        nbd = (n_dict + 127) // 128
+        nbc = np.where(lens > 0, (lens + 127) // 128, 0)
+        return np.where(lens > 0, _HDR + nbd + nbc + sd + sc, 0)

@@ -1,36 +1,33 @@
 """Run-length codec (north-rule addition; not in the reference — see
 SURVEY.md §2.6).  Good for padding/repeated tokens.
 
-Wire format per row:
-    u32 n_runs | u8 bv | u8 bl | u16 pad |
-    simdpack_length(run_values, bv) | simdpack_length(run_lengths - 1, bl)
+Wire format per non-empty row:
+    u32 n_runs |
+    widths_v: uint8 × ceil(n_runs/128) | widths_l: uint8 × ceil(n_runs/128) |
+    plain-block payload of run_values | plain-block payload of (run_len - 1)
 
-Both sub-streams reuse the reference bit-packing layout (simdpack_length,
-src/simdbitpacking.c:14379), so RLE inherits the bit-identical kernels.
-Run lengths are stored minus 1 (a run is never empty), which lets
-all-distinct data degrade to bl=0.
+Both sub-streams reuse the reference per-block-maxbits bit-packing layout
+(``blocks.encode_flat`` mode 'plain'), so RLE inherits the bit-identical
+kernels AND per-block adaptive widths.  Run lengths are stored minus 1 (a
+run is never empty) so all-distinct data degrades to width-0 blocks.
+Everything is vectorized across the whole batch — no per-row Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .. import kernels as K
-from .base import Codec
+from .. import blocks
+from ..kernels import multi_arange
+from .base import Codec, FlatEncoded
 
 U32 = np.uint32
-_HDR = 8
+_HDR = 4
 
 
-def _runs_per_batch(arrs: list[np.ndarray]):
-    """Vectorized run detection across the whole batch.
-
-    Returns (run_values, run_lengths, runs_per_row) flat arrays.
-    """
-    nrows = len(arrs)
-    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrows)
-    flat = np.concatenate([np.ascontiguousarray(a, dtype=U32) for a in arrs]) \
-        if nrows > 1 else np.ascontiguousarray(arrs[0], dtype=U32)
+def _runs_flat(flat: np.ndarray, lens: np.ndarray):
+    """Vectorized run detection: returns (run_vals, run_lens, runs_per_row)."""
+    nrows = lens.size
     total = flat.size
     if total == 0:
         return (np.empty(0, U32), np.empty(0, np.int64),
@@ -42,66 +39,78 @@ def _runs_per_batch(arrs: list[np.ndarray]):
     start_idx = np.nonzero(is_start)[0]
     run_lens = np.diff(np.concatenate((start_idx, [total])))
     run_vals = flat[start_idx]
-    # count runs per row
     row_of_run = np.searchsorted(np.cumsum(lens), start_idx, side="right")
-    runs_per_row = np.bincount(row_of_run, minlength=nrows).astype(np.int64)
-    return run_vals, run_lens, runs_per_row
+    rpr = np.bincount(row_of_run, minlength=nrows).astype(np.int64)
+    return run_vals, run_lens, rpr
 
 
 class RLECodec(Codec):
     name = "rle"
     _per_block_overhead = 0
 
-    def encode_rows(self, arrs):
-        run_vals, run_lens, rpr = _runs_per_batch(arrs)
-        payloads = []
-        pos = 0
-        for r in range(len(arrs)):
-            nr = int(rpr[r])
-            if nr == 0:
-                payloads.append(b"")
-                continue
-            vals = run_vals[pos:pos + nr]
-            lens1 = (run_lens[pos:pos + nr] - 1).astype(U32)
-            pos += nr
-            bv, bl = K.maxbits(vals), K.maxbits(lens1)
-            hdr = int(nr).to_bytes(4, "little") + bytes([bv, bl, 0, 0])
-            payloads.append(hdr + K.simdpack_length(vals, bv)
-                            + K.simdpack_length(lens1, bl))
-        n = len(arrs)
-        return [b""] * n, [b""] * n, payloads
+    def encode_flat(self, flat, lens):
+        flat = np.ascontiguousarray(flat, dtype=U32)
+        lens = np.asarray(lens, dtype=np.int64)
+        nrows = lens.size
+        run_vals, run_lens, rpr = _runs_flat(flat, lens)
+        ev = blocks.encode_flat(run_vals, rpr, "plain")
+        el = blocks.encode_flat((run_lens - 1).astype(U32), rpr, "plain")
+        nb = ev.nblocks  # == el.nblocks
+        nonempty = lens > 0
+        sizes = np.where(nonempty,
+                         _HDR + 2 * nb + ev.payload_lens + el.payload_lens, 0)
+        out = np.empty(int(sizes.sum()), dtype=np.uint8)
+        start = np.cumsum(sizes) - sizes
+        # header
+        hdr = rpr.astype(U32).view(np.uint8).reshape(nrows, 4)
+        ne = np.nonzero(nonempty)[0]
+        out[start[ne][:, None] + np.arange(4)] = hdr[ne]
+        # components, each scattered with row-relative cursors
+        cur = start + _HDR
+        out[multi_arange(cur, np.where(nonempty, nb, 0))] = ev.widths
+        cur = cur + nb
+        out[multi_arange(cur, np.where(nonempty, nb, 0))] = el.widths
+        cur = cur + nb
+        out[multi_arange(cur, ev.payload_lens)] = ev.payload
+        cur = cur + ev.payload_lens
+        out[multi_arange(cur, el.payload_lens)] = el.payload
+        z = np.zeros(nrows, dtype=np.int64)
+        return FlatEncoded(np.zeros(0, np.uint8), z, np.zeros(0, np.uint8), z,
+                           out, sizes)
 
-    def decode_rows(self, n_toks, widths, inits, payloads):
-        out = []
-        for n, p in zip(n_toks, payloads):
-            n = int(n)
-            if n == 0:
-                out.append(np.empty(0, U32))
-                continue
-            nr = int.from_bytes(p[:4], "little")
-            bv, bl = p[4], p[5]
-            vb = K.compressed_bytes(nr, bv)
-            vals = K.simdunpack_length(p[_HDR:_HDR + vb], nr, bv)
-            lens = K.simdunpack_length(p[_HDR + vb:], nr, bl).astype(np.int64) + 1
-            out.append(np.repeat(vals, lens))
-        return out
+    def decode_flat(self, lens, widths, widths_lens, inits, inits_lens,
+                    payload, payload_lens):
+        lens = np.asarray(lens, dtype=np.int64)
+        payload = np.ascontiguousarray(payload, dtype=np.uint8)
+        po = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+        nonempty = lens > 0
+        n_runs = np.zeros(lens.size, dtype=np.int64)
+        ne = np.nonzero(nonempty)[0]
+        if ne.size:
+            hdr = payload[po[ne][:, None] + np.arange(4)]
+            n_runs[ne] = np.ascontiguousarray(hdr).view(U32).reshape(-1)
+        nb = (n_runs + 127) // 128
+        cur = po + _HDR
+        wv = payload[multi_arange(cur, np.where(nonempty, nb, 0))]
+        cur = cur + nb
+        wl = payload[multi_arange(cur, np.where(nonempty, nb, 0))]
+        cur = cur + nb
+        pv_lens = blocks.payload_bytes_from_widths(n_runs, wv)
+        pv = payload[multi_arange(cur, pv_lens)]
+        cur = cur + pv_lens
+        pl_lens = blocks.payload_bytes_from_widths(n_runs, wl)
+        pl = payload[multi_arange(cur, pl_lens)]
+        run_vals = blocks.decode_flat(n_runs, wv, np.zeros(0, U32), pv,
+                                      pv_lens, "plain")
+        run_lens1 = blocks.decode_flat(n_runs, wl, np.zeros(0, U32), pl,
+                                       pl_lens, "plain")
+        return np.repeat(run_vals, run_lens1.astype(np.int64) + 1)
 
-    def payload_sizes(self, arrs):
-        run_vals, run_lens, rpr = _runs_per_batch(arrs)
-        nrows = len(arrs)
-        sizes = np.zeros(nrows, dtype=np.int64)
-        if run_vals.size == 0:
-            return sizes
-        # per-row maxbits of run values / (lens-1) via segmented OR
-        offsets = np.concatenate(([0], np.cumsum(rpr)[:-1]))
-        nz = rpr > 0
-        bv = np.zeros(nrows, np.int64)
-        bl = np.zeros(nrows, np.int64)
-        if nz.any():
-            orv = np.bitwise_or.reduceat(run_vals, offsets[nz])
-            orl = np.bitwise_or.reduceat((run_lens - 1).astype(U32), offsets[nz])
-            bv[nz] = K.bits_u32(orv)
-            bl[nz] = K.bits_u32(orl)
-        sizes[nz] = (_HDR + K.compressed_bytes_arr(rpr[nz], bv[nz])
-                     + K.compressed_bytes_arr(rpr[nz], bl[nz]))
-        return sizes
+    def payload_sizes_flat(self, flat, lens):
+        flat = np.ascontiguousarray(flat, dtype=U32)
+        lens = np.asarray(lens, dtype=np.int64)
+        run_vals, run_lens, rpr = _runs_flat(flat, lens)
+        sv = blocks.encoded_sizes_flat(run_vals, rpr, "plain")
+        sl = blocks.encoded_sizes_flat((run_lens - 1).astype(U32), rpr, "plain")
+        nb = (rpr + 127) // 128
+        return np.where(lens > 0, _HDR + 2 * nb + sv + sl, 0)

@@ -35,7 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import blocks, codecs
-from .codecs.auto import choose_codec
+from .codecs.auto import choose_codec_flat
 
 ENCODED_SCHEMA = ("doc_id string, source string, seg_id int, n_tok int, "
                   "codec string, widths binary, inits binary, payload binary, "
@@ -183,22 +183,12 @@ def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
             flat_i32, lens = _list_to_flat(tokens_col)
             flat = flat_i32.view(np.uint32)
             if chosen is None:
-                chosen, _costs = choose_codec(_rows_view(flat, lens))
+                chosen, _costs = choose_codec_flat(flat, lens)
             n = len(batch)
-            if chosen in _BLOCK_MODES:
-                enc = blocks.encode_flat(flat, lens, _BLOCK_MODES[chosen])
-                widths_arr = _binary_from_flat(enc.widths, enc.nblocks)
-                ini_lens = enc.nblocks * 4 if enc.inits.size else \
-                    np.zeros(n, dtype=np.int64)
-                inits_arr = _binary_from_flat(enc.inits.view(np.uint8),
-                                              ini_lens)
-                payload_arr = _binary_from_flat(enc.payload, enc.payload_lens)
-            else:
-                c = codecs.get(chosen)
-                w, i, p = c.encode_rows(_rows_view(flat, lens))
-                widths_arr = pa.array(w, type=pa.binary())
-                inits_arr = pa.array(i, type=pa.binary())
-                payload_arr = pa.array(p, type=pa.binary())
+            e = codecs.get(chosen).encode_flat(flat, lens)
+            widths_arr = _binary_from_flat(e.widths, e.widths_lens)
+            inits_arr = _binary_from_flat(e.inits, e.inits_lens)
+            payload_arr = _binary_from_flat(e.payload, e.payload_lens)
             total_ns += time.perf_counter_ns() - t0
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
@@ -241,36 +231,35 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
 
     def decode_fn(it):
         for batch in it:
-            n = len(batch)
             n_toks = batch.column(3).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             codec_col = batch.column(4)
             names = codec_col.unique().to_pylist()
-            if len(names) == 1 and names[0] in _BLOCK_MODES:
-                wf, _wl = _binary_to_flat(batch.column(5))
-                inf, _il = _binary_to_flat(batch.column(6))
-                pf, pl = _binary_to_flat(batch.column(7))
-                out = blocks.decode_flat(
-                    n_toks, wf, inf.view(np.uint32), pf, pl,
-                    _BLOCK_MODES[names[0]])
-                tokens_arr = _list_from_flat(out.view(np.int32), n_toks)
+            wf, wl = _binary_to_flat(batch.column(5))
+            inf, il = _binary_to_flat(batch.column(6))
+            pf, pl = _binary_to_flat(batch.column(7))
+            if len(names) == 1:
+                out = codecs.get(names[0]).decode_flat(
+                    n_toks, wf, wl, inf, il, pf, pl)
             else:
-                # mixed or non-block codecs in this batch: per-codec dispatch
+                # mixed codecs in one batch (post-shuffle): decode per codec
+                # group via vectorized sub-gathers, scatter into place
+                out = np.empty(int(n_toks.sum()), dtype=np.uint32)
+                tok_off = np.concatenate(([0], np.cumsum(n_toks)))
                 codec_np = np.asarray(codec_col.to_pylist())
-                widths = batch.column(5).to_pylist()
-                inits = batch.column(6).to_pylist()
-                payloads = batch.column(7).to_pylist()
-                rows: list = [None] * n
+                w_off = np.concatenate(([0], np.cumsum(wl)))
+                i_off = np.concatenate(([0], np.cumsum(il)))
+                p_off = np.concatenate(([0], np.cumsum(pl)))
+                from .kernels import multi_arange
                 for name in np.unique(codec_np):
                     sel = np.nonzero(codec_np == name)[0]
-                    c = codecs.get(str(name))
-                    arrs = c.decode_rows(
-                        n_toks[sel], [widths[j] for j in sel],
-                        [inits[j] for j in sel], [payloads[j] for j in sel])
-                    for j, a in zip(sel, arrs):
-                        rows[j] = a.view(np.int32)
-                flat = np.concatenate(rows) if rows else np.zeros(0, np.int32)
-                tokens_arr = _list_from_flat(flat, n_toks)
+                    sub = codecs.get(str(name)).decode_flat(
+                        n_toks[sel],
+                        wf[multi_arange(w_off[sel], wl[sel])], wl[sel],
+                        inf[multi_arange(i_off[sel], il[sel])], il[sel],
+                        pf[multi_arange(p_off[sel], pl[sel])], pl[sel])
+                    out[multi_arange(tok_off[sel], n_toks[sel])] = sub
+            tokens_arr = _list_from_flat(out.view(np.int32), n_toks)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
                  batch.column(2).cast(pa.int32()), tokens_arr],
