@@ -388,6 +388,78 @@ def search_d1(init: int, packed: bytes, bit: int, length: int, key: int
 
 
 # ---------------------------------------------------------------------------
+# In-place point updates (reference §2.2 #14, §2.3 #21, §2.4 #29).  Spark
+# tables are immutable, so these exist for API parity and for manifest-side
+# tooling; the engine's documented path is decode→set→re-encode.
+# ---------------------------------------------------------------------------
+
+def fastset(packed: bytearray, bit: int, value: int, index: int) -> None:
+    """``simdfastset`` (src/simdbitpacking.c:14338-14368): overwrite element
+    ``index`` of a packed 128-block in place.  ``value`` must fit ``bit``."""
+    if bit == 0:
+        return
+    lane = index % 4
+    bitsinlane = (index // 4) * bit
+    w1 = bitsinlane // 32
+    w2 = (bitsinlane + bit - 1) // 32
+    pos = 4 * (4 * w1 + lane)
+
+    def rd(p):
+        return int.from_bytes(packed[p:p + 4], "little")
+
+    def wr(p, v):
+        packed[p:p + 4] = (v & 0xFFFFFFFF).to_bytes(4, "little")
+
+    if bit == 32:
+        wr(pos, value)
+        return
+    mask = (1 << bit) - 1
+    s = bitsinlane % 32
+    wr(pos, (rd(pos) & ~((mask << s) & 0xFFFFFFFF)) | ((value << s) & 0xFFFFFFFF))
+    if w1 != w2:
+        pos2 = pos + 16
+        firstbits = 32 - s
+        mask2 = (1 << (bit - firstbits)) - 1
+        wr(pos2, (rd(pos2) & ~mask2) | (value >> firstbits))
+
+
+def fastset_for(packed: bytearray, init: int, bit: int, value: int,
+                index: int) -> None:
+    """``simdfastsetFOR`` (src/simdfor.c:15197-15200): stores value - init."""
+    fastset(packed, bit, (value - init) & 0xFFFFFFFF, index)
+
+
+def fastset_d1(packed: bytearray, init: int, bit: int, value: int,
+               index: int, length: int = FULL_BLOCK) -> None:
+    """``simdfastsetd1`` semantics
+    (src/simdintegratedbitpacking.c:25339-25357): set element ``index`` of a
+    d1 block to ``value`` by adjusting its delta AND the following delta so
+    later values are unchanged.  Requires both adjusted deltas to still fit
+    ``bit`` (the reference has the same constraint)."""
+    prev = select_d1(init, bytes(packed), bit, index - 1, length) \
+        if index > 0 else (init & 0xFFFFFFFF)
+    new_delta = (value - prev) & 0xFFFFFFFF
+    if bit < 32:
+        assert new_delta < (1 << bit), "delta overflow: re-encode the block"
+    if index + 1 < length:
+        nxt = select_d1(init, bytes(packed), bit, index + 1, length)
+        next_delta = (nxt - value) & 0xFFFFFFFF
+        if bit < 32:
+            assert next_delta < (1 << bit), "delta overflow: re-encode"
+        fastset(packed, bit, next_delta, index + 1)
+    fastset(packed, bit, new_delta, index)
+
+
+def scan_d1(init: int, packed: bytes, bit: int, length: int = FULL_BLOCK
+            ) -> int:
+    """``simdscand1`` (src/simdpackedselect.c:15216+): advance the running
+    offset past a block without materializing it — returns the block's last
+    value.  (In the Spark engine this is manifest-level: per-block inits are
+    stored, so skipping is free; this kernel exists for API parity.)"""
+    return select_d1(init, packed, bit, length - 1, length)
+
+
+# ---------------------------------------------------------------------------
 # Vectorized segment scatter/gather — the glue that lets the Spark UDFs stay
 # numpy-only while rows have ragged block layouts.
 # ---------------------------------------------------------------------------

@@ -264,3 +264,45 @@ def test_compressed_bytes_matches_reference_formula():
         np.testing.assert_array_equal(
             K.compressed_bytes_arr(lens, np.full(len(lens), b)),
             [RP.compressed_bytes(int(n), b) for n in lens])
+
+
+def test_golden_fastset_chain():
+    """Replay the C reference's fastset update chains: applying our fastset
+    to the reference's packed state k must yield its state k+1
+    (gen_golden_fastset.c, simdfastset/simdfastsetFOR)."""
+    import collections
+    chains = collections.defaultdict(list)
+    path = GOLDEN.parent / "golden_fastset.jsonl"
+    with path.open() as f:
+        for line in f:
+            row = json.loads(line)
+            chains[(row["family"], row["bit"], row["init"])].append(row)
+    assert chains
+    n_checked = 0
+    for (family, bit, init), rows in chains.items():
+        for prev, cur in zip(rows, rows[1:]):
+            buf = bytearray(bytes.fromhex(prev["packed"]))
+            slot, value = cur["data"]
+            if family == "fastset":
+                K.fastset(buf, bit, value, slot)
+            else:
+                K.fastset_for(buf, init, bit, value, slot)
+            assert buf.hex() == cur["packed"], (family, bit, slot)
+            n_checked += 1
+    assert n_checked >= 40
+
+
+def test_fastset_d1_and_scan():
+    rng = np.random.default_rng(11)
+    vals = np.cumsum(rng.integers(1, 7, size=128, dtype=np.uint32)).astype(np.uint32)
+    b = K.maxbits_d1(vals, 0)
+    packed = bytearray(K.pack_blocks(K.deltas_u32(vals, 0).reshape(1, 128), b).tobytes())
+    # set slot 50 to the midpoint of its neighbors (deltas stay in width)
+    newv = (int(vals[49]) + int(vals[51])) // 2
+    K.fastset_d1(packed, 0, b, newv, 50)
+    expect = vals.copy()
+    expect[50] = newv
+    d = K.unpack_blocks(np.frombuffer(bytes(packed), np.uint8).reshape(1, -1),
+                        128, b).reshape(-1)
+    np.testing.assert_array_equal(K.prefix_sum_u32(d, 0), expect)
+    assert K.scan_d1(0, bytes(packed), b) == int(expect[-1])
