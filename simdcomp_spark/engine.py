@@ -204,6 +204,91 @@ def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
     return df.mapInArrow(encode_fn, schema=ENCODED_SCHEMA)
 
 
+def _split_flat(doc_ids, sources, flat, lens, threshold):
+    """numpy equivalent of :func:`split_long_rows` for the fused path:
+    returns (doc_ids, sources, seg_ids, flat, lens) with every row ≤
+    threshold tokens.  flat is unchanged (segments are contiguous slices)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    nseg = np.maximum((lens + threshold - 1) // threshold, 1)
+    if int(nseg.sum()) == lens.size:
+        return (doc_ids, sources, np.zeros(lens.size, np.int32), flat, lens)
+    rep = nseg.astype(np.int64)
+    seg_ids = (np.arange(int(rep.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(rep) - rep, rep)).astype(np.int32)
+    new_lens = np.minimum(
+        np.repeat(lens, rep) - seg_ids.astype(np.int64) * threshold,
+        threshold)
+    new_lens = np.maximum(new_lens, 0)
+    idx = np.repeat(np.arange(lens.size), rep)
+    return (doc_ids.take(idx), sources.take(idx), seg_ids, flat, new_lens)
+
+
+def encode_files(spark: SparkSession, path: str, codec: str = "auto",
+                 split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
+                 batch_rows: int = 8192) -> DataFrame:
+    """Fused scan→encode: Spark schedules one task per parquet row-group,
+    and the worker reads it with pyarrow directly — the token buffers never
+    cross the JVM row format at all.
+
+    This is the maximum-throughput ingest path for the 100 TB job: encode
+    consumes EVERY row and column of the tokens table, so Catalyst's scan
+    pushdown has nothing to push, and the JVM per-element list conversion
+    (the dominant fixed cost of the `mapInArrow`-over-scan plan) is pure
+    overhead.  Work units are (file, row_group) so task size is bounded by
+    the writer's row-group size regardless of file count skew."""
+    import pyarrow.parquet as pq
+
+    files = sorted(str(p) for p in __import__("pathlib").Path(path).glob(
+        "*.parquet"))
+    units = []
+    for f in files:
+        for rg in range(pq.ParquetFile(f).num_row_groups):
+            units.append((f, rg))
+    fdf = spark.createDataFrame(units, "path string, rg int") \
+        .repartition(len(units))
+
+    def fn(it):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        chosen = None if codec == "auto" else codec
+        total_ns = 0
+        for batch in it:
+            for path_, rg in zip(batch.column(0).to_pylist(),
+                                 batch.column(1).to_pylist()):
+                pf = pq.ParquetFile(path_)
+                for rb in pf.iter_batches(batch_size=batch_rows,
+                                          row_groups=[rg],
+                                          columns=["doc_id", "tokens",
+                                                   "source"]):
+                    t0 = time.perf_counter_ns()
+                    flat_i32, lens = _list_to_flat(rb.column(1))
+                    flat = flat_i32.view(np.uint32)
+                    doc_ids = rb.column(0)
+                    sources = rb.column(2)
+                    doc_ids, sources, seg_ids, flat, lens = _split_flat(
+                        doc_ids, sources, flat, lens, split_threshold)
+                    if chosen is None:
+                        chosen, _ = choose_codec_flat(flat, lens)
+                    e = codecs.get(chosen).encode_flat(flat, lens)
+                    n = lens.size
+                    total_ns += time.perf_counter_ns() - t0
+                    yield pa.RecordBatch.from_arrays(
+                        [doc_ids, sources, pa.array(seg_ids, pa.int32()),
+                         pa.array(lens.astype(np.int32)),
+                         pa.array([chosen] * n, type=pa.string()),
+                         _binary_from_flat(e.widths, e.widths_lens),
+                         _binary_from_flat(e.inits, e.inits_lens),
+                         _binary_from_flat(e.payload, e.payload_lens),
+                         pa.array(np.full(n, pid, dtype=np.int32)),
+                         pa.array(np.full(n, total_ns, dtype=np.int64))],
+                        names=["doc_id", "source", "seg_id", "n_tok",
+                               "codec", "widths", "inits", "payload",
+                               "pid", "enc_ns"])
+
+    return fdf.mapInArrow(fn, schema=ENCODED_SCHEMA)
+
+
 def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
     """Salt-based repartition of the ENCODED table (north rule: explicit
     salt-based repartitioning) — rebalances output for writing/downstream

@@ -92,3 +92,21 @@ def test_distributed_fixture_deterministic(spark):
     assert a.count() == 200
     # skew row present
     assert a.where(F.col("n_tok") == 80000).count() == 1
+
+
+def test_encode_files_fused_path(spark, unit_df, tmp_path):
+    src = str(tmp_path / "toks")
+    unit_df.write.parquet(src)
+    enc = engine.encode_files(spark, src, codec="auto",
+                              split_threshold=1 << 14)
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+    # fused path must also byte-match the mapInArrow-over-scan path
+    enc2 = engine.encode(unit_df, codec="bitpack", split_threshold=1 << 14)
+    enc1 = engine.encode_files(spark, src, codec="bitpack",
+                               split_threshold=1 << 14)
+    a = {(r["doc_id"], r["seg_id"]): (bytes(r["widths"]), bytes(r["payload"]))
+         for r in enc1.collect()}
+    b = {(r["doc_id"], r["seg_id"]): (bytes(r["widths"]), bytes(r["payload"]))
+         for r in enc2.collect()}
+    assert a == b
