@@ -85,9 +85,14 @@ def run_encode_only(cores: int, tokens_path: str,
     df = spark.read.parquet(tokens_path).cache()
     df.count()
 
+    fused = bool(os.environ.get("SCALING_FUSED"))
+
     def encode_cached():
         from simdcomp_spark import engine as eng
-        enc = eng.encode(df, codec="auto")
+        if fused:
+            enc = eng.encode_files(spark, tokens_path, codec="auto")
+        else:
+            enc = eng.encode(df, codec="auto")
         m = eng.partition_metrics(enc).agg(
             F.sum("tokens"), F.sum("enc_ns")).first()
         return m
