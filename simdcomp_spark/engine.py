@@ -363,6 +363,72 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     )
 
 
+def point_lookup(df_encoded: DataFrame, index_col: str = "lookup_idx"
+                 ) -> DataFrame:
+    """Compressed-domain random access: for each encoded row, the token at
+    position ``row[index_col]`` — decoding AT MOST ONE BLOCK, never the row.
+
+    The per-block widths/inits columns act as the zone-map manifest
+    (SURVEY.md §3.3): the target block's byte offset is a prefix sum of the
+    size formula, and the value comes from ``select_for``/``select_d1``
+    (simdselectFOR src/simdfor.c:14987, simdselectd1
+    src/simdpackedselect.c:8096).  Non-block codecs fall back to row decode.
+    Returns (doc_id, seg_id, idx, val)."""
+
+    cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
+            "payload", index_col]
+    src = df_encoded.select(*cols)
+
+    def fn(it):
+        from . import kernels as K
+        for batch in it:
+            d = batch.to_pydict()
+            out_doc, out_seg, out_idx, out_val = [], [], [], []
+            for doc, seg, n, name, w, ini, p, idx in zip(
+                    d["doc_id"], d["seg_id"], d["n_tok"], d["codec"],
+                    d["widths"], d["inits"], d["payload"], d[index_col]):
+                n, idx = int(n), int(idx)
+                if idx < 0 or idx >= n:
+                    continue
+                if name in _BLOCK_MODES:
+                    wid = np.frombuffer(w, np.uint8)
+                    j, slot = idx // 128, idx % 128
+                    blen = min(128, n - 128 * j)
+                    off = int(K.compressed_bytes_arr(
+                        np.minimum(n - 128 * np.arange(j), 128),
+                        wid[:j].astype(np.int64)).sum()) if j else 0
+                    b = int(wid[j])
+                    nb = K.compressed_bytes(blen, b)
+                    blk = bytes(p[off:off + nb])
+                    if name == "bitpack":
+                        val = K.select_for(0, blk, b, slot) if b else 0
+                    elif name == "for":
+                        init = int(np.frombuffer(ini, np.uint32)[j])
+                        val = K.select_for(init, blk, b, slot)
+                    else:
+                        init = int(np.frombuffer(ini, np.uint32)[j])
+                        val = K.select_d1(init, blk, b, slot, blen)
+                else:
+                    c = codecs.get(name)
+                    row = c.decode_rows(np.asarray([n]), [bytes(w)],
+                                        [bytes(ini)], [bytes(p)])[0]
+                    val = int(row[idx])
+                out_doc.append(doc)
+                out_seg.append(seg)
+                out_idx.append(idx)
+                # uint32 → int32 two's-complement (matches Arrow int32 domain)
+                out_val.append(((val & 0xFFFFFFFF) + 2**31) % 2**32 - 2**31)
+            import pandas as pd
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_doc, pa.string()),
+                 pa.array(np.asarray(out_seg, dtype=np.int32)),
+                 pa.array(np.asarray(out_idx, dtype=np.int32)),
+                 pa.array(np.asarray(out_val, dtype=np.int32))],
+                names=["doc_id", "seg_id", "idx", "val"])
+
+    return src.mapInArrow(fn, schema="doc_id string, seg_id int, idx int, val int")
+
+
 # ---------------------------------------------------------------------------
 # verification + metrics (declarative)
 # ---------------------------------------------------------------------------

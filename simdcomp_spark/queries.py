@@ -213,6 +213,22 @@ def q_select_for(spark, sf_dir):
     return enc.mapInPandas(f, schema="user_id long, slot int, val int")
 
 
+def q_point_lookup(spark, sf_dir):
+    """Compressed-domain random access across blocks (simdselectFOR +
+    zone-map offset math; engine.point_lookup): token at position
+    min(200, n-1) of each user's FOR-encoded event stream — block 1+ for
+    large groups, never a full decode."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="for", split_threshold=None)
+    enc = enc.withColumn("lookup_idx",
+                         F.least(F.lit(200), F.col("n_tok") - 1))
+    out = engine.point_lookup(enc)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("idx").cast("int").alias("idx"),
+                      F.col("val").cast("int").alias("val"))
+
+
 def q_search_d1(spark, sf_dir):
     """simdsearchwithlengthd1 (SURVEY §2.4 #26): lower-bound probe for a
     constant key over d1-packed sorted order keys (block 0; groups ≤128)."""
@@ -320,6 +336,7 @@ QUERIES = {
     "compressed_size": q_compressed_size,
     "minmax_decoded": q_minmax_decoded,
     "select_for": q_select_for,
+    "point_lookup": q_point_lookup,
     "search_d1": q_search_d1,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
@@ -407,6 +424,17 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(LEAST(c - 1, 64) AS INT) AS slot,
        CAST(event_id AS INT) AS val
 FROM t WHERE rn = LEAST(c - 1, 64)
+""",
+    "point_lookup": """
+WITH t AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS c
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(LEAST(200, c - 1) AS INT) AS idx,
+       CAST(event_id AS INT) AS val
+FROM t WHERE rn = LEAST(200, c - 1)
 """,
     "search_d1": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -110,3 +110,19 @@ def test_encode_files_fused_path(spark, unit_df, tmp_path):
     b = {(r["doc_id"], r["seg_id"]): (bytes(r["widths"]), bytes(r["payload"]))
          for r in enc2.collect()}
     assert a == b
+
+
+def test_point_lookup_all_codecs(spark, unit_df):
+    """Compressed-domain point lookup agrees with the raw arrays for every
+    codec, including multi-block rows and the 70k-token skew row."""
+    truth = {r["doc_id"]: r["tokens"] for r in unit_df.collect()}
+    for codec in ("bitpack", "for", "d1", "rle", "dict"):
+        enc = engine.encode(unit_df.where(F.col("n_tok") > 0),
+                            codec=codec, split_threshold=None)
+        enc = enc.withColumn(
+            "lookup_idx",
+            F.pmod(F.xxhash64("doc_id"), F.col("n_tok")).cast("int"))
+        rows = engine.point_lookup(enc).collect()
+        assert rows
+        for r in rows:
+            assert r["val"] == truth[r["doc_id"]][r["idx"]], (codec, r)
