@@ -429,6 +429,81 @@ def point_lookup(df_encoded: DataFrame, index_col: str = "lookup_idx"
     return src.mapInArrow(fn, schema="doc_id string, seg_id int, idx int, val int")
 
 
+def search_sorted(df_encoded: DataFrame, key: int) -> DataFrame:
+    """Lower-bound search over d1-encoded SORTED rows with block skipping:
+    the per-block chain inits ARE the zone map (init of block j+1 == last
+    value of block j), so the target block is found by binary search over
+    inits and only THAT block is probed (simdsearchd1 semantics,
+    src/simdpackedsearch.c, lifted to the manifest level per SURVEY §2.4
+    #25/#28).  Returns (doc_id, seg_id, n_tok, idx) with idx == n_tok when
+    every value < key."""
+    cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits", "payload"]
+    src = df_encoded.select(*cols)
+
+    def fn(it):
+        from . import kernels as K
+        for batch in it:
+            d = batch.to_pydict()
+            out = {"doc_id": [], "seg_id": [], "n_tok": [], "idx": []}
+            for doc, seg, n, name, w, ini, p in zip(
+                    d["doc_id"], d["seg_id"], d["n_tok"], d["codec"],
+                    d["widths"], d["inits"], d["payload"]):
+                n = int(n)
+                assert name == "d1", "search_sorted requires the d1 codec"
+                if n == 0:
+                    idx = 0
+                else:
+                    wid = np.frombuffer(w, np.uint8).astype(np.int64)
+                    inits = np.frombuffer(ini, np.uint32)
+                    # zone map: block j holds values in (inits[j], last_j];
+                    # inits[j+1] == last_j. Find first block whose last >= key
+                    lasts = np.empty(len(wid), dtype=np.uint64)
+                    lasts[:-1] = inits[1:]
+                    blens = np.minimum(n - 128 * np.arange(len(wid)), 128)
+                    sizes = K.compressed_bytes_arr(blens, wid)
+                    offs = np.concatenate(([0], np.cumsum(sizes)))
+                    last_blk = bytes(p[offs[-2]:offs[-1]]) if len(wid) else b""
+                    lasts[-1] = K.scan_d1(int(inits[-1]), last_blk,
+                                          int(wid[-1]), int(blens[-1]))
+                    j = int(np.searchsorted(lasts, np.uint64(key), "left"))
+                    if j >= len(wid):
+                        idx = n
+                    else:
+                        blk = bytes(p[offs[j]:offs[j + 1]])
+                        within, _v = K.search_d1(int(inits[j]), blk,
+                                                 int(wid[j]), int(blens[j]),
+                                                 key)
+                        idx = 128 * j + within
+                out["doc_id"].append(doc)
+                out["seg_id"].append(seg)
+                out["n_tok"].append(n)
+                out["idx"].append(idx)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["doc_id"], pa.string()),
+                 pa.array(np.asarray(out["seg_id"], dtype=np.int32)),
+                 pa.array(np.asarray(out["n_tok"], dtype=np.int32)),
+                 pa.array(np.asarray(out["idx"], dtype=np.int32))],
+                names=["doc_id", "seg_id", "n_tok", "idx"])
+
+    return src.mapInArrow(fn, schema="doc_id string, seg_id int, n_tok int, idx int")
+
+
+def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
+    """Exact duplicate detection WITHOUT decoding: for a fixed codec the
+    encode is a deterministic bijection per row, so equal
+    (codec, n_tok, widths, inits, payload) ⟺ equal token arrays.  Groups by
+    a hash of the compressed representation — at 100 TB this shuffles ~2-16
+    bits/token instead of raw 32-bit tokens.  Returns one row per distinct
+    token sequence: (seq_hash, n_docs, first_doc)."""
+    h = F.sha2(F.concat(F.col("codec").cast("binary"),
+                        F.col("n_tok").cast("string").cast("binary"),
+                        F.col("widths"), F.col("inits"), F.col("payload")), 256)
+    return (df_encoded.select(h.alias("seq_hash"), "doc_id")
+            .groupBy("seq_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 # ---------------------------------------------------------------------------
 # verification + metrics (declarative)
 # ---------------------------------------------------------------------------

@@ -259,6 +259,34 @@ def q_search_d1(spark, sf_dir):
     return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
 
 
+def q_search_sorted(spark, sf_dir):
+    """Block-skipping lower-bound search over multi-block d1 rows
+    (simdsearchd1/simdscand1 lifted to the zone-map level — SURVEY §2.4
+    #25/#28): first position with event_id >= 5000 per user's sorted
+    stream, probing exactly one block per row."""
+    KEY = 5000
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    out = engine.search_sorted(enc, KEY)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("n_tok").cast("int").alias("n"),
+                      F.col("idx").cast("int").alias("idx"))
+
+
+def q_encoded_dedup(spark, sf_dir):
+    """Exact dedup in the COMPRESSED domain (no decode): histogram of
+    duplicate-group sizes of per-order sorted quantity sequences."""
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_quantity", "l_quantity", "lineitem")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    groups = engine.encoded_dedup(enc)
+    return (groups.groupBy("n_docs")
+            .agg(F.count("*").alias("n_groups"))
+            .select(F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_groups").cast("long").alias("n_groups")))
+
+
 # ---------------------------------------------------------------------------
 # FSST string codec (north rule)
 # ---------------------------------------------------------------------------
@@ -338,6 +366,8 @@ QUERIES = {
     "select_for": q_select_for,
     "point_lookup": q_point_lookup,
     "search_d1": q_search_d1,
+    "search_sorted": q_search_sorted,
+    "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -441,6 +471,20 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(count(*) AS INT) AS n,
        CAST(count(*) FILTER (WHERE o_orderkey < 7500) AS INT) AS idx
 FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 1 AND 128
+""",
+    "search_sorted": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(*) FILTER (WHERE event_id < 5000) AS INT) AS idx
+FROM events GROUP BY user_id
+""",
+    "encoded_dedup": """
+WITH arrs AS (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS INT) ORDER BY l_quantity, l_quantity) AS arr
+  FROM lineitem GROUP BY l_orderkey),
+g AS (SELECT arr, CAST(count(*) AS BIGINT) AS n_docs FROM arrs GROUP BY arr)
+SELECT n_docs, CAST(count(*) AS BIGINT) AS n_groups FROM g GROUP BY n_docs
 """,
     "fsst_roundtrip": "SELECT doc_id, text FROM documents",
     "exact_dedup": """
