@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Cluster job entry point (north rule: "run via spark-submit --py-files").
+
+Package and launch:
+
+    cd /root/repo && zip -r /tmp/simdcomp_spark.zip simdcomp_spark
+    spark-submit --py-files /tmp/simdcomp_spark.zip \
+        scripts/submit_encode.py \
+        --input  s3://bucket/tokens_table/ \
+        --output s3://bucket/encoded_table/ \
+        --codec auto --shards 4096 --split-threshold 65536
+
+The job is resumable: re-submitting after a failure encodes only shards
+whose manifest is missing (see simdcomp_spark/manifest.py).  On a cluster
+the session comes from spark-submit's conf; local fallback uses
+engine.get_spark().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="tokens table (parquet)")
+    ap.add_argument("--output", required=True, help="encoded table root")
+    ap.add_argument("--codec", default="auto")
+    ap.add_argument("--shards", type=int, default=256)
+    ap.add_argument("--split-threshold", type=int, default=1 << 16)
+    ap.add_argument("--verify", action="store_true",
+                    help="decode + compare against the input (extra pass)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from simdcomp_spark import engine, manifest
+
+    spark = SparkSession.getActiveSession() or engine.get_spark("encode-job")
+    df = spark.read.parquet(args.input)
+    summary = manifest.encode_resumable(
+        df, args.output, codec=args.codec, shards=args.shards,
+        split_threshold=args.split_threshold)
+    metrics = engine.partition_metrics(
+        manifest.read_encoded(spark, args.output))
+    metrics.write.mode("overwrite").parquet(f"{args.output}/_metrics")
+    print(json.dumps(summary))
+
+    if args.verify:
+        enc = manifest.read_encoded(spark, args.output) \
+            .dropDuplicates(["doc_id", "seg_id"])
+        bad = engine.verify_roundtrip(df, engine.decode(enc))
+        print(json.dumps({"roundtrip_mismatches": bad}))
+        return 1 if bad else 0
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -126,3 +126,19 @@ def test_point_lookup_all_codecs(spark, unit_df):
         assert rows
         for r in rows:
             assert r["val"] == truth[r["doc_id"]][r["idx"]], (codec, r)
+
+
+def test_submit_job_script(spark, unit_df, tmp_path):
+    """The spark-submit entry point end-to-end, incl. --verify."""
+    import subprocess, sys, json as _json
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    unit_df.write.parquet(src)
+    r = subprocess.run(
+        [sys.executable, "scripts/submit_encode.py", "--input", src,
+         "--output", out, "--codec", "bitpack", "--shards", "4",
+         "--verify"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert _json.loads(lines[0])["encoded"] == 4
+    assert _json.loads(lines[1])["roundtrip_mismatches"] == 0
