@@ -87,27 +87,26 @@ def run_encode_only(cores: int, tokens_path: str,
 
     fused = bool(os.environ.get("SCALING_FUSED"))
 
-    def encode_cached():
+    def _enc():
         from simdcomp_spark import engine as eng
         if fused:
-            enc = eng.encode_files(spark, tokens_path, codec="auto")
-        else:
-            enc = eng.encode(df, codec="auto")
-        m = eng.partition_metrics(enc).agg(
-            F.sum("tokens"), F.sum("enc_ns")).first()
-        return m
+            return eng.encode_files(spark, tokens_path, codec="auto")
+        return eng.encode(df, codec="auto")
+
+    def encode_cached():
+        # timed job: narrow plan + singleton agg — NO groupBy shuffle
+        return _enc().agg(F.sum("n_tok"), F.sum(F.length("payload"))).first()
 
     encode_cached()  # warm workers on cached input
     best = float("inf")
-    udf_core_s = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        m = encode_cached()
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best = dt
-            udf_core_s = m[1] / 1e9
-    stats["udf_core_s"] = round(udf_core_s, 2)
+        encode_cached()
+        best = min(best, time.perf_counter() - t0)
+    # UDF core-seconds from an untimed metrics pass (has its own shuffle)
+    from simdcomp_spark import engine as eng
+    m = eng.partition_metrics(_enc()).agg(F.sum("enc_ns")).first()
+    stats["udf_core_s"] = round(m[0] / 1e9, 2)
     stats["cold_seconds"] = cold
     stats["seconds"] = best
     stats["tokens_per_sec"] = stats["tokens"] / best
