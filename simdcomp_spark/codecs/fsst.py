@@ -74,6 +74,11 @@ class SymbolTable:
         self.symbols = symbols
         self.code_of = {s: i for i, s in enumerate(symbols)}
         self._pat = _compile(symbols)
+        # token → emitted bytes: escape pairs for every single byte,
+        # overridden by symbol codes (the pattern only ever yields symbols
+        # or single bytes, so this lookup is total)
+        self._enc_lut = {bytes([b]): bytes([ESCAPE, b]) for b in range(256)}
+        self._enc_lut.update({s: bytes([i]) for i, s in enumerate(symbols)})
         # decode side: concatenated symbol buffer + offsets for numpy gather
         lens = np.fromiter((len(s) for s in symbols), dtype=np.int64,
                            count=len(symbols))
@@ -101,17 +106,10 @@ class SymbolTable:
         return cls(syms)
 
     def encode(self, s: bytes) -> bytes:
-        code_of = self.code_of
-        out = bytearray()
-        for m in self._pat.finditer(s):
-            tok = m.group(0)
-            c = code_of.get(tok)
-            if c is None:
-                out.append(ESCAPE)
-                out += tok
-            else:
-                out.append(c)
-        return bytes(out)
+        # findall runs the tokenization fully in C; the join maps each token
+        # to its 1-byte code (or escape pair) via a pre-built lookup
+        lut = self._enc_lut
+        return b"".join([lut[tok] for tok in self._pat.findall(s)])
 
     def decode(self, enc: bytes) -> bytes:
         codes = np.frombuffer(enc, dtype=np.uint8)
