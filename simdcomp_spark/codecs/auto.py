@@ -28,15 +28,25 @@ CANDIDATES = (BitPackCodec(), FORCodec(), DeltaFORCodec(), RLECodec(),
 def choose_codec_flat(flat: np.ndarray, lens: np.ndarray
                       ) -> tuple[str, dict[str, int]]:
     """Pick the cheapest codec for a partition given a flat sample of its
-    rows.  Returns (codec_name, {codec: predicted_total_bytes})."""
+    rows.  Returns (codec_name, {codec: predicted_total_bytes}).
+
+    The sample is STRATIFIED — ≤512 rows taken at even strides across the
+    batch (a head-only sample mischooses on partitions whose row character
+    drifts, e.g. sorted-by-source inputs), capped at ≤256k tokens."""
     lens = np.asarray(lens, dtype=np.int64)
-    # bound the sample: first ≤512 rows, ≤256k tokens
-    nrows = min(lens.size, SAMPLE_ROW_CAP)
-    csum = np.cumsum(lens[:nrows])
+    if lens.size == 0:
+        return "bitpack", {}
+    take = np.unique(np.linspace(0, lens.size - 1,
+                                 min(lens.size, SAMPLE_ROW_CAP)).astype(np.int64))
+    # token-cap the strided selection
+    csum = np.cumsum(lens[take])
     cut = int(np.searchsorted(csum, SAMPLE_TOKEN_CAP)) + 1
-    nrows = max(1, min(nrows, cut))
-    slens = lens[:nrows]
-    sflat = np.ascontiguousarray(flat[:int(slens.sum())], dtype=np.uint32)
+    take = take[:max(1, cut)]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    from ..kernels import multi_arange
+    sflat = np.ascontiguousarray(
+        np.asarray(flat, dtype=np.uint32)[multi_arange(offs[take], lens[take])])
+    slens = lens[take]
     if sflat.size == 0:
         return "bitpack", {}
     nblocks = (slens + 127) // 128
