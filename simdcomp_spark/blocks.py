@@ -218,6 +218,146 @@ def decode_flat(lens: np.ndarray, widths: np.ndarray, inits: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Batched compressed-domain point ops — the vectorized forms of
+# ``simdselectFOR``/``simdselectd1`` (/root/reference/src/simdfor.c:14987,
+# src/simdpackedselect.c:8096) and ``simdsearchd1``+``simdscand1`` lifted to
+# the zone-map level (src/simdpackedsearch.c).  One row batch → one pass of
+# grouped unpacks; NO per-row Python.
+# ---------------------------------------------------------------------------
+
+def _block_geometry(lens: np.ndarray, widths: np.ndarray):
+    """Shared offset math: per-block sizes + per-row payload byte offsets."""
+    row_id, blk_start, blk_len, nblocks = _block_table(lens)
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    assert widths.size == row_id.size, (widths.size, row_id.size)
+    sizes = K.compressed_bytes_arr(blk_len, widths.astype(np.int64))
+    excl = np.cumsum(sizes) - sizes            # global exclusive cumsum
+    row_first_block = np.cumsum(nblocks) - nblocks
+    return row_id, blk_len, nblocks, widths, sizes, excl, row_first_block
+
+
+def _decode_block_group(payload, src, blen, b, mode, inits_grp):
+    """Decode one (width, block-length) group of target blocks into a dense
+    (g, blen) uint32 matrix with codec semantics applied."""
+    g = src.size
+    if b == 0:
+        # plain: zeros; FOR/d1: every value equals the block init
+        base = inits_grp if mode != "plain" else np.zeros(g, U32)
+        return np.broadcast_to(base[:, None], (g, blen))
+    nb = int(K.compressed_bytes(blen, b))
+    seg = _gather_rows(payload, src, nb)
+    if b == 32:  # raw ORIGINAL values in all families
+        return np.ascontiguousarray(seg).view(U32).reshape(g, blen)
+    words = np.ascontiguousarray(seg).view(U32).reshape(g, -1, 4)
+    vals = K.unpack_lanes(words, (blen + 3) // 4, b).reshape(g, -1)[:, :blen]
+    if mode == "for":
+        return vals + inits_grp[:, None]
+    if mode == "d1":
+        acc = np.cumsum(vals, axis=1, dtype=np.uint64) \
+            + inits_grp[:, None].astype(np.uint64)
+        return acc.astype(U32)
+    return vals
+
+
+def select_flat(lens: np.ndarray, widths: np.ndarray, inits: np.ndarray,
+                payload: np.ndarray, payload_lens: np.ndarray,
+                idxs: np.ndarray, mode: str) -> np.ndarray:
+    """Value at position ``idxs[r]`` of every row — decoding AT MOST ONE
+    block per row.  All indices must satisfy ``0 <= idx < len`` (callers
+    filter first).  Returns uint32 per row."""
+    assert mode in MODES
+    lens = np.asarray(lens, dtype=np.int64)
+    idxs = np.asarray(idxs, dtype=np.int64)
+    out = np.zeros(lens.size, dtype=U32)
+    if lens.size == 0 or int(lens.sum()) == 0:
+        return out
+    (row_id, blk_len, _nb, widths, _sizes, excl,
+     row_first_block) = _block_geometry(lens, widths)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    inits = np.ascontiguousarray(inits, dtype=U32) if mode != "plain" \
+        else np.zeros(0, U32)
+    row_pl_starts = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+
+    tb = row_first_block + idxs // K.FULL_BLOCK      # target block per row
+    slot = (idxs % K.FULL_BLOCK).astype(np.int64)
+    b_t = widths[tb].astype(np.int64)
+    blen_t = blk_len[tb]
+    src = row_pl_starts + (excl[tb] - excl[row_first_block])
+    init_t = inits[tb] if mode != "plain" else np.zeros(tb.size, U32)
+
+    keys = blen_t * 64 + b_t
+    for key in np.unique(keys):
+        blen, b = int(key) // 64, int(key) % 64
+        sel = np.nonzero(keys == key)[0]
+        vals = _decode_block_group(payload, src[sel], blen, b, mode,
+                                   init_t[sel])
+        out[sel] = vals[np.arange(sel.size), slot[sel]]
+    return out
+
+
+def search_sorted_flat(lens: np.ndarray, widths: np.ndarray,
+                       inits: np.ndarray, payload: np.ndarray,
+                       payload_lens: np.ndarray, key: int) -> np.ndarray:
+    """Lower-bound index of ``key`` in every d1-encoded SORTED row, probing
+    exactly one block per row: the per-block chain inits are the zone map
+    (init of block j+1 == last value of block j), so only each row's LAST
+    block and its single TARGET block are ever touched.  Returns int64 per
+    row; idx == n when every value < key."""
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.zeros(lens.size, dtype=np.int64)
+    if lens.size == 0 or int(lens.sum()) == 0:
+        return out
+    (row_id, blk_len, nblocks, widths, _sizes, excl,
+     row_first_block) = _block_geometry(lens, widths)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    inits = np.ascontiguousarray(inits, dtype=U32)
+    row_pl_starts = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+    k32 = U32(key & 0xFFFFFFFF)
+    total_blocks = row_id.size
+
+    # zone map: last value of block j. Interior blocks read it from the next
+    # block's chain init; each row's final block is decoded (grouped).
+    lasts = np.empty(total_blocks, dtype=U32)
+    lasts[:-1] = inits[1:]
+    ne = np.nonzero(nblocks > 0)[0]
+    last_blk = row_first_block[ne] + nblocks[ne] - 1
+    src_last = row_pl_starts[ne] + (excl[last_blk] - excl[row_first_block[ne]])
+    b_l = widths[last_blk].astype(np.int64)
+    blen_l = blk_len[last_blk]
+    keys_l = blen_l * 64 + b_l
+    for kk in np.unique(keys_l):
+        blen, b = int(kk) // 64, int(kk) % 64
+        sel = np.nonzero(keys_l == kk)[0]
+        vals = _decode_block_group(payload, src_last[sel], blen, b, "d1",
+                                   inits[last_blk[sel]])
+        lasts[last_blk[sel]] = vals[:, -1]
+
+    # first block per row whose last value >= key (count of blocks < key)
+    j = np.add.reduceat((lasts < k32).astype(np.int64),
+                        row_first_block[ne])
+    found = j < nblocks[ne]
+    out[ne[~found]] = lens[ne[~found]]          # every value < key
+    probe_rows = ne[found]
+    if probe_rows.size:
+        jf = j[found]
+        tb = row_first_block[probe_rows] + jf
+        src = row_pl_starts[probe_rows] + \
+            (excl[tb] - excl[row_first_block[probe_rows]])
+        b_t = widths[tb].astype(np.int64)
+        blen_t = blk_len[tb]
+        keys_t = blen_t * 64 + b_t
+        within = np.empty(probe_rows.size, dtype=np.int64)
+        for kk in np.unique(keys_t):
+            blen, b = int(kk) // 64, int(kk) % 64
+            sel = np.nonzero(keys_t == kk)[0]
+            vals = _decode_block_group(payload, src[sel], blen, b, "d1",
+                                       inits[tb[sel]])
+            within[sel] = (vals < k32).sum(axis=1)
+        out[probe_rows] = jf * K.FULL_BLOCK + within
+    return out
+
+
+# ---------------------------------------------------------------------------
 # list-of-bytes wrappers (codec-registry interface; tests + pandas UDF path)
 # ---------------------------------------------------------------------------
 

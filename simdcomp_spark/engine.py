@@ -97,9 +97,25 @@ def _binary_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return flat, np.diff(off).astype(np.int64)
 
 
+def _offsets32(row_lens: np.ndarray) -> np.ndarray:
+    """int32 Arrow offsets from row lengths, overflow-checked.
+
+    Offsets are accumulated in int64 first: a batch of 8192 rows × 64k-token
+    segments at width 32 can exceed 2**31-1 payload bytes, and an int32
+    cumsum would silently wrap and corrupt the column.  Raising forces the
+    caller to lower ``spark.sql.execution.arrow.maxRecordsPerBatch`` (or the
+    split threshold) instead of writing garbage."""
+    off64 = np.zeros(row_lens.size + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=off64[1:])
+    if off64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"Arrow batch payload is {int(off64[-1])} bytes > int32 offset "
+            "range; reduce arrow.maxRecordsPerBatch or the split threshold")
+    return off64.astype(np.int32)
+
+
 def _binary_from_flat(data: np.ndarray, row_lens: np.ndarray) -> pa.Array:
-    off = np.zeros(row_lens.size + 1, dtype=np.int32)
-    np.cumsum(row_lens, out=off[1:])
+    off = _offsets32(row_lens)
     return pa.Array.from_buffers(
         pa.binary(), row_lens.size,
         [None, pa.py_buffer(np.ascontiguousarray(off)),
@@ -107,8 +123,7 @@ def _binary_from_flat(data: np.ndarray, row_lens: np.ndarray) -> pa.Array:
 
 
 def _list_from_flat(values_i32: np.ndarray, row_lens: np.ndarray) -> pa.Array:
-    off = np.zeros(row_lens.size + 1, dtype=np.int32)
-    np.cumsum(row_lens, out=off[1:])
+    off = _offsets32(row_lens)
     return pa.ListArray.from_arrays(
         pa.array(off, type=pa.int32()),
         pa.array(np.ascontiguousarray(values_i32, dtype=np.int32),
@@ -331,7 +346,7 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
                 # group via vectorized sub-gathers, scatter into place
                 out = np.empty(int(n_toks.sum()), dtype=np.uint32)
                 tok_off = np.concatenate(([0], np.cumsum(n_toks)))
-                codec_np = np.asarray(codec_col.to_pylist())
+                codec_np = codec_col.to_numpy(zero_copy_only=False)
                 w_off = np.concatenate(([0], np.cumsum(wl)))
                 i_off = np.concatenate(([0], np.cumsum(il)))
                 p_off = np.concatenate(([0], np.cumsum(pl)))
@@ -380,50 +395,48 @@ def point_lookup(df_encoded: DataFrame, index_col: str = "lookup_idx"
     src = df_encoded.select(*cols)
 
     def fn(it):
-        from . import kernels as K
+        from . import blocks as B
+        from .kernels import multi_arange
         for batch in it:
-            d = batch.to_pydict()
-            out_doc, out_seg, out_idx, out_val = [], [], [], []
-            for doc, seg, n, name, w, ini, p, idx in zip(
-                    d["doc_id"], d["seg_id"], d["n_tok"], d["codec"],
-                    d["widths"], d["inits"], d["payload"], d[index_col]):
-                n, idx = int(n), int(idx)
-                if idx < 0 or idx >= n:
-                    continue
+            n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_np = batch.column(3).to_numpy(zero_copy_only=False)
+            wf, wl = _binary_to_flat(batch.column(4))
+            inf, il = _binary_to_flat(batch.column(5))
+            pf, pl = _binary_to_flat(batch.column(6))
+            idxs = batch.column(7).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            w_off = np.cumsum(wl) - wl
+            i_off = np.cumsum(il) - il
+            p_off = np.cumsum(pl) - pl
+            vsel = np.nonzero((idxs >= 0) & (idxs < n_toks))[0]
+            out_val = np.zeros(vsel.size, dtype=np.uint32)
+            pos_of = np.full(n_toks.size, -1, dtype=np.int64)
+            pos_of[vsel] = np.arange(vsel.size)
+            for name in np.unique(codec_np[vsel]) if vsel.size else []:
+                sel = vsel[codec_np[vsel] == name]
+                sub_w = wf[multi_arange(w_off[sel], wl[sel])]
+                sub_i = np.ascontiguousarray(
+                    inf[multi_arange(i_off[sel], il[sel])]).view(np.uint32)
+                sub_p = pf[multi_arange(p_off[sel], pl[sel])]
                 if name in _BLOCK_MODES:
-                    wid = np.frombuffer(w, np.uint8)
-                    j, slot = idx // 128, idx % 128
-                    blen = min(128, n - 128 * j)
-                    off = int(K.compressed_bytes_arr(
-                        np.minimum(n - 128 * np.arange(j), 128),
-                        wid[:j].astype(np.int64)).sum()) if j else 0
-                    b = int(wid[j])
-                    nb = K.compressed_bytes(blen, b)
-                    blk = bytes(p[off:off + nb])
-                    if name == "bitpack":
-                        val = K.select_for(0, blk, b, slot) if b else 0
-                    elif name == "for":
-                        init = int(np.frombuffer(ini, np.uint32)[j])
-                        val = K.select_for(init, blk, b, slot)
-                    else:
-                        init = int(np.frombuffer(ini, np.uint32)[j])
-                        val = K.select_d1(init, blk, b, slot, blen)
+                    vals = B.select_flat(n_toks[sel], sub_w, sub_i, sub_p,
+                                         pl[sel], idxs[sel],
+                                         _BLOCK_MODES[name])
                 else:
-                    c = codecs.get(name)
-                    row = c.decode_rows(np.asarray([n]), [bytes(w)],
-                                        [bytes(ini)], [bytes(p)])[0]
-                    val = int(row[idx])
-                out_doc.append(doc)
-                out_seg.append(seg)
-                out_idx.append(idx)
-                # uint32 → int32 two's-complement (matches Arrow int32 domain)
-                out_val.append(((val & 0xFFFFFFFF) + 2**31) % 2**32 - 2**31)
-            import pandas as pd
+                    # non-block codecs: vectorized decode of just these rows
+                    decoded = codecs.get(str(name)).decode_flat(
+                        n_toks[sel], sub_w, wl[sel], sub_i.view(np.uint8),
+                        il[sel], sub_p, pl[sel])
+                    offs = np.cumsum(n_toks[sel]) - n_toks[sel]
+                    vals = decoded[offs + idxs[sel]]
+                out_val[pos_of[sel]] = vals
+            take = pa.array(vsel, type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_doc, pa.string()),
-                 pa.array(np.asarray(out_seg, dtype=np.int32)),
-                 pa.array(np.asarray(out_idx, dtype=np.int32)),
-                 pa.array(np.asarray(out_val, dtype=np.int32))],
+                [batch.column(0).take(take),
+                 batch.column(1).take(take).cast(pa.int32()),
+                 pa.array(idxs[vsel].astype(np.int32)),
+                 pa.array(out_val.view(np.int32))],
                 names=["doc_id", "seg_id", "idx", "val"])
 
     return src.mapInArrow(fn, schema="doc_id string, seg_id int, idx int, val int")
@@ -441,48 +454,23 @@ def search_sorted(df_encoded: DataFrame, key: int) -> DataFrame:
     src = df_encoded.select(*cols)
 
     def fn(it):
-        from . import kernels as K
+        from . import blocks as B
         for batch in it:
-            d = batch.to_pydict()
-            out = {"doc_id": [], "seg_id": [], "n_tok": [], "idx": []}
-            for doc, seg, n, name, w, ini, p in zip(
-                    d["doc_id"], d["seg_id"], d["n_tok"], d["codec"],
-                    d["widths"], d["inits"], d["payload"]):
-                n = int(n)
-                assert name == "d1", "search_sorted requires the d1 codec"
-                if n == 0:
-                    idx = 0
-                else:
-                    wid = np.frombuffer(w, np.uint8).astype(np.int64)
-                    inits = np.frombuffer(ini, np.uint32)
-                    # zone map: block j holds values in (inits[j], last_j];
-                    # inits[j+1] == last_j. Find first block whose last >= key
-                    lasts = np.empty(len(wid), dtype=np.uint64)
-                    lasts[:-1] = inits[1:]
-                    blens = np.minimum(n - 128 * np.arange(len(wid)), 128)
-                    sizes = K.compressed_bytes_arr(blens, wid)
-                    offs = np.concatenate(([0], np.cumsum(sizes)))
-                    last_blk = bytes(p[offs[-2]:offs[-1]]) if len(wid) else b""
-                    lasts[-1] = K.scan_d1(int(inits[-1]), last_blk,
-                                          int(wid[-1]), int(blens[-1]))
-                    j = int(np.searchsorted(lasts, np.uint64(key), "left"))
-                    if j >= len(wid):
-                        idx = n
-                    else:
-                        blk = bytes(p[offs[j]:offs[j + 1]])
-                        within, _v = K.search_d1(int(inits[j]), blk,
-                                                 int(wid[j]), int(blens[j]),
-                                                 key)
-                        idx = 128 * j + within
-                out["doc_id"].append(doc)
-                out["seg_id"].append(seg)
-                out["n_tok"].append(n)
-                out["idx"].append(idx)
+            n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_np = batch.column(3).to_numpy(zero_copy_only=False)
+            assert (codec_np == "d1").all(), \
+                "search_sorted requires the d1 codec"
+            wf, _wl = _binary_to_flat(batch.column(4))
+            inf, _il = _binary_to_flat(batch.column(5))
+            pf, pl = _binary_to_flat(batch.column(6))
+            idx = B.search_sorted_flat(
+                n_toks, wf, np.ascontiguousarray(inf).view(np.uint32),
+                pf, pl, key)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out["doc_id"], pa.string()),
-                 pa.array(np.asarray(out["seg_id"], dtype=np.int32)),
-                 pa.array(np.asarray(out["n_tok"], dtype=np.int32)),
-                 pa.array(np.asarray(out["idx"], dtype=np.int32))],
+                [batch.column(0), batch.column(1).cast(pa.int32()),
+                 pa.array(n_toks.astype(np.int32)),
+                 pa.array(idx.astype(np.int32))],
                 names=["doc_id", "seg_id", "n_tok", "idx"])
 
     return src.mapInArrow(fn, schema="doc_id string, seg_id int, n_tok int, idx int")

@@ -36,13 +36,27 @@ def _shingles(col: str, k: int = 3):
 
 
 def ngram_jaccard_pairs(df: DataFrame, col: str = "text", k: int = 3,
-                        min_pct: int = 15) -> DataFrame:
-    """EXACT all-pairs word-k-gram Jaccard ≥ min_pct/100 via inverted index.
+                        min_pct: int = 15, max_df: int | None = None
+                        ) -> DataFrame:
+    """All-pairs word-k-gram Jaccard ≥ min_pct/100 via inverted index.
 
     Integer arithmetic only (inter*100 >= min_pct*union) so any SQL engine
-    reproduces it bit-for-bit.  Returns (doc_a, doc_b, inter, union_sz)."""
+    reproduces it bit-for-bit.  Returns (doc_a, doc_b, inter, union_sz).
+
+    ``max_df`` bounds the quadratic blowup on hot shingles: a shingle shared
+    by m docs emits O(m²) join rows, so boilerplate text (one shingle in
+    every doc) makes the exact plan all-pairs.  With ``max_df=X`` shingles
+    whose document frequency exceeds X are dropped from BOTH the index and
+    the per-doc sizes — the result is exact Jaccard over the df≤X shingle
+    subset (near-universal shingles carry no discriminating signal), and the
+    worst-case join fan-out is bounded by X² per shingle.  At 100 TB this is
+    the difference between a bounded shuffle and a cross join."""
     sh = (df.select("doc_id", F.explode(_shingles(col, k)).alias("sh"))
           .distinct())
+    if max_df is not None:
+        keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_df).select("sh"))
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
              .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -32,11 +32,17 @@ def cosine_to_query(df: DataFrame, query: list[float],
 
 def ann_topk_bruteforce(df: DataFrame, query: list[float], k: int = 10,
                         col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine; deterministic tiebreak on vec_id."""
+    """Exact top-k by cosine; deterministic tiebreak on vec_id.
+
+    ``orderBy().limit(k)`` plans as ``TakeOrderedAndProject`` — each task
+    keeps its local top-k and the driver merges k·P rows, so no single task
+    ever sees the whole table (the unpartitioned-Window anti-pattern this
+    replaces moved EVERY row into one partition).  The rank window then runs
+    over only the k surviving rows."""
     sims = cosine_to_query(df, query, col)
+    top = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("vec_id", F.col("rank").cast("int").alias("rank")))
 
 

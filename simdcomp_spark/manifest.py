@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -78,12 +79,33 @@ def encode_resumable(df: DataFrame, out_dir: str, codec: str = "auto",
                         split_threshold=None, salt=False)  # pre-split/sharded
     enc = enc.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id", "seg_id"), F.lit(shards)))
-    data_dir = str(Path(out_dir) / "data")
-    (enc.write.mode("append").partitionBy("shard").parquet(data_dir))
+    data_dir = Path(out_dir) / "data"
+    staging_dir = Path(out_dir) / "_staging"
+
+    # Crash-safe write protocol: stage the whole run's output, then promote
+    # each shard with one atomic directory rename BEFORE its manifest is
+    # committed.  A crash leaves either (a) garbage under _staging (removed
+    # on the next run), or (b) a complete-but-unmanifested data/shard=K —
+    # which the next run deletes and re-encodes.  The old mode("append")
+    # write could leave PARTIAL shard files that a re-run appended to,
+    # silently duplicating rows.
+    if staging_dir.exists():
+        shutil.rmtree(staging_dir)
+    (enc.write.mode("overwrite").partitionBy("shard")
+        .parquet(str(staging_dir)))
+    data_dir.mkdir(parents=True, exist_ok=True)
+    for s in todo:
+        dst = data_dir / f"shard={s}"
+        if dst.exists():  # unmanifested leftovers from a crashed run
+            shutil.rmtree(dst)
+        src = staging_dir / f"shard={s}"
+        if src.exists():
+            os.replace(src, dst)
+    shutil.rmtree(staging_dir, ignore_errors=True)
 
     # fingerprint + metrics per shard from the written data (one scan)
     spark = df.sparkSession
-    written = spark.read.parquet(data_dir)
+    written = spark.read.parquet(str(data_dir))
     stats = (written.where(F.col("shard").isin(todo))
              .groupBy("shard", "codec")
              .agg(F.count("*").alias("rows"),

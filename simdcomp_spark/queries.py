@@ -39,9 +39,14 @@ def tokens_table(spark, sf_dir, table, key, order_col, val_col, source
                     F.lit(source).alias("source")))
 
 
-def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str
-                        ) -> DataFrame:
-    enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=True)
+def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str,
+                        salt: bool = False) -> DataFrame:
+    """Narrow (zero-shuffle) encode→decode by default — the plan the engine
+    ships at 100 TB.  ``salt=True`` keeps one gate query on the explicit
+    salt-repartition path so the shuffled/mixed-codec decode stays covered
+    without making every headline bench measure a voluntary raw-token
+    shuffle."""
+    enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=salt)
     dec = engine.decode(enc, reassemble=False)
     ex = dec.select(F.col("doc_id").cast("long").alias(key_name),
                     F.posexplode("tokens").alias("pos", "tok"))
@@ -65,7 +70,7 @@ def q_bitpack_roundtrip(spark, sf_dir):
     """simdpackwithoutmask/simdunpack round-trip (SURVEY §2.2 #9-#10)."""
     tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
                        "l_linenumber", "l_partkey", "lineitem")
-    return _roundtrip_exploded(tok, "bitpack", "l_orderkey")
+    return _roundtrip_exploded(tok, "bitpack", "l_orderkey", salt=True)
 
 
 def q_for_roundtrip(spark, sf_dir):
@@ -259,6 +264,96 @@ def q_search_d1(spark, sf_dir):
     return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
 
 
+def q_search_for(spark, sf_dir):
+    """simdsearchwithlengthFOR (SURVEY §2.3 #20, src/simdfor.c:15016-15032,
+    exercised by tests/unit.c:775-813): lower-bound probe via select_for
+    bisection over FOR-packed sorted order keys (block 0; groups ≤128)."""
+    KEY = 7500
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok = tok.where(F.col("n_tok").between(1, 128))
+    enc = engine.encode(tok, codec="for", split_threshold=None)
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, ns, idxs = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                b = int(np.frombuffer(w, np.uint8)[0])
+                init = int(np.frombuffer(ini, np.uint32)[0])
+                idx, _val = K.search_for(init, bytes(p), b, n, KEY)
+                keys.append(int(did))
+                ns.append(n)
+                idxs.append(idx)
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "n": pd.Series(ns, dtype="int32"),
+                                "idx": pd.Series(idxs, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
+
+
+def q_masked_pack(spark, sf_dir):
+    """simdpack — the MASKED pack variant (SURVEY §2.2 #8,
+    src/simdbitpacking.c:14052-14188): values wider than b are truncated to
+    their low b bits before packing, so decode returns ``v & (2^b - 1)``."""
+    B = 13
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            uids, poss, toks = [], [], []
+            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
+                packed = K.simdpack_length(a, B, mask=True)
+                back = K.simdunpack_length(packed, a.size, B)
+                uids.extend([int(did)] * a.size)
+                poss.extend(range(a.size))
+                toks.extend(back.view(np.int32))
+            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
+
+
+def q_fastset(spark, sf_dir):
+    """simdfastset (SURVEY §2.2 #14, src/simdbitpacking.c:14338-14368):
+    in-place point write into the packed block — set position min(50, n-1)
+    to 0, then a full decode must show exactly that one change."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok = tok.where(F.col("n_tok").between(1, 128))
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    from . import codecs as C
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, poss, toks = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                b = int(np.frombuffer(w, np.uint8)[0])
+                buf = bytearray(p)
+                K.fastset(buf, b, 0, min(50, n - 1))
+                back = C.get("bitpack").decode_rows(
+                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
+                keys.extend([int(did)] * n)
+                poss.extend(range(n))
+                toks.extend(back.view(np.int32))
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+
+
 def q_search_sorted(spark, sf_dir):
     """Block-skipping lower-bound search over multi-block d1 rows
     (simdsearchd1/simdscand1 lifted to the zone-map level — SURVEY §2.4
@@ -316,8 +411,10 @@ def q_quality(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # max_df bounds hot-shingle join fan-out (exact over the df≤50 subset;
+    # the oracle applies the identical cap)
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     k=3, min_pct=15)
+                                     k=3, min_pct=15, max_df=50)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -366,6 +463,9 @@ QUERIES = {
     "select_for": q_select_for,
     "point_lookup": q_point_lookup,
     "search_d1": q_search_d1,
+    "search_for": q_search_for,
+    "masked_pack": q_masked_pack,
+    "fastset": q_fastset,
     "search_sorted": q_search_sorted,
     "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
@@ -472,6 +572,32 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(count(*) FILTER (WHERE o_orderkey < 7500) AS INT) AS idx
 FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 1 AND 128
 """,
+    "search_for": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(*) FILTER (WHERE o_orderkey < 7500) AS INT) AS idx
+FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 1 AND 128
+""",
+    "masked_pack": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id, event_id) - 1 AS INT) AS pos,
+       CAST(event_id % 8192 AS INT) AS tok
+FROM events
+""",
+    "fastset": """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey, o_orderkey) - 1 AS pos,
+         count(*) OVER (PARTITION BY o_custkey) AS c
+  FROM orders)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(pos AS INT) AS pos,
+       CAST(CASE WHEN pos = LEAST(50, c - 1) THEN 0
+            ELSE o_orderkey END AS INT) AS tok
+FROM t WHERE c BETWEEN 1 AND 128
+""",
     "search_sorted": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS INT) AS n,
@@ -507,12 +633,14 @@ FROM documents
     "ngram_jaccard": """
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
               ELSE array_to_string(w, ' ') END AS sh
   FROM words, LATERAL (
     SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
+keep AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= 50),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN keep USING (sh)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter

@@ -68,9 +68,35 @@ def test_resume_from_manifest(spark, unit_df, tmp_path):
     assert s2["skipped"] == 6 and s2["encoded"] == 2
     s3 = manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
     assert s3["encoded"] == 0 and s3["skipped"] == 8
-    # decoded content still identical (shards 2,5 were double-appended —
-    # dedupe by (doc_id, seg_id) as a reader of a resumed table must)
-    enc = manifest.read_encoded(spark, out).dropDuplicates(["doc_id", "seg_id"])
+    # staged-write protocol: re-encoded shards REPLACE their data dir, so a
+    # resumed table has no duplicates even without reader-side dedup
+    enc = manifest.read_encoded(spark, out)
+    assert enc.groupBy("doc_id", "seg_id").count() \
+        .where(F.col("count") > 1).count() == 0
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_resume_after_midshard_crash_no_duplicates(spark, unit_df, tmp_path):
+    """Crash simulation: a shard has SOME parquet files on disk but no
+    manifest (the exact window where the old append-mode write duplicated
+    rows).  Re-running must replace, not append."""
+    import os
+    from pathlib import Path
+    out = str(tmp_path / "crashy")
+    manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
+    os.remove(f"{out}/_manifest/shard=3.json")
+    # make shard 3 truly partial: delete one of its data files if it has >1,
+    # otherwise leave the complete-but-unmanifested dir (both must be safe)
+    files = sorted(Path(f"{out}/data/shard=3").glob("*.parquet"))
+    assert files
+    if len(files) > 1:
+        files[0].unlink()
+    s2 = manifest.encode_resumable(unit_df, out, codec="bitpack", shards=8)
+    assert s2["encoded"] == 1 and s2["skipped"] == 7
+    enc = manifest.read_encoded(spark, out)
+    assert enc.groupBy("doc_id", "seg_id").count() \
+        .where(F.col("count") > 1).count() == 0
     dec = engine.decode(enc, reassemble=True)
     assert engine.verify_roundtrip(unit_df, dec) == 0
 

@@ -46,6 +46,21 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert inter == 6 and union == 8
 
 
+def test_ngram_jaccard_max_df_bounds_hot_shingles(spark):
+    """A shingle present in EVERY doc (boilerplate) makes the exact inverted
+    index quadratic; max_df drops it so the join fan-out stays bounded while
+    genuinely similar pairs still surface."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique words {i} alpha beta {boiler}") for i in range(200)]
+    rows += [(1000, f"unique words 7 alpha beta {boiler}")]  # near-dup of 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, min_pct=50, max_df=20).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (7, 1000) in got
+    # without the boilerplate shingles, unrelated docs share nothing ≥50%
+    assert len(got) == 1
+
+
 def test_minhash_lsh_recalls_exact_dup(spark, docs):
     cand = {(r["doc_a"], r["doc_b"])
             for r in dedup.minhash_lsh_candidates(docs).collect()}

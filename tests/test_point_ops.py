@@ -1,0 +1,82 @@
+"""Vectorized compressed-domain point ops (blocks.select_flat /
+blocks.search_sorted_flat) vs per-row kernel oracles, plus the Arrow int32
+offset-overflow guard."""
+
+import numpy as np
+import pytest
+
+from simdcomp_spark import blocks, kernels as K
+
+LENS = np.array([0, 1, 5, 127, 128, 129, 300, 1000, 4096, 50])
+
+
+def _rows(rng, sorted_=False):
+    rows = [rng.integers(0, 2**31, size=n, dtype=np.uint32) for n in LENS]
+    if sorted_:
+        rows = [np.sort(r) for r in rows]
+    flat = np.concatenate([r for r in rows if r.size]
+                          or [np.zeros(0, np.uint32)]).astype(np.uint32)
+    return rows, flat
+
+
+def _sub_flat(buf, lens_, selrows):
+    off = np.cumsum(lens_) - lens_
+    return buf[K.multi_arange(off[selrows], lens_[selrows])]
+
+
+@pytest.mark.parametrize("mode", ["plain", "for", "d1"])
+def test_select_flat_matches_raw(mode):
+    rng = np.random.default_rng(7)
+    rows, flat = _rows(rng, sorted_=(mode == "d1"))
+    enc = blocks.encode_flat(flat, LENS, mode)
+    wl = enc.nblocks.copy()
+    il = wl * 4 if mode != "plain" else np.zeros_like(wl)
+    sub = np.nonzero(LENS > 0)[0]
+    idxs = np.minimum(200, LENS - 1)
+    sw = _sub_flat(enc.widths, wl, sub)
+    si = _sub_flat(enc.inits.view(np.uint8), il, sub).view(np.uint32) \
+        if mode != "plain" else np.zeros(0, np.uint32)
+    sp = _sub_flat(enc.payload, enc.payload_lens, sub)
+    vals = blocks.select_flat(LENS[sub], sw, si, sp,
+                              enc.payload_lens[sub], idxs[sub], mode)
+    expect = np.array([rows[r][idxs[r]] for r in sub], dtype=np.uint32)
+    assert (vals == expect).all()
+
+
+@pytest.mark.parametrize("key", [0, 1, 2**20, 2**30, 2**31 - 1,
+                                 2**31, 2**32 - 1])
+def test_search_sorted_flat_matches_searchsorted(key):
+    rng = np.random.default_rng(11)
+    rows, flat = _rows(rng, sorted_=True)
+    enc = blocks.encode_flat(flat, LENS, "d1")
+    idx = blocks.search_sorted_flat(LENS, enc.widths, enc.inits,
+                                    enc.payload, enc.payload_lens, key)
+    expect = np.array([np.searchsorted(r, np.uint32(key), "left")
+                       for r in rows])
+    assert (idx == expect).all()
+
+
+def test_search_sorted_flat_duplicates():
+    rng = np.random.default_rng(13)
+    rows = [np.sort(rng.integers(0, 50, size=n, dtype=np.uint32))
+            for n in (77, 500, 128)]
+    flat = np.concatenate(rows)
+    lens = np.array([77, 500, 128])
+    enc = blocks.encode_flat(flat, lens, "d1")
+    for key in range(0, 55, 7):
+        idx = blocks.search_sorted_flat(lens, enc.widths, enc.inits,
+                                        enc.payload, enc.payload_lens, key)
+        expect = np.array([np.searchsorted(r, np.uint32(key), "left")
+                           for r in rows])
+        assert (idx == expect).all(), key
+
+
+def test_arrow_offset_overflow_raises():
+    """A batch whose payload exceeds int32 offset range must raise, not
+    silently wrap (the corruption mode the int64-accumulate guard blocks)."""
+    from simdcomp_spark.engine import _binary_from_flat, _list_from_flat
+    lens = np.full(3, 2**30, dtype=np.int64)  # 3 GiB total
+    with pytest.raises(ValueError, match="int32 offset"):
+        _binary_from_flat(np.zeros(1, dtype=np.uint8), lens)
+    with pytest.raises(ValueError, match="int32 offset"):
+        _list_from_flat(np.zeros(1, dtype=np.int32), lens)
