@@ -64,28 +64,26 @@ def run_encode_only(cores: int, tokens_path: str,
                     reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> dict:
     """Measure the ENCODE STAGE at a given parallelism.
 
-    Methodology: the input is cached in memory first, because on a single
-    host the parquet scan is bounded by one disk — the resource a real
-    cluster scales per-executor — and this sandbox's host throttling makes
-    cold-IO walls vary ~3x run-to-run.  We report the cold (scan-included)
-    time once, then best-of-``reps`` warm encode times; scaling efficiency
-    is computed on the warm encode stage."""
+    Methodology: fused mode (`SCALING_FUSED=1`, the 100 TB ingest plan) runs
+    ``encode_files`` — pyarrow reads each row group inside the worker, so
+    after the first pass the input parquet sits in the OS page cache, the
+    one per-node resource a real cluster scales with its executors.
+    Non-fused mode memory-caches the DataFrame first (the single local disk
+    is not an engine property, and this sandbox's host throttling makes
+    cold-IO walls vary ~3x run-to-run).  We report the first (cold) time,
+    then best-of-``reps`` warm times; scaling efficiency is computed on the
+    warm encode stage."""
     from pyspark.sql import functions as F
     from simdcomp_spark import engine
     spark = engine.get_spark(app=f"bench-enc-{cores}", cores=cores,
                              shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    if os.environ.get("SKIP_COLD"):
-        cold = float("nan")
-        stats = _encode_job(spark, tokens_path, codec="auto")
-    else:
-        t0 = time.perf_counter()
-        stats = _encode_job(spark, tokens_path, codec="auto")
-        cold = time.perf_counter() - t0
-    df = spark.read.parquet(tokens_path).cache()
-    df.count()
-
     fused = bool(os.environ.get("SCALING_FUSED"))
+
+    df = None
+    if not fused:
+        df = spark.read.parquet(tokens_path).cache()
+        df.count()
 
     def _enc():
         from simdcomp_spark import engine as eng
@@ -93,20 +91,30 @@ def run_encode_only(cores: int, tokens_path: str,
             return eng.encode_files(spark, tokens_path, codec="auto")
         return eng.encode(df, codec="auto")
 
-    def encode_cached():
+    def encode_run():
         # timed job: narrow plan + singleton agg — NO groupBy shuffle
-        return _enc().agg(F.sum("n_tok"), F.sum(F.length("payload"))).first()
+        agg = _enc().agg(F.sum("n_tok").alias("tokens"),
+                         F.sum(F.length("payload")).alias("payload_bytes"),
+                         (F.sum(F.length("widths")) + F.sum(F.length("inits"))
+                          ).alias("meta_bytes"),
+                         F.count("*").alias("rows")).first()
+        return {k: int(agg[k]) for k in
+                ("tokens", "rows", "payload_bytes", "meta_bytes")}
 
-    encode_cached()  # warm workers on cached input
+    t0 = time.perf_counter()
+    stats = encode_run()  # warm pass (faults page cache / JVM caches)
+    cold = time.perf_counter() - t0
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        encode_cached()
+        encode_run()
         best = min(best, time.perf_counter() - t0)
-    # UDF core-seconds from an untimed metrics pass (has its own shuffle)
-    from simdcomp_spark import engine as eng
-    m = eng.partition_metrics(_enc()).agg(F.sum("enc_ns")).first()
-    stats["udf_core_s"] = round(m[0] / 1e9, 2)
+    stats["udf_core_s"] = None
+    if not os.environ.get("SKIP_UDF_METRICS"):
+        # UDF core-seconds from an untimed metrics pass (has its own shuffle)
+        from simdcomp_spark import engine as eng
+        m = eng.partition_metrics(_enc()).agg(F.sum("enc_ns")).first()
+        stats["udf_core_s"] = round(m[0] / 1e9, 2)
     stats["cold_seconds"] = cold
     stats["seconds"] = best
     stats["tokens_per_sec"] = stats["tokens"] / best
@@ -157,6 +165,12 @@ def run_bench() -> dict:
         queries["decode_auto"] = time.perf_counter() - t0
         extras["decode_tokens_per_sec"] = int(n) / queries["decode_auto"]
 
+        t0 = time.perf_counter()
+        decf = eng.decode_files(spark, f"{tmp}/enc.parquet")
+        nf = decf.agg(F.sum(F.size("tokens"))).first()[0]
+        queries["decode_files"] = time.perf_counter() - t0
+        extras["decode_files_tokens_per_sec"] = int(nf) / queries["decode_files"]
+
     # driver-facing queries on the sf dir
     for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
                  "auto_roundtrip", "compressed_size", "exact_dedup",
@@ -183,13 +197,19 @@ def run_bench() -> dict:
 def run_scaling(pairs=None) -> dict:
     pairs = pairs or tuple(int(x) for x in
                            os.environ.get("SCALING_PAIR", "8,32").split(","))
-    from simdcomp_spark import engine
-    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
-    tokens_path = f"{tmp}/tokens.parquet"
-    spark = engine.get_spark(app="bench-gen", cores=32, shuffle_partitions=32)
-    spark.sparkContext.setLogLevel("ERROR")
-    _materialize_tokens(spark, BENCH_DOCS, tokens_path)
-    spark.stop()
+    tokens_path = os.environ.get("SCALING_TOKENS_PATH",
+                                 "/root/repo/.benchdata/tokens4b.parquet")
+    if not Path(tokens_path).is_dir():
+        # no pre-materialized input → generate a small one (slow per-token
+        # rng; the multi-B-token input comes from scripts/gen_scaling_input)
+        from simdcomp_spark import engine
+        tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+        tokens_path = f"{tmp}/tokens.parquet"
+        spark = engine.get_spark(app="bench-gen", cores=32,
+                                 shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        _materialize_tokens(spark, BENCH_DOCS, tokens_path)
+        spark.stop()
 
     # interleave the two levels and keep each level's best run — the
     # sandbox host throttles unpredictably on ~10s scales, and interleaving

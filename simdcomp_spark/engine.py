@@ -238,6 +238,23 @@ def _split_flat(doc_ids, sources, flat, lens, threshold):
     return (doc_ids.take(idx), sources.take(idx), seg_ids, flat, new_lens)
 
 
+def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
+    """(file, row_group) work units for the fused scan paths — one Spark
+    task per parquet row group, so task size is bounded by the writer's
+    row-group size regardless of file-count skew.  Recurses into
+    partitioned layouts (e.g. the resumable writer's ``shard=N`` dirs)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    files = sorted(str(p) for p in Path(path).rglob("*.parquet"))
+    units = []
+    for f in files:
+        for rg in range(pq.ParquetFile(f).num_row_groups):
+            units.append((f, rg))
+    return spark.createDataFrame(units, "path string, rg int") \
+        .repartition(len(units))
+
+
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                  split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
                  batch_rows: int = 8192) -> DataFrame:
@@ -253,14 +270,7 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     the writer's row-group size regardless of file count skew."""
     import pyarrow.parquet as pq
 
-    files = sorted(str(p) for p in __import__("pathlib").Path(path).glob(
-        "*.parquet"))
-    units = []
-    for f in files:
-        for rg in range(pq.ParquetFile(f).num_row_groups):
-            units.append((f, rg))
-    fdf = spark.createDataFrame(units, "path string, rg int") \
-        .repartition(len(units))
+    fdf = _rowgroup_units(spark, path)
 
     def fn(it):
         from pyspark import TaskContext
@@ -316,9 +326,81 @@ def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
             .repartition(shards, "_shard").drop("_shard"))
 
 
+def decode_files(spark: SparkSession, path: str,
+                 batch_rows: int = 8192) -> DataFrame:
+    """Fused scan→decode, symmetric to :func:`encode_files`: one task per
+    parquet row group of an ENCODED table, read with pyarrow inside the
+    worker — the packed binary columns never enter the JVM row format.
+
+    Decode consumes every row of the encoded table and produces every token,
+    so there is no Catalyst pushdown to lose; skipping the JVM
+    columnar→Arrow conversion removes the decode side's dominant fixed cost
+    (the encode side's measurement in BENCH.md applies symmetrically).
+    Returns (doc_id, source, seg_id, tokens) segments; reassemble split rows
+    with the ``decode``-style groupBy if the table was length-split."""
+    import pyarrow.parquet as pq
+
+    fdf = _rowgroup_units(spark, path)
+    cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
+            "inits", "payload"]
+
+    def fn(it):
+        for batch in it:
+            for path_, rg in zip(batch.column(0).to_pylist(),
+                                 batch.column(1).to_pylist()):
+                pf = pq.ParquetFile(path_)
+                for rb in pf.iter_batches(batch_size=batch_rows,
+                                          row_groups=[rg], columns=cols):
+                    rb = rb.select(cols)  # parquet yields file order
+                    tokens_arr = _decode_batch_columns(
+                        rb.column(3), rb.column(4), rb.column(5),
+                        rb.column(6), rb.column(7))
+                    yield pa.RecordBatch.from_arrays(
+                        [rb.column(0), rb.column(1),
+                         rb.column(2).cast(pa.int32()), tokens_arr],
+                        names=["doc_id", "source", "seg_id", "tokens"])
+
+    return fdf.mapInArrow(fn, schema=DECODED_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
+
+def _decode_batch_columns(n_tok_col: pa.Array, codec_col: pa.Array,
+                          widths_col: pa.Array, inits_col: pa.Array,
+                          payload_col: pa.Array) -> pa.Array:
+    """Shared decode core: encoded Arrow columns → tokens list<int32> array.
+    Used by both the scan-based :func:`decode` and the fused
+    :func:`decode_files` paths."""
+    n_toks = n_tok_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    names = codec_col.unique().to_pylist()
+    wf, wl = _binary_to_flat(widths_col)
+    inf, il = _binary_to_flat(inits_col)
+    pf, pl = _binary_to_flat(payload_col)
+    if len(names) == 1:
+        out = codecs.get(names[0]).decode_flat(
+            n_toks, wf, wl, inf, il, pf, pl)
+    else:
+        # mixed codecs in one batch (post-shuffle): decode per codec
+        # group via vectorized sub-gathers, scatter into place
+        out = np.empty(int(n_toks.sum()), dtype=np.uint32)
+        tok_off = np.concatenate(([0], np.cumsum(n_toks)))
+        codec_np = codec_col.to_numpy(zero_copy_only=False)
+        w_off = np.concatenate(([0], np.cumsum(wl)))
+        i_off = np.concatenate(([0], np.cumsum(il)))
+        p_off = np.concatenate(([0], np.cumsum(pl)))
+        from .kernels import multi_arange
+        for name in np.unique(codec_np):
+            sel = np.nonzero(codec_np == name)[0]
+            sub = codecs.get(str(name)).decode_flat(
+                n_toks[sel],
+                wf[multi_arange(w_off[sel], wl[sel])], wl[sel],
+                inf[multi_arange(i_off[sel], il[sel])], il[sel],
+                pf[multi_arange(p_off[sel], pl[sel])], pl[sel])
+            out[multi_arange(tok_off[sel], n_toks[sel])] = sub
+    return _list_from_flat(out.view(np.int32), n_toks)
+
 
 def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     """encoded table → tokens table (doc_id, source, tokens, n_tok).
@@ -331,35 +413,9 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
 
     def decode_fn(it):
         for batch in it:
-            n_toks = batch.column(3).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            codec_col = batch.column(4)
-            names = codec_col.unique().to_pylist()
-            wf, wl = _binary_to_flat(batch.column(5))
-            inf, il = _binary_to_flat(batch.column(6))
-            pf, pl = _binary_to_flat(batch.column(7))
-            if len(names) == 1:
-                out = codecs.get(names[0]).decode_flat(
-                    n_toks, wf, wl, inf, il, pf, pl)
-            else:
-                # mixed codecs in one batch (post-shuffle): decode per codec
-                # group via vectorized sub-gathers, scatter into place
-                out = np.empty(int(n_toks.sum()), dtype=np.uint32)
-                tok_off = np.concatenate(([0], np.cumsum(n_toks)))
-                codec_np = codec_col.to_numpy(zero_copy_only=False)
-                w_off = np.concatenate(([0], np.cumsum(wl)))
-                i_off = np.concatenate(([0], np.cumsum(il)))
-                p_off = np.concatenate(([0], np.cumsum(pl)))
-                from .kernels import multi_arange
-                for name in np.unique(codec_np):
-                    sel = np.nonzero(codec_np == name)[0]
-                    sub = codecs.get(str(name)).decode_flat(
-                        n_toks[sel],
-                        wf[multi_arange(w_off[sel], wl[sel])], wl[sel],
-                        inf[multi_arange(i_off[sel], il[sel])], il[sel],
-                        pf[multi_arange(p_off[sel], pl[sel])], pl[sel])
-                    out[multi_arange(tok_off[sel], n_toks[sel])] = sub
-            tokens_arr = _list_from_flat(out.view(np.int32), n_toks)
+            tokens_arr = _decode_batch_columns(
+                batch.column(3), batch.column(4), batch.column(5),
+                batch.column(6), batch.column(7))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
                  batch.column(2).cast(pa.int32()), tokens_arr],

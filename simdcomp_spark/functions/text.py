@@ -6,14 +6,44 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# tiny per-language stopword seeds for the n-gram/stopword heuristic
+# per-language function-word lists (common public stopword seeds) for the
+# Latin-script languages; non-Latin scripts are detected by Unicode range
+# below (space-split stopwords never fire on unsegmented CJK text)
 _STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "it", "for", "with", "on"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "pour"],
-    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+    "en": ["the", "and", "of", "to", "in", "is", "it", "for", "with", "on",
+           "that", "this", "was", "are", "be", "as", "at", "by", "from",
+           "not", "have", "has", "but", "they", "you"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por",
+           "las", "del", "se", "con", "para", "es", "al", "lo", "como",
+           "más", "pero", "sus", "le", "ya", "este"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu",
+           "den", "nicht", "sich", "auf", "für", "auch", "es", "eine",
+           "als", "an", "werden", "aus", "er", "hat", "dass", "sie"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "pour",
+           "dans", "qui", "que", "pas", "sur", "au", "plus", "par", "il",
+           "ne", "se", "ce", "son", "avec", "sont"],
+    "it": ["il", "di", "che", "la", "e", "per", "un", "una", "del", "non",
+           "in", "sono", "con", "si", "da", "come", "le", "dei", "al",
+           "della", "più", "anche", "questo", "ma", "gli"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+           "para", "com", "não", "os", "as", "dos", "como", "mas", "ao",
+           "se", "por", "mais", "foi", "são", "tem"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "voor", "met", "die", "niet", "aan", "er", "om", "ook",
+           "als", "maar", "bij", "dan", "uit", "naar"],
 }
+
+# Unicode-script ranges → language (dominant-script override; a doc whose
+# chars are mostly one non-Latin script is that script's language regardless
+# of space-tokenized stopword hits)
+_SCRIPTS = [
+    ("ja", r"[぀-ヿ]", 0.05),   # kana — checked BEFORE han (ja uses both)
+    ("zh", r"[一-鿿]", 0.20),   # han
+    ("ko", r"[가-힯]", 0.20),   # hangul
+    ("ru", r"[Ѐ-ӿ]", 0.20),   # cyrillic
+    ("ar", r"[؀-ۿ]", 0.20),   # arabic
+    ("el", r"[Ͱ-Ͽ]", 0.20),   # greek
+]
 
 
 def ws_token_count(col: str = "text") -> Column:
@@ -38,21 +68,34 @@ def quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
-    """Stopword-overlap language heuristic (cheap n-gram-free variant of
-    n-gram lang ID). Pure JVM: split → array_intersect per language →
-    argmax.  Returns (doc_id, lang_pred)."""
-    words = F.array_distinct(F.split(F.lower(F.col(col)), " "))
+    """Language-ID heuristic, pure JVM (whole-stage codegen, no UDF):
+
+    1. dominant-script detection by Unicode range (ja/zh/ko/ru/ar/el) —
+       space tokenization is meaningless for unsegmented scripts, so
+       character evidence decides first;
+    2. otherwise occurrence-WEIGHTED function-word voting over the
+       Latin-script languages (every token in a language's stopword list
+       counts, so long documents aren't flattened to a distinct-set vote);
+       deterministic tie-break on language code.
+    Returns (doc_id, lang_pred); 'und' when no evidence fires."""
+    t = F.col(col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    words = F.split(F.lower(t), " ")
     scores = F.array(*[
         F.struct(
-            F.size(F.array_intersect(
-                words, F.array(*[F.lit(w) for w in sw]))).alias("score"),
+            F.size(F.filter(words, lambda w: w.isin(*sw))).alias("score"),
             F.lit(lang).alias("lang"))
-        for lang, sw in _STOPWORDS.items()])
-    best = F.array_max(scores)
-    return df.select(
-        "doc_id",
-        F.when(best.score > 0, best.lang).otherwise(F.lit("und"))
-        .alias("lang_pred"))
+        for lang, sw in sorted(_STOPWORDS.items(), reverse=True)])
+    best = F.array_max(scores)  # max score, then max lang — ties go to the
+    # lexicographically LAST code; reverse-sorted build keeps it stable
+    stopword_pred = F.when(best.score > 0, best.lang).otherwise(F.lit("und"))
+
+    pred = stopword_pred
+    for lang, pattern, frac in reversed(_SCRIPTS):
+        hits = F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        pred = F.when(hits > n_chars * F.lit(frac), F.lit(lang)) \
+            .otherwise(pred)
+    return df.select("doc_id", pred.alias("lang_pred"))
 
 
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:

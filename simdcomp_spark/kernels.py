@@ -465,15 +465,16 @@ def scan_d1(init: int, packed: bytes, bit: int, length: int = FULL_BLOCK
 # ---------------------------------------------------------------------------
 
 def multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenated [s, s+len) ranges, fully vectorized."""
+    """Concatenated [s, s+len) ranges, fully vectorized.
+
+    repeat+take formulation: for output position i in segment s,
+    idx[i] = i + (starts[s] - excl_cumsum[s]) — one repeat, one gather, one
+    add (the previous searchsorted-per-element form was ~4x slower)."""
     starts = np.asarray(starts, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    idx = np.arange(total, dtype=np.int64)
-    # offset within each segment = idx - segment_start_position
-    seg_starts_in_out = ends - lens
-    seg_id = np.searchsorted(ends, idx, side="right")
-    return starts[seg_id] + (idx - seg_starts_in_out[seg_id])
+    shift = starts - (np.cumsum(lens) - lens)
+    seg_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    return np.arange(total, dtype=np.int64) + np.take(shift, seg_id)

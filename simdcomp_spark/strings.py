@@ -53,14 +53,29 @@ def fsst_decode(df: DataFrame, enc_col: str, out_col: str) -> DataFrame:
     def dec(it):
         cache: dict[bytes, fsst.SymbolTable] = {}
         for pdf in it:
-            texts = []
-            for enc, tb in zip(pdf[enc_col], pdf["fsst_table"]):
-                tb = bytes(tb)
+            n = len(pdf)
+            texts = [None] * n
+            # group rows by symbol table (normally ONE per partition) and
+            # decode each group with a single flat escape-scan + gather
+            tables = [bytes(tb) for tb in pdf["fsst_table"]]
+            encs = [bytes(e) for e in pdf[enc_col]]
+            by_tb: dict[bytes, list[int]] = {}
+            for i, tb in enumerate(tables):
+                by_tb.setdefault(tb, []).append(i)
+            for tb, rows in by_tb.items():
                 t = cache.get(tb)
                 if t is None:
                     t = cache[tb] = fsst.SymbolTable.deserialize(tb)
-                texts.append(t.decode(bytes(enc)).decode("utf-8",
-                                                         "surrogatepass"))
+                row_lens = np.fromiter((len(encs[i]) for i in rows),
+                                       dtype=np.int64, count=len(rows))
+                codes = np.frombuffer(b"".join(encs[i] for i in rows),
+                                      dtype=np.uint8)
+                flat, out_lens = t.decode_flat(codes, row_lens)
+                buf = flat.tobytes()
+                offs = np.concatenate(([0], np.cumsum(out_lens)))
+                for k, i in enumerate(rows):
+                    texts[i] = buf[offs[k]:offs[k + 1]].decode(
+                        "utf-8", "surrogatepass")
             out = pdf.drop(columns=[enc_col, "fsst_table"]).copy()
             out[out_col] = texts
             yield out

@@ -138,6 +138,30 @@ def test_encode_files_fused_path(spark, unit_df, tmp_path):
     assert a == b
 
 
+def test_decode_files_fused_path(spark, unit_df, tmp_path):
+    """The fused pyarrow-in-worker decode must reproduce the scan-based
+    decode exactly, including mixed-codec encoded tables and the
+    shard-partitioned resumable layout."""
+    enc_dir = str(tmp_path / "enc")
+    enc = engine.encode(unit_df, codec="auto", split_threshold=1 << 14)
+    enc.write.parquet(enc_dir)
+    a = {(r["doc_id"], r["seg_id"]): r["tokens"]
+         for r in engine.decode_files(spark, enc_dir).collect()}
+    b = {(r["doc_id"], r["seg_id"]): r["tokens"]
+         for r in engine.decode(spark.read.parquet(enc_dir),
+                                reassemble=False).collect()}
+    assert a == b
+    # partitioned (resumable) layout
+    out = str(tmp_path / "resumable")
+    manifest.encode_resumable(unit_df, out, codec="d1", shards=4)
+    dec = engine.decode_files(spark, f"{out}/data")
+    got = {(r["doc_id"], r["seg_id"]): r["tokens"] for r in dec.collect()}
+    want = {(r["doc_id"], r["seg_id"]): r["tokens"]
+            for r in engine.decode(manifest.read_encoded(spark, out),
+                                   reassemble=False).collect()}
+    assert got == want
+
+
 def test_point_lookup_all_codecs(spark, unit_df):
     """Compressed-domain point lookup agrees with the raw arrays for every
     codec, including multi-block rows and the 70k-token skew row."""

@@ -80,6 +80,28 @@ def test_lang_id_heuristic(spark, docs):
     assert out[0] == "en" and out[2] == "es"
 
 
+def test_lang_id_scripts_and_latin_languages(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was not the only one"),
+        (1, "el gato se sentó en la alfombra y no era el único que había"),
+        (2, "der Hund ist mit der Katze auf den Tisch und das war nicht gut"),
+        (3, "le chat est sur la table et il ne veut pas partir pour le moment"),
+        (4, "il gatto è sul tavolo e non vuole andare via per il momento"),
+        (5, "o gato está em uma mesa e não quer sair do lugar por mais que"),
+        (6, "de kat zit op de tafel en het is niet een goede dag voor hem"),
+        (7, "这是一段没有空格分词的中文文本用来测试字符脚本检测是否有效"),
+        (8, "これはひらがなとカタカナを含む日本語のテキストです"),
+        (9, "이것은 한국어 텍스트입니다 문자 스크립트 감지를 테스트합니다"),
+        (10, "это русский текст для проверки определения кириллицы"),
+        (11, "zz qq xx yy ww"),  # no evidence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in textfn.lang_id(df).collect()}
+    expect = {0: "en", 1: "es", 2: "de", 3: "fr", 4: "it", 5: "pt", 6: "nl",
+              7: "zh", 8: "ja", 9: "ko", 10: "ru", 11: "und"}
+    assert out == expect
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([(0, "a b c"), (1, "c b a")],
                                "doc_id long, text string")
