@@ -149,6 +149,14 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         stats_bp = _encode_job(spark, tokens_path, codec="bitpack")
         queries["encode_bitpack"] = time.perf_counter() - t0
+
+        from simdcomp_spark import engine as _eng
+        from pyspark.sql import functions as _F
+        t0 = time.perf_counter()
+        nf = _eng.encode_files(spark, tokens_path, codec="auto") \
+            .agg(_F.sum("n_tok")).first()[0]
+        queries["encode_files"] = time.perf_counter() - t0
+        extras["encode_files_tokens_per_sec"] = int(nf) / queries["encode_files"]
         extras["bitpack_bits_per_token"] = (
             8.0 * (stats_bp["payload_bytes"] + stats_bp["meta_bytes"])
             / stats_bp["tokens"])

@@ -357,6 +357,56 @@ def search_sorted_flat(lens: np.ndarray, widths: np.ndarray,
     return out
 
 
+def search_sorted_for_flat(lens: np.ndarray, widths: np.ndarray,
+                           inits: np.ndarray, payload: np.ndarray,
+                           payload_lens: np.ndarray, key: int) -> np.ndarray:
+    """Lower-bound search over FOR-encoded SORTED rows, probing exactly one
+    block per row — the engine-level multi-block extension of
+    ``simdsearchwithlengthFOR`` (/root/reference/src/simdfor.c:15016-15032).
+
+    Zone map: FOR stores each block's min as its init, which for sorted
+    rows is the block's FIRST value.  The target is the first block j with
+    (j is the last block) or first[j+1] >= key: every earlier block's last
+    value ≤ first[j+1] < key, and if the probe finds nothing (< key
+    throughout) the answer is the start of block j+1, whose first value is
+    ≥ key by construction.  Returns int64 per row; idx == n when every
+    value < key."""
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.zeros(lens.size, dtype=np.int64)
+    if lens.size == 0 or int(lens.sum()) == 0:
+        return out
+    (row_id, blk_len, nblocks, widths, _sizes, excl,
+     row_first_block) = _block_geometry(lens, widths)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    inits = np.ascontiguousarray(inits, dtype=U32)
+    row_pl_starts = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
+    k32 = U32(key & 0xFFFFFFFF)
+
+    ne = np.nonzero(nblocks > 0)[0]
+    # count of blocks j' (excluding block 0) with first[j'] < key, per row —
+    # that IS the target block index j (see docstring)
+    not_first = np.ones(row_id.size, dtype=bool)
+    not_first[row_first_block] = False
+    lt = (inits < k32) & not_first
+    j = np.add.reduceat(lt.astype(np.int64), row_first_block[ne])
+
+    tb = row_first_block[ne] + j
+    src = row_pl_starts[ne] + (excl[tb] - excl[row_first_block[ne]])
+    b_t = widths[tb].astype(np.int64)
+    blen_t = blk_len[tb]
+    keys_t = blen_t * 64 + b_t
+    within = np.empty(ne.size, dtype=np.int64)
+    for kk in np.unique(keys_t):
+        blen, b = int(kk) // 64, int(kk) % 64
+        sel = np.nonzero(keys_t == kk)[0]
+        vals = _decode_block_group(payload, src[sel], blen, b, "for",
+                                   inits[tb[sel]])
+        within[sel] = (vals < k32).sum(axis=1)
+    # within == blen ⇒ answer is the start of the next block (or n)
+    out[ne] = np.minimum(j * K.FULL_BLOCK + within, lens[ne])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # list-of-bytes wrappers (codec-registry interface; tests + pandas UDF path)
 # ---------------------------------------------------------------------------

@@ -499,30 +499,48 @@ def point_lookup(df_encoded: DataFrame, index_col: str = "lookup_idx"
 
 
 def search_sorted(df_encoded: DataFrame, key: int) -> DataFrame:
-    """Lower-bound search over d1-encoded SORTED rows with block skipping:
-    the per-block chain inits ARE the zone map (init of block j+1 == last
-    value of block j), so the target block is found by binary search over
-    inits and only THAT block is probed (simdsearchd1 semantics,
-    src/simdpackedsearch.c, lifted to the manifest level per SURVEY §2.4
-    #25/#28).  Returns (doc_id, seg_id, n_tok, idx) with idx == n_tok when
-    every value < key."""
+    """Lower-bound search over SORTED rows with block skipping, for both
+    block families that support it: d1 (chain inits are prev-block lasts →
+    simdsearchd1 semantics, src/simdpackedsearch.c) and FOR (block minima
+    are block firsts → simdsearchwithlengthFOR semantics,
+    src/simdfor.c:15016, lifted across blocks).  Exactly one block is
+    decoded per row, batched per (width, block-length) group.  Returns
+    (doc_id, seg_id, n_tok, idx) with idx == n_tok when every value <
+    key."""
     cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits", "payload"]
     src = df_encoded.select(*cols)
 
     def fn(it):
         from . import blocks as B
+        from .kernels import multi_arange
+        flat_search = {"d1": B.search_sorted_flat,
+                       "for": B.search_sorted_for_flat}
         for batch in it:
             n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             codec_np = batch.column(3).to_numpy(zero_copy_only=False)
-            assert (codec_np == "d1").all(), \
-                "search_sorted requires the d1 codec"
-            wf, _wl = _binary_to_flat(batch.column(4))
-            inf, _il = _binary_to_flat(batch.column(5))
+            wf, wl = _binary_to_flat(batch.column(4))
+            inf, il = _binary_to_flat(batch.column(5))
             pf, pl = _binary_to_flat(batch.column(6))
-            idx = B.search_sorted_flat(
-                n_toks, wf, np.ascontiguousarray(inf).view(np.uint32),
-                pf, pl, key)
+            names = np.unique(codec_np)
+            if names.size == 1:
+                idx = flat_search[str(names[0])](
+                    n_toks, wf, np.ascontiguousarray(inf).view(np.uint32),
+                    pf, pl, key)
+            else:  # mixed d1/for batch (post-shuffle): per-codec sub-gathers
+                idx = np.zeros(n_toks.size, dtype=np.int64)
+                w_off = np.cumsum(wl) - wl
+                i_off = np.cumsum(il) - il
+                p_off = np.cumsum(pl) - pl
+                for name in names:
+                    sel = np.nonzero(codec_np == name)[0]
+                    idx[sel] = flat_search[str(name)](
+                        n_toks[sel],
+                        wf[multi_arange(w_off[sel], wl[sel])],
+                        np.ascontiguousarray(
+                            inf[multi_arange(i_off[sel], il[sel])])
+                        .view(np.uint32),
+                        pf[multi_arange(p_off[sel], pl[sel])], pl[sel], key)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1).cast(pa.int32()),
                  pa.array(n_toks.astype(np.int32)),

@@ -82,11 +82,18 @@ def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
 
 
 def minhash_lsh_candidates(df: DataFrame, col: str = "text", k: int = 3,
-                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                           num_hashes: int = 16, bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of ≥1 band.
 
     The band bucket is the join key → sub-quadratic; at cluster scale the
-    bucket join shuffles only signatures, never documents."""
+    bucket join shuffles only signatures, never documents.
+
+    ``max_bucket`` bounds the within-bucket blowup: a bucket holding m docs
+    emits O(m²) pairs, and mass-duplicated boilerplate (the 100 TB reality)
+    creates giant buckets.  Buckets larger than ``max_bucket`` are dropped —
+    their members are near-identical copies that the cheaper exact/encoded
+    dedup already groups, so spending the quadratic join on them is waste."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, col, k, num_hashes)
     buckets = sigs.select(
@@ -97,11 +104,48 @@ def minhash_lsh_candidates(df: DataFrame, col: str = "text", k: int = 3,
                                   for r in range(rows_per_band)]).alias("bkt"))
             for b in range(bands)])).alias("bb"))
     buckets = buckets.select("doc_id", "bb.band", "bb.bkt")
+    if max_bucket is not None:
+        keep = (buckets.groupBy("band", "bkt")
+                .agg(F.count("*").alias("m"))
+                .where(F.col("m") <= max_bucket)
+                .select("band", "bkt"))
+        buckets = buckets.join(keep, ["band", "bkt"])
     return (buckets.alias("x").join(buckets.alias("y"), ["band", "bkt"])
             .where(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
+
+
+def minhash_neardup_pairs(df: DataFrame, col: str = "text", k: int = 3,
+                          num_hashes: int = 16, bands: int = 4,
+                          min_pct: int = 50,
+                          max_bucket: int | None = None) -> DataFrame:
+    """MinHash-LSH near-dup with the EXACT-verify stage: LSH proposes
+    candidate pairs (sub-quadratic), then true shingle Jaccard is computed
+    for ONLY those pairs and pairs below ``min_pct``/100 are dropped.
+
+    This is the standard two-stage plan at corpus scale: the shingle join
+    runs over candidate pairs (|C| ≪ n²), never all pairs.  Returns
+    (doc_a, doc_b, inter, union_sz) exactly like
+    :func:`ngram_jaccard_pairs`, so downstream dedup logic is codec-free."""
+    cand = minhash_lsh_candidates(df, col, k, num_hashes, bands, max_bucket)
+    sh = (df.select("doc_id", F.explode(_shingles(col, k)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # two equi-joins: candidates × doc_a's shingles, matched against doc_b's
+    inter = (cand
+             .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+             .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("union_sz",
+                        F.col("sza") + F.col("szb") - F.col("inter"))
+            .where(F.col("inter") * 100 >= min_pct * F.col("union_sz"))
+            .select("doc_a", "doc_b", "inter", "union_sz"))
 
 
 def simhash(df: DataFrame, col: str = "text") -> DataFrame:

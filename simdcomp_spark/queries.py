@@ -369,6 +369,21 @@ def q_search_sorted(spark, sf_dir):
                       F.col("idx").cast("int").alias("idx"))
 
 
+def q_search_sorted_for(spark, sf_dir):
+    """Multi-block FOR lower-bound search (engine-level
+    simdsearchwithlengthFOR, SURVEY §2.3 #20 across blocks): zone map =
+    per-block minima (= block firsts on sorted rows), one block probed per
+    row."""
+    KEY = 5000
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="for", split_threshold=None)
+    out = engine.search_sorted(enc, KEY)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("n_tok").cast("int").alias("n"),
+                      F.col("idx").cast("int").alias("idx"))
+
+
 def q_encoded_dedup(spark, sf_dir):
     """Exact dedup in the COMPRESSED domain (no decode): histogram of
     duplicate-group sizes of per-order sorted quantity sequences."""
@@ -449,6 +464,21 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(df, qvec, k=10, bits=12, probe_hamming=2)
 
 
+def q_minhash_verified(spark, sf_dir):
+    """Two-stage near-dup: LSH candidates + exact shingle-Jaccard verify on
+    only the candidate pairs (the corpus-scale dedup plan)."""
+    return dedup.minhash_neardup_pairs(_t(spark, sf_dir, "documents"),
+                                       num_hashes=16, bands=8, min_pct=15,
+                                       max_bucket=64)
+
+
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: exact-signature LSH bucket
+    join, exact cosine rerank."""
+    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                           threshold=0.9, bits=8)
+
+
 QUERIES = {
     "bitpack_roundtrip": q_bitpack_roundtrip,
     "for_roundtrip": q_for_roundtrip,
@@ -467,6 +497,7 @@ QUERIES = {
     "masked_pack": q_masked_pack,
     "fastset": q_fastset,
     "search_sorted": q_search_sorted,
+    "search_sorted_for": q_search_sorted_for,
     "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
@@ -479,6 +510,8 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "ann_lsh": q_ann_lsh,
+    "minhash_verified": q_minhash_verified,
+    "cosine_neardup": q_cosine_neardup,
 }
 
 _SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "
@@ -599,6 +632,12 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
 FROM t WHERE c BETWEEN 1 AND 128
 """,
     "search_sorted": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(*) FILTER (WHERE event_id < 5000) AS INT) AS idx
+FROM events GROUP BY user_id
+""",
+    "search_sorted_for": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS INT) AS n,
        CAST(count(*) FILTER (WHERE event_id < 5000) AS INT) AS idx

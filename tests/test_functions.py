@@ -67,6 +67,36 @@ def test_minhash_lsh_recalls_exact_dup(spark, docs):
     assert (0, 3) in cand  # identical docs always collide in every band
 
 
+def test_minhash_neardup_verify_filters_false_positives(spark, docs):
+    """The exact-verify stage keeps only candidate pairs whose TRUE shingle
+    Jaccard clears the threshold — LSH alone can propose weaker pairs."""
+    out = {(r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+           for r in dedup.minhash_neardup_pairs(
+               docs, num_hashes=16, bands=8, min_pct=90).collect()}
+    assert (0, 3) in out          # exact dup: jaccard 1 ≥ 0.9
+    assert out[(0, 3)][0] == out[(0, 3)][1]
+    assert (0, 1) not in out      # jaccard 6/8 = 0.75 < 0.9 → verified out
+    # at a looser threshold the same pair survives with exact counts
+    loose = {(r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+             for r in dedup.minhash_neardup_pairs(
+                 docs, num_hashes=16, bands=8, min_pct=50).collect()}
+    assert loose.get((0, 1)) == (6, 8)
+
+
+def test_minhash_lsh_max_bucket_caps_hot_buckets(spark):
+    """A mass-duplicated doc creates one giant bucket; max_bucket drops it
+    so candidate count stays bounded instead of quadratic."""
+    rows = [(i, "exactly the same boilerplate text everywhere")
+            for i in range(100)]
+    rows += [(200, "one unusual document with its own words here"),
+             (201, "one unusual document with its own words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_candidates(df, max_bucket=50).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (200, 201) in got      # small buckets still pair up
+    assert len(got) < 100         # the 100-doc clone bucket (4950 pairs) is gone
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sigs[0] == sigs[3]

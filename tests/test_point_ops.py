@@ -56,6 +56,37 @@ def test_search_sorted_flat_matches_searchsorted(key):
     assert (idx == expect).all()
 
 
+@pytest.mark.parametrize("key", [0, 1, 2**20, 2**30, 2**31 - 1,
+                                 2**31, 2**32 - 1])
+def test_search_sorted_for_flat_matches_searchsorted(key):
+    rng = np.random.default_rng(17)
+    rows, flat = _rows(rng, sorted_=True)
+    enc = blocks.encode_flat(flat, LENS, "for")
+    idx = blocks.search_sorted_for_flat(LENS, enc.widths, enc.inits,
+                                        enc.payload, enc.payload_lens, key)
+    expect = np.array([np.searchsorted(r, np.uint32(key), "left")
+                       for r in rows])
+    assert (idx == expect).all()
+
+
+def test_search_sorted_for_flat_duplicates_across_blocks():
+    """Duplicates spanning a block boundary must resolve to the FIRST
+    occurrence (the earlier block), not the block whose min equals key."""
+    rng = np.random.default_rng(19)
+    rows = [np.sort(rng.integers(0, 60, size=n, dtype=np.uint32))
+            for n in (77, 500, 128, 256)]
+    flat = np.concatenate(rows)
+    lens = np.array([77, 500, 128, 256])
+    enc = blocks.encode_flat(flat, lens, "for")
+    for key in range(0, 65, 5):
+        idx = blocks.search_sorted_for_flat(lens, enc.widths, enc.inits,
+                                            enc.payload, enc.payload_lens,
+                                            key)
+        expect = np.array([np.searchsorted(r, np.uint32(key), "left")
+                           for r in rows])
+        assert (idx == expect).all(), key
+
+
 def test_search_sorted_flat_duplicates():
     rng = np.random.default_rng(13)
     rows = [np.sort(rng.integers(0, 50, size=n, dtype=np.uint32))
