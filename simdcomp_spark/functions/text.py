@@ -52,6 +52,35 @@ def ws_token_count(col: str = "text") -> Column:
     return F.size(F.split(F.col(col), " ")).alias("n_ws_tokens")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single symbols — the
+# shape GPT-style byte-pair pre-tokenization produces, kept to ASCII classes
+# so Java (Spark) and RE2 (DuckDB) regex engines agree byte-for-byte
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / single
+    symbols) — the brief's 'BPE-ish regex' counter, JVM-side
+    (`regexp_count`, no UDF)."""
+    return F.regexp_count(F.col(col), F.lit(BPE_ISH_PATTERN)) \
+        .cast("int").alias("n_bpe_tokens")
+
+
+def stopword_stats(df: DataFrame, col: str = "text",
+                   lang: str = "en") -> DataFrame:
+    """Stopword statistics for quality filtering: total space-split words
+    and how many are in the language's function-word list.  Downstream
+    quality rules use the ratio; both counts stay integers so any SQL
+    engine reproduces them exactly."""
+    sw = _STOPWORDS[lang]
+    words = F.split(F.lower(F.col(col)), " ")
+    return df.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(*sw))).cast("int")
+        .alias("n_stop"))
+
+
 def quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
     """Integer-valued quality features (lengths/counts — no float ratios so
     results are exactly reproducible in any SQL engine)."""

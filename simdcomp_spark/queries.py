@@ -369,6 +369,69 @@ def q_search_sorted(spark, sf_dir):
                       F.col("idx").cast("int").alias("idx"))
 
 
+def q_fastset_for(spark, sf_dir):
+    """simdfastsetFOR (SURVEY §2.3 #21, src/simdfor.c:15197-15200): in-place
+    point write into a FOR-packed block — set position min(50, n-1) to the
+    block base (the row min for these single-block rows); a full decode must
+    show exactly that change."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok = tok.where(F.col("n_tok").between(1, 128))
+    enc = engine.encode(tok, codec="for", split_threshold=None)
+    from . import codecs as C
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, poss, toks = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                b = int(np.frombuffer(w, np.uint8)[0])
+                init = int(np.frombuffer(ini, np.uint32)[0])
+                buf = bytearray(p)
+                K.fastset_for(buf, init, b, init, min(50, n - 1))
+                back = C.get("for").decode_rows(
+                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
+                keys.extend([int(did)] * n)
+                poss.extend(range(n))
+                toks.extend(back.view(np.int32))
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+
+
+def q_masked_d1(spark, sf_dir):
+    """simdpackd1 — the MASKED delta pack (SURVEY §2.4 #22,
+    src/simdintegratedbitpacking.c:25198): deltas are truncated to b bits
+    before packing, so decode returns the prefix sum of (delta mod 2^b)."""
+    B = 8
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, poss, toks = [], [], []
+            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
+                deltas = np.diff(a, prepend=np.uint32(0)).astype(np.uint32)
+                packed = K.simdpack_length(deltas, B, mask=True)
+                masked = K.simdunpack_length(packed, a.size, B)
+                back = np.cumsum(masked, dtype=np.uint64).astype(np.uint32)
+                keys.extend([int(did)] * a.size)
+                poss.extend(range(a.size))
+                toks.extend(back.view(np.int32))
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return tok.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+
+
 def q_search_sorted_for(spark, sf_dir):
     """Multi-block FOR lower-bound search (engine-level
     simdsearchwithlengthFOR, SURVEY §2.3 #20 across blocks): zone map =
@@ -419,6 +482,32 @@ def q_exact_dedup(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", textfn.ws_token_count("text"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", textfn.bpe_token_count("text"))
+
+
+def q_stopwords(spark, sf_dir):
+    return textfn.stopword_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents' bytes stand in for opaque
+    media payloads (no media libs in this container), the deterministic fake
+    decoder exercises the real Arrow/UDF/schema machinery."""
+    from .functions import multimodal as mm
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("duration_ms"))
+    feats = mm.extract_features(
+        df, decoders={"image": mm.deterministic_fake_decoder("image")})
+    return feats.select("media_id", "kind", "n_bytes", "frames")
 
 
 def q_quality(spark, sf_dir):
@@ -495,13 +584,17 @@ QUERIES = {
     "search_d1": q_search_d1,
     "search_for": q_search_for,
     "masked_pack": q_masked_pack,
+    "masked_d1": q_masked_d1,
     "fastset": q_fastset,
+    "fastset_for": q_fastset_for,
     "search_sorted": q_search_sorted,
     "search_sorted_for": q_search_sorted_for,
     "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "stopwords": q_stopwords,
     "quality": q_quality,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
@@ -512,6 +605,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "minhash_verified": q_minhash_verified,
     "cosine_neardup": q_cosine_neardup,
+    "multimodal_features": q_multimodal_features,
 }
 
 _SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "
@@ -631,6 +725,33 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
             ELSE o_orderkey END AS INT) AS tok
 FROM t WHERE c BETWEEN 1 AND 128
 """,
+    "fastset_for": """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey, o_orderkey) - 1 AS pos,
+         count(*) OVER (PARTITION BY o_custkey) AS c,
+         min(o_orderkey) OVER (PARTITION BY o_custkey) AS mn
+  FROM orders)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(pos AS INT) AS pos,
+       CAST(CASE WHEN pos = LEAST(50, c - 1) THEN mn
+            ELSE o_orderkey END AS INT) AS tok
+FROM t WHERE c BETWEEN 1 AND 128
+""",
+    "masked_d1": """
+WITH t AS (
+  SELECT o_custkey,
+         row_number() OVER w - 1 AS pos,
+         (o_orderkey - lag(o_orderkey, 1, 0) OVER w) % 256 AS dm
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(pos AS INT) AS pos,
+       CAST(sum(dm) OVER (PARTITION BY o_custkey ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS INT) AS tok
+FROM t
+""",
     "search_sorted": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS INT) AS n,
@@ -659,6 +780,29 @@ FROM documents GROUP BY md5(text)
 """,
     "token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+FROM documents
+""",
+    "bpe_token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+    "stopwords": """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','in','is','it','for','with',
+                       'on','that','this','was','are','be','as','at','by',
+                       'from','not','have','has','but','they','you')))
+            AS INT) AS n_stop
+FROM documents
+""",
+    "multimodal_features": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 4
+            ELSE LEAST(64, octet_length(encode(text))) END AS INT) AS frames
 FROM documents
 """,
     "quality": """
