@@ -192,6 +192,50 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(bad).collect()
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Cross-micro-batch state: a duplicate arriving in a LATER file (later
+    micro-batch, maxFilesPerTrigger=1) must be suppressed by the
+    applyInPandasWithState seen-hash state."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    b1 = [(str(i), f"text number {i}") for i in range(20)]
+    b2 = [("100", "text number 7"),      # dup of batch-1 doc 7 (other file)
+          ("101", "a brand new document")]
+    spark.createDataFrame(b1, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(b2, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.start_dedup_stream(spark, in_dir, out_dir, buckets=8)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out_dir}/data")
+    texts = [r["text"] for r in got.collect()]
+    assert len(texts) == 21                      # 20 + the new one, not 22
+    assert len(set(texts)) == 21
+    assert "a brand new document" in texts
+
+
+def test_streaming_windowed_token_rate(spark, tmp_path):
+    """Watermark + event-time window over a token stream."""
+    import datetime as dt
+    in_dir = str(tmp_path / "winin")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(f"d{i}", [1, 2, 3], 3, f"src{i % 2}",
+             base + dt.timedelta(seconds=30 * i)) for i in range(8)]
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "ts timestamp")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = streaming.windowed_token_rate(stream, "ts", "1 minute",
+                                        "2 minutes")
+    q = (agg.writeStream.format("memory").queryName("win_rate")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"].isoformat(), r["source"]): (r["tokens"], r["docs"])
+           for r in spark.sql("select * from win_rate").collect()}
+    # 8 docs × 30s = 4 one-minute windows × 2 sources, 1 doc each
+    assert len(got) == 8
+    assert all(v == (3, 1) for v in got.values())
+
+
 def test_streaming_encode(spark, tmp_path):
     in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
     df = fixtures.unit_table(spark).limit(50).cache()
