@@ -117,9 +117,12 @@ class DictCodec(Codec):
                                   "plain")
         codes = blocks.decode_flat(lens, wc, np.zeros(0, U32), pc, pc_lens,
                                    "plain")
-        dict_off = np.cumsum(n_dict) - n_dict
-        row_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
-        return uniq[dict_off[row_of] + codes.astype(np.int64)]
+        # final gather with uint32 index math: per-batch token counts fit
+        # u32, and halving the index-temporary width halves DRAM traffic on
+        # the memory-bound decode path
+        dict_off = (np.cumsum(n_dict) - n_dict).astype(U32)
+        idx = codes + np.repeat(dict_off, lens)
+        return np.take(uniq, idx)
 
     def payload_sizes_flat(self, flat, lens):
         flat = np.ascontiguousarray(flat, dtype=U32)
