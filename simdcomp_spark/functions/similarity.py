@@ -87,6 +87,73 @@ def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
     return ann_topk_bruteforce(cand, query, k, col)
 
 
+def _kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
+                seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (numpy).
+    Returns L2-normalized centroids (n_clusters, dim)."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=min(n_clusters, x.shape[0]),
+                        replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               col: str = "embedding") -> DataFrame:
+    """Add the IVF coarse-quantizer cell id (argmax-cosine centroid).
+    Arrow-batched mapInPandas: one matmul per batch against the broadcast
+    centroid matrix — at 100 TB this is a narrow scan-side map, and the
+    cell id becomes a partition/cluster key the storage layout can use for
+    pruning (Parquet row-group stats / partition dirs on ivf_cell)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    cent = centroids  # closure-captured; ~n_clusters×dim floats per worker
+    # fresh StructType — StructType.add would mutate df's cached schema
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("ivf_cell", IntegerType())])
+
+    def assign(it):
+        for pdf in it:
+            mat = np.stack([np.asarray(e, dtype=np.float64)
+                            for e in pdf[col]])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = pdf.copy()
+            out["ivf_cell"] = np.argmax(mat @ cent.T, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ann_topk_ivf(df: DataFrame, query: list[float], k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4,
+                 col: str = "embedding", sample_rows: int = 4096,
+                 seed: int = 7) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer fit on a bounded
+    driver-side sample, rows assigned to cells with a vectorized pandas
+    UDF, then only the ``nprobe`` cells nearest the query are scanned and
+    exactly reranked (TakeOrderedAndProject).  The probe filter is a scan
+    predicate on the cell id — at scale it prunes (1 - nprobe/n_clusters)
+    of the data before any full dot product."""
+    sample = np.asarray(
+        [r[0] for r in df.select(col).limit(sample_rows).collect()],
+        dtype=np.float64)
+    cent = _kmeans_fit(sample, n_clusters, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ q))[:nprobe].tolist()
+    cells = ivf_assign(df, cent, col)
+    cand = cells.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    return ann_topk_bruteforce(cand.drop("ivf_cell"), query, k, col)
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          bits: int = 16, col: str = "embedding",
                          seed: int = 7) -> DataFrame:

@@ -553,6 +553,15 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(df, qvec, k=10, bits=12, probe_hamming=2)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (coarse k-means quantizer + nprobe cell pruning +
+    exact rerank) — the scale path alongside the LSH variant."""
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_ivf(df, qvec, k=10, n_clusters=16, nprobe=6)
+
+
 def q_minhash_verified(spark, sf_dir):
     """Two-stage near-dup: LSH candidates + exact shingle-Jaccard verify on
     only the candidate pairs (the corpus-scale dedup plan)."""
@@ -603,6 +612,7 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "minhash_verified": q_minhash_verified,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,

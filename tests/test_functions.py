@@ -163,6 +163,25 @@ def test_ann_lsh_recall(spark):
     assert all(r["vec_id"] < 20 for r in top)  # all hits from the near cluster
 
 
+def test_ann_ivf_recall(spark):
+    """IVF with nprobe=n_clusters is exhaustive → exact top-k; with fewer
+    probes it keeps high recall on the true neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    exact = [r["vec_id"] for r in
+             similarity.ann_topk_bruteforce(emb, q, k=10).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ann_topk_ivf(emb, q, k=10, n_clusters=8,
+                                    nprobe=8).collect()]
+    assert full == exact                      # all cells probed == exact
+    approx = {r["vec_id"] for r in
+              similarity.ann_topk_ivf(emb, q, k=10, n_clusters=8,
+                                      nprobe=3).collect()}
+    assert 0 in approx                        # query vector finds itself
+    assert len(approx & set(exact)) >= 5      # decent recall at nprobe=3
+
+
 def test_cosine_neardup_pairs(spark):
     rng = np.random.default_rng(5)
     v = rng.standard_normal(16)

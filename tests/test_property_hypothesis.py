@@ -1,0 +1,57 @@
+"""Hypothesis property tests for the codec core — randomized complements to
+the fixed sweeps in test_kernels.py (the reference's own strategy is
+property-based round-trip, tests/unit.c)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from simdcomp_spark import blocks, kernels as K
+
+
+@st.composite
+def arr_and_width(draw):
+    bit = draw(st.integers(min_value=0, max_value=32))
+    n = draw(st.integers(min_value=0, max_value=1200))
+    seed = draw(st.integers(min_value=0, max_value=2**31))
+    rng = np.random.default_rng(seed)
+    mask = np.uint32(0xFFFFFFFF if bit == 32 else (1 << bit) - 1)
+    return bit, rng.integers(0, 2**32, size=n, dtype=np.uint32) & mask
+
+
+@settings(max_examples=60, deadline=None)
+@given(arr_and_width())
+def test_pack_unpack_roundtrip_property(aw):
+    bit, arr = aw
+    packed = K.simdpack_length(arr, bit)
+    nfull, tail = arr.size // 128, arr.size % 128
+    assert len(packed) == nfull * K.compressed_bytes(128, bit) \
+        + (K.compressed_bytes(tail, bit) if tail else 0)
+    assert (K.simdunpack_length(packed, arr.size, bit) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31), st.integers(1, 900), st.integers(0, 2**32 - 1))
+def test_d1_search_select_property(seed, n, key):
+    rng = np.random.default_rng(seed)
+    row = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    lens = np.asarray([n])
+    enc = blocks.encode_flat(row, lens, "d1")
+    idx = blocks.search_sorted_flat(lens, enc.widths, enc.inits,
+                                    enc.payload, enc.payload_lens, key)
+    assert idx[0] == np.searchsorted(row, np.uint32(key), "left")
+    slot = int(rng.integers(0, n))
+    val = blocks.select_flat(lens, enc.widths, enc.inits, enc.payload,
+                             enc.payload_lens, np.asarray([slot]), "d1")
+    assert val[0] == row[slot]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31), st.integers(1, 900), st.integers(0, 2**32 - 1))
+def test_for_search_property(seed, n, key):
+    rng = np.random.default_rng(seed)
+    row = np.sort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    lens = np.asarray([n])
+    enc = blocks.encode_flat(row, lens, "for")
+    idx = blocks.search_sorted_for_flat(lens, enc.widths, enc.inits,
+                                        enc.payload, enc.payload_lens, key)
+    assert idx[0] == np.searchsorted(row, np.uint32(key), "left")
