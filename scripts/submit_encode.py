@@ -51,8 +51,11 @@ def main() -> int:
     print(json.dumps(summary))
 
     if args.verify:
-        enc = manifest.read_encoded(spark, args.output) \
-            .dropDuplicates(["doc_id", "seg_id"])
+        # no dropDuplicates: the staged-write resume protocol guarantees a
+        # duplicate-free table, and verification must DETECT a violation of
+        # that guarantee (decode reassembly would concatenate duplicated
+        # segments and mismatch), not mask it
+        enc = manifest.read_encoded(spark, args.output)
         bad = engine.verify_roundtrip(df, engine.decode(enc))
         print(json.dumps({"roundtrip_mismatches": bad}))
         return 1 if bad else 0
