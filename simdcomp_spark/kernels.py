@@ -151,6 +151,15 @@ def pack_lanes(vals: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
     if mask:
         vals = vals & U32((1 << bit) - 1)
     nwords = (rows * bit + 31) // 32
+    if bit in (8, 16) and rows % (32 // bit) == 0:
+        # aligned widths: the interleaved layout degenerates to a pure
+        # byte/short transpose — no shifting at all (same bytes as the
+        # general recurrence; golden tests pin this)
+        group = 32 // bit
+        dt = np.uint8 if bit == 8 else np.uint16
+        arr = vals.astype(dt).reshape(nblk, nwords, group, 4)
+        return np.ascontiguousarray(
+            arr.transpose(0, 1, 3, 2)).view(U32).reshape(nblk, nwords, 4)
     out = np.zeros((nblk, nwords, 4), dtype=U32)
     for k in range(rows):
         off = k * bit
@@ -171,6 +180,13 @@ def unpack_lanes(words: np.ndarray, rows: int, bit: int) -> np.ndarray:
     assert 0 < bit < 32, bit
     words = np.ascontiguousarray(words, dtype=U32)
     nblk = words.shape[0]
+    if bit in (8, 16) and rows % (32 // bit) == 0:
+        group = 32 // bit
+        dt = np.uint8 if bit == 8 else np.uint16
+        arr = words.view(dt).reshape(nblk, -1, 4, group)
+        return np.ascontiguousarray(
+            arr.transpose(0, 1, 3, 2)).reshape(nblk, -1, 4)[:, :rows] \
+            .astype(U32)
     out = np.empty((nblk, rows, 4), dtype=U32)
     m = U32((1 << bit) - 1)
     for k in range(rows):
