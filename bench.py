@@ -199,6 +199,11 @@ def run_bench() -> dict:
     }
     out.update({k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in extras.items()})
+    scaling_file = Path("/root/repo/.benchdata/scaling.json")
+    if scaling_file.is_file():
+        # attach the (clearly labeled) pre-measured scaling campaign so the
+        # per-round bench record carries the north-rule evidence
+        out["scaling_evidence"] = json.loads(scaling_file.read_text())
     return out
 
 
