@@ -432,6 +432,45 @@ def q_masked_d1(spark, sf_dir):
     return tok.mapInPandas(f, schema="o_custkey long, pos int, tok int")
 
 
+def q_fastset_d1(spark, sf_dir):
+    """simdfastsetd1 (SURVEY §2.4 #29,
+    src/simdintegratedbitpacking.c:25339-25357): in-place point write into a
+    d1 block, adjusting the target delta (and the following one when it
+    exists).  Setting the LAST element to its predecessor's value makes the
+    new delta 0 — always within any width — so the write is exercised on
+    every row; the full decode must show exactly that one change."""
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok = tok.where(F.col("n_tok").between(1, 128))
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    from . import codecs as C
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            keys, poss, toks = [], [], []
+            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
+                                         pdf["widths"], pdf["inits"],
+                                         pdf["payload"]):
+                n = int(n)
+                b = int(np.frombuffer(w, np.uint8)[0])
+                init = int(np.frombuffer(ini, np.uint32)[0])
+                prev = K.select_d1(init, bytes(p), b, n - 2, n) if n > 1 \
+                    else (init & 0xFFFFFFFF)
+                buf = bytearray(p)
+                K.fastset_d1(buf, init, b, prev, n - 1, n)
+                back = C.get("d1").decode_rows(
+                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
+                keys.extend([int(did)] * n)
+                poss.extend(range(n))
+                toks.extend(back.view(np.int32))
+            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+
+
 def q_search_sorted_for(spark, sf_dir):
     """Multi-block FOR lower-bound search (engine-level
     simdsearchwithlengthFOR, SURVEY §2.3 #20 across blocks): zone map =
@@ -596,6 +635,7 @@ QUERIES = {
     "masked_d1": q_masked_d1,
     "fastset": q_fastset,
     "fastset_for": q_fastset_for,
+    "fastset_d1": q_fastset_d1,
     "search_sorted": q_search_sorted,
     "search_sorted_for": q_search_sorted_for,
     "encoded_dedup": q_encoded_dedup,
@@ -747,6 +787,19 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(pos AS INT) AS pos,
        CAST(CASE WHEN pos = LEAST(50, c - 1) THEN mn
             ELSE o_orderkey END AS INT) AS tok
+FROM t WHERE c BETWEEN 1 AND 128
+""",
+    "fastset_d1": """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w - 1 AS pos,
+         count(*) OVER (PARTITION BY o_custkey) AS c,
+         lag(o_orderkey, 1, 0) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(pos AS INT) AS pos,
+       CAST(CASE WHEN pos = c - 1 THEN prev ELSE o_orderkey END AS INT) AS tok
 FROM t WHERE c BETWEEN 1 AND 128
 """,
     "masked_d1": """
