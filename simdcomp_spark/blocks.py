@@ -120,9 +120,9 @@ def encode_flat(flat: np.ndarray, lens: np.ndarray, mode: str) -> EncodedFlat:
             widths[sel] = K.bits_u32(mat.max(axis=1) - mn).astype(np.uint8)
             vals = mat - mn[:, None]
         else:  # d1
-            vals = mat.copy()
-            vals[:, 1:] = mat[:, 1:] - mat[:, :-1]
-            vals[:, 0] = mat[:, 0] - inits[sel]
+            vals = np.empty_like(mat)
+            np.subtract(mat[:, 1:], mat[:, :-1], out=vals[:, 1:])
+            np.subtract(mat[:, 0], inits[sel], out=vals[:, 0])
             widths[sel] = K.maxbits_rows(vals).astype(np.uint8)
         group_cache.append((sel, vals, blen))
 
