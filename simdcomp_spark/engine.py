@@ -550,6 +550,61 @@ def search_sorted(df_encoded: DataFrame, key: int) -> DataFrame:
     return src.mapInArrow(fn, schema="doc_id string, seg_id int, n_tok int, idx int")
 
 
+def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
+    """Per-row (min, max) of SORTED encoded rows WITHOUT decoding: min is
+    element 0 and max is element n-1, each answered by a single-block
+    compressed-domain select (blocks.select_flat) — the engine-level analog
+    of ``simdmaxmin`` (/root/reference/src/simdcomputil.c:95-156) running
+    on zone-map probes instead of a scan.  Works for the d1 and FOR
+    families (sorted rows).  Returns (doc_id, seg_id, n_tok, min_tok,
+    max_tok); empty rows are dropped."""
+    cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
+            "payload"]
+    src = df_encoded.select(*cols)
+
+    def fn(it):
+        from . import blocks as B
+        from .kernels import multi_arange
+        for batch in it:
+            n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_np = batch.column(3).to_numpy(zero_copy_only=False)
+            wf, wl = _binary_to_flat(batch.column(4))
+            inf, il = _binary_to_flat(batch.column(5))
+            pf, pl = _binary_to_flat(batch.column(6))
+            vsel = np.nonzero(n_toks > 0)[0]
+            mn = np.zeros(vsel.size, dtype=np.uint32)
+            mx = np.zeros(vsel.size, dtype=np.uint32)
+            pos_of = np.full(n_toks.size, -1, dtype=np.int64)
+            pos_of[vsel] = np.arange(vsel.size)
+            w_off = np.cumsum(wl) - wl
+            i_off = np.cumsum(il) - il
+            p_off = np.cumsum(pl) - pl
+            for name in np.unique(codec_np[vsel]) if vsel.size else []:
+                sel = vsel[codec_np[vsel] == name]
+                mode = _BLOCK_MODES[str(name)]
+                sub_w = wf[multi_arange(w_off[sel], wl[sel])]
+                sub_i = np.ascontiguousarray(
+                    inf[multi_arange(i_off[sel], il[sel])]).view(np.uint32)
+                sub_p = pf[multi_arange(p_off[sel], pl[sel])]
+                args = (n_toks[sel], sub_w, sub_i, sub_p, pl[sel])
+                mn[pos_of[sel]] = B.select_flat(
+                    *args, np.zeros(sel.size, np.int64), mode)
+                mx[pos_of[sel]] = B.select_flat(
+                    *args, n_toks[sel] - 1, mode)
+            take = pa.array(vsel, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(take),
+                 batch.column(1).take(take).cast(pa.int32()),
+                 pa.array(n_toks[vsel].astype(np.int32)),
+                 pa.array(mn.view(np.int32)), pa.array(mx.view(np.int32))],
+                names=["doc_id", "seg_id", "n_tok", "min_tok", "max_tok"])
+
+    return src.mapInArrow(
+        fn, schema="doc_id string, seg_id int, n_tok int, "
+                   "min_tok int, max_tok int")
+
+
 def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
     """Exact duplicate detection WITHOUT decoding: for a fixed codec the
     encode is a deterministic bijection per row, so equal

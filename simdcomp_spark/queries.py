@@ -486,6 +486,20 @@ def q_search_sorted_for(spark, sf_dir):
                       F.col("idx").cast("int").alias("idx"))
 
 
+def q_minmax_encoded(spark, sf_dir):
+    """Compressed-domain min/max (engine-level simdmaxmin on zone-map
+    probes): element 0 and element n-1 of each sorted d1 row via
+    single-block selects — no row is ever decoded."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    out = engine.minmax_sorted(enc)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("min_tok").cast("int").alias("min_tok"),
+                      F.col("max_tok").cast("int").alias("max_tok"),
+                      F.col("n_tok").cast("int").alias("n_tok"))
+
+
 def q_encoded_dedup(spark, sf_dir):
     """Exact dedup in the COMPRESSED domain (no decode): histogram of
     duplicate-group sizes of per-order sorted quantity sequences."""
@@ -638,6 +652,7 @@ QUERIES = {
     "fastset_d1": q_fastset_d1,
     "search_sorted": q_search_sorted,
     "search_sorted_for": q_search_sorted_for,
+    "minmax_encoded": q_minmax_encoded,
     "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
@@ -715,6 +730,13 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM b GROUP BY user_id
 """,
     "minmax_decoded": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(event_id) AS INT) AS min_tok,
+       CAST(max(event_id) AS INT) AS max_tok,
+       CAST(count(*) AS INT) AS n_tok
+FROM events GROUP BY user_id
+""",
+    "minmax_encoded": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(min(event_id) AS INT) AS min_tok,
        CAST(max(event_id) AS INT) AS max_tok,

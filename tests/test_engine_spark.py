@@ -178,6 +178,22 @@ def test_point_lookup_all_codecs(spark, unit_df):
             assert r["val"] == truth[r["doc_id"]][r["idx"]], (codec, r)
 
 
+def test_minmax_sorted_compressed_domain(spark, unit_df):
+    """Zone-map min/max without decode matches array_min/array_max on the
+    raw data, for both sorted-row families, incl. multi-block rows."""
+    sdf = unit_df.where(F.col("n_tok") > 0) \
+        .withColumn("tokens", F.array_sort("tokens"))
+    truth = {r["doc_id"]: (min(r["tokens"]), max(r["tokens"]))
+             for r in sdf.collect()}
+    for codec in ("d1", "for"):
+        enc = engine.encode(sdf, codec=codec, split_threshold=None)
+        rows = engine.minmax_sorted(enc).collect()
+        assert len(rows) == len(truth)
+        for r in rows:
+            assert (r["min_tok"], r["max_tok"]) == truth[r["doc_id"]], \
+                (codec, r["doc_id"])
+
+
 def test_submit_job_script(spark, unit_df, tmp_path):
     """The spark-submit entry point end-to-end, incl. --verify."""
     import subprocess, sys, json as _json
