@@ -550,6 +550,46 @@ def search_sorted(df_encoded: DataFrame, key: int) -> DataFrame:
     return src.mapInArrow(fn, schema="doc_id string, seg_id int, n_tok int, idx int")
 
 
+def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Per-row count of values in ``[lo, hi)`` over SORTED encoded rows
+    WITHOUT decoding: two compressed-domain lower-bound probes per row
+    (count = lower_bound(hi) - lower_bound(lo)) in ONE narrow pass — at
+    most two blocks touched per row, one scan, no join/shuffle.
+    Returns (doc_id, seg_id, n_tok, n_in_range)."""
+    cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
+            "payload"]
+    src = df_encoded.select(*cols)
+
+    def fn(it):
+        from . import blocks as B
+        flat_search = {"d1": B.search_sorted_flat,
+                       "for": B.search_sorted_for_flat}
+        for batch in it:
+            n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_np = batch.column(3).to_numpy(zero_copy_only=False)
+            names = np.unique(codec_np)
+            assert all(str(n) in flat_search for n in names), \
+                "range_count requires a sorted-row family (d1/for)"
+            wf, _wl = _binary_to_flat(batch.column(4))
+            inf, _il = _binary_to_flat(batch.column(5))
+            pf, pl = _binary_to_flat(batch.column(6))
+            search = flat_search[str(names[0])] if names.size == 1 else None
+            assert search is not None, \
+                "mixed-codec batches: route through search_sorted twice"
+            inits_u32 = np.ascontiguousarray(inf).view(np.uint32)
+            idx_lo = search(n_toks, wf, inits_u32, pf, pl, lo)
+            idx_hi = search(n_toks, wf, inits_u32, pf, pl, hi)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1).cast(pa.int32()),
+                 pa.array(n_toks.astype(np.int32)),
+                 pa.array((idx_hi - idx_lo).astype(np.int32))],
+                names=["doc_id", "seg_id", "n_tok", "n_in_range"])
+
+    return src.mapInArrow(
+        fn, schema="doc_id string, seg_id int, n_tok int, n_in_range int")
+
+
 def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
     """Per-row (min, max) of SORTED encoded rows WITHOUT decoding: min is
     element 0 and max is element n-1, each answered by a single-block

@@ -500,6 +500,20 @@ def q_minmax_encoded(spark, sf_dir):
                       F.col("n_tok").cast("int").alias("n_tok"))
 
 
+def q_range_count(spark, sf_dir):
+    """Compressed-domain range count: events per user with id in
+    [2000, 6000), answered by two zone-map lower-bound probes per row —
+    no decode, one narrow pass."""
+    LO, HI = 2000, 6000
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    out = engine.range_count(enc, LO, HI)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("n_tok").cast("int").alias("n"),
+                      F.col("n_in_range").cast("int").alias("n_in_range"))
+
+
 def q_encoded_dedup(spark, sf_dir):
     """Exact dedup in the COMPRESSED domain (no decode): histogram of
     duplicate-group sizes of per-order sorted quantity sequences."""
@@ -653,6 +667,7 @@ QUERIES = {
     "search_sorted": q_search_sorted,
     "search_sorted_for": q_search_sorted_for,
     "minmax_encoded": q_minmax_encoded,
+    "range_count": q_range_count,
     "encoded_dedup": q_encoded_dedup,
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
@@ -847,6 +862,13 @@ FROM events GROUP BY user_id
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS INT) AS n,
        CAST(count(*) FILTER (WHERE event_id < 5000) AS INT) AS idx
+FROM events GROUP BY user_id
+""",
+    "range_count": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(*) FILTER (WHERE event_id >= 2000 AND event_id < 6000)
+            AS INT) AS n_in_range
 FROM events GROUP BY user_id
 """,
     "encoded_dedup": """
