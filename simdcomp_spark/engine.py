@@ -251,6 +251,8 @@ def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
     for f in files:
         for rg in range(pq.ParquetFile(f).num_row_groups):
             units.append((f, rg))
+    if not units:  # empty input dir → empty unit table, not a crash
+        return spark.createDataFrame([], "path string, rg int")
     return spark.createDataFrame(units, "path string, rg int") \
         .repartition(len(units))
 
