@@ -147,7 +147,7 @@ def pack_lanes(vals: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
     assert 0 < bit < 32, bit
     vals = np.ascontiguousarray(vals, dtype=U32)
     nblk, rows, lanes = vals.shape
-    assert lanes == 4
+    assert lanes in (4, 8, 16)  # SSE / AVX2 / AVX-512 interleave widths
     if mask:
         vals = vals & U32((1 << bit) - 1)
     nwords = (rows * bit + 31) // 32
@@ -157,10 +157,10 @@ def pack_lanes(vals: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
         # general recurrence; golden tests pin this)
         group = 32 // bit
         dt = np.uint8 if bit == 8 else np.uint16
-        arr = vals.astype(dt).reshape(nblk, nwords, group, 4)
+        arr = vals.astype(dt).reshape(nblk, nwords, group, lanes)
         return np.ascontiguousarray(
-            arr.transpose(0, 1, 3, 2)).view(U32).reshape(nblk, nwords, 4)
-    out = np.zeros((nblk, nwords, 4), dtype=U32)
+            arr.transpose(0, 1, 3, 2)).view(U32).reshape(nblk, nwords, lanes)
+    out = np.zeros((nblk, nwords, lanes), dtype=U32)
     for k in range(rows):
         off = k * bit
         w, s = off >> 5, off & 31
@@ -179,15 +179,15 @@ def unpack_lanes(words: np.ndarray, rows: int, bit: int) -> np.ndarray:
     """
     assert 0 < bit < 32, bit
     words = np.ascontiguousarray(words, dtype=U32)
-    nblk = words.shape[0]
+    nblk, _nw, lanes = words.shape
     if bit in (8, 16) and rows % (32 // bit) == 0:
         group = 32 // bit
         dt = np.uint8 if bit == 8 else np.uint16
-        arr = words.view(dt).reshape(nblk, -1, 4, group)
+        arr = words.view(dt).reshape(nblk, -1, lanes, group)
         return np.ascontiguousarray(
-            arr.transpose(0, 1, 3, 2)).reshape(nblk, -1, 4)[:, :rows] \
+            arr.transpose(0, 1, 3, 2)).reshape(nblk, -1, lanes)[:, :rows] \
             .astype(U32)
-    out = np.empty((nblk, rows, 4), dtype=U32)
+    out = np.empty((nblk, rows, lanes), dtype=U32)
     m = U32((1 << bit) - 1)
     for k in range(rows):
         off = k * bit
@@ -231,6 +231,75 @@ def unpack_blocks(packed: np.ndarray, n: int, bit: int) -> np.ndarray:
         return packed.view(U32).reshape(nblk, n)
     words = packed.view(U32).reshape(nblk, -1, 4)
     return unpack_lanes(words, (n + 3) // 4, bit)[:, :, :].reshape(nblk, -1)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# AVX2 / AVX-512 block families (reference §2.5 #30-#31): the SAME pack
+# recurrence over 8 / 16 interleaved lanes instead of 4 — a DIFFERENT wire
+# format from the SSE layout (include/avxbitpacking.h:20-31,
+# include/avx512bitpacking.h:20-33; generators scripts/avxpacking.py,
+# scripts/avx512packing.py).  The engine standardizes on the SSE format;
+# these exist for full export-surface parity and are pinned bit-identical
+# to the compiled reference via tests/golden/golden_avx.jsonl.
+# ---------------------------------------------------------------------------
+
+AVX_BLOCK = 256       # include/avxbitpacking.h:20
+AVX512_BLOCK = 512    # include/avx512bitpacking.h:20
+
+
+def _lane_pack(arr: np.ndarray, bit: int, lanes: int, mask: bool) -> bytes:
+    n = arr.size
+    if bit == 0:
+        return b""
+    if bit == 32:
+        return np.ascontiguousarray(arr, dtype=U32).tobytes()
+    vals = np.ascontiguousarray(arr, dtype=U32).reshape(1, n // lanes, lanes)
+    return pack_lanes(vals, bit, mask=mask).tobytes()
+
+
+def _lane_unpack(data: bytes, n: int, bit: int, lanes: int) -> np.ndarray:
+    if bit == 0:
+        return np.zeros(n, dtype=U32)
+    if bit == 32:
+        return np.frombuffer(data, dtype=U32, count=n).copy()
+    words = np.frombuffer(data, dtype=U32).reshape(1, -1, lanes)
+    return unpack_lanes(words, n // lanes, bit).reshape(-1)
+
+
+def avxmaxbits(block: np.ndarray) -> int:
+    """``avxmaxbits`` (src/avxbitpacking.c): maxbits over a 256-int block."""
+    assert block.size == AVX_BLOCK
+    return maxbits(block)
+
+
+def avxpack(block: np.ndarray, bit: int, mask: bool = False) -> bytes:
+    """``avxpackwithoutmask``/``avxpack`` (include/avxbitpacking.h:25-29):
+    one 256-int block at width ``bit`` in the 8-lane AVX2 wire layout."""
+    assert block.size == AVX_BLOCK
+    return _lane_pack(block, bit, 8, mask)
+
+
+def avxunpack(data: bytes, bit: int) -> np.ndarray:
+    """``avxunpack`` (include/avxbitpacking.h:31)."""
+    return _lane_unpack(data, AVX_BLOCK, bit, 8)
+
+
+def avx512maxbits(block: np.ndarray) -> int:
+    """``avx512maxbits`` (include/avx512bitpacking.h:21)."""
+    assert block.size == AVX512_BLOCK
+    return maxbits(block)
+
+
+def avx512pack(block: np.ndarray, bit: int, mask: bool = False) -> bytes:
+    """``avx512packwithoutmask``/``avx512pack``
+    (include/avx512bitpacking.h:23-30): 512-int block, 16-lane layout."""
+    assert block.size == AVX512_BLOCK
+    return _lane_pack(block, bit, 16, mask)
+
+
+def avx512unpack(data: bytes, bit: int) -> np.ndarray:
+    """``avx512unpack`` (include/avx512bitpacking.h:32)."""
+    return _lane_unpack(data, AVX512_BLOCK, bit, 16)
 
 
 # ---------------------------------------------------------------------------

@@ -321,6 +321,46 @@ def q_masked_pack(spark, sf_dir):
     return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
 
 
+def q_avx_roundtrip(spark, sf_dir):
+    """AVX2 + AVX-512 block families (SURVEY §2.5 #30-#31): each user's
+    event stream, zero-padded to the block size, packed in BOTH the 8-lane
+    (256-int) and 16-lane (512-int) wire layouts at the row's maxbits and
+    unpacked — both must reproduce the input (identity oracle).  Formats
+    are pinned bit-identical to the compiled reference in
+    tests/test_avx_golden.py; this query proves them end-to-end on real
+    table data."""
+    tok = tokens_table(spark, sf_dir, "events", "user_id",
+                       "event_id", "event_id", "events")
+
+    def f(it):
+        import pandas as pd
+        for pdf in it:
+            uids, poss, toks = [], [], []
+            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
+                b = K.maxbits(a)
+                outs = []
+                for blk_n, pack, unpack in (
+                        (K.AVX_BLOCK, K.avxpack, K.avxunpack),
+                        (K.AVX512_BLOCK, K.avx512pack, K.avx512unpack)):
+                    pad_n = -(-a.size // blk_n) * blk_n
+                    padded = np.zeros(pad_n, dtype=np.uint32)
+                    padded[:a.size] = a
+                    back = np.concatenate([
+                        unpack(pack(padded[o:o + blk_n], b), b)
+                        for o in range(0, pad_n, blk_n)])[:a.size]
+                    outs.append(back)
+                assert (outs[0] == outs[1]).all()
+                uids.extend([int(did)] * a.size)
+                poss.extend(range(a.size))
+                toks.extend(outs[0].view(np.int32))
+            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
+                                "pos": pd.Series(poss, dtype="int32"),
+                                "tok": pd.Series(toks, dtype="int32")})
+
+    return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
+
+
 def q_fastset(spark, sf_dir):
     """simdfastset (SURVEY §2.2 #14, src/simdbitpacking.c:14338-14368):
     in-place point write into the packed block — set position min(50, n-1)
@@ -661,6 +701,7 @@ QUERIES = {
     "search_for": q_search_for,
     "masked_pack": q_masked_pack,
     "masked_d1": q_masked_d1,
+    "avx_roundtrip": q_avx_roundtrip,
     "fastset": q_fastset,
     "fastset_for": q_fastset_for,
     "fastset_d1": q_fastset_d1,
@@ -791,6 +832,13 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(count(*) AS INT) AS n,
        CAST(count(*) FILTER (WHERE o_orderkey < 7500) AS INT) AS idx
 FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 1 AND 128
+""",
+    "avx_roundtrip": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id, event_id) - 1 AS INT) AS pos,
+       CAST(event_id AS INT) AS tok
+FROM events
 """,
     "masked_pack": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
