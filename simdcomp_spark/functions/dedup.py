@@ -168,6 +168,39 @@ def simhash(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_neardup_pairs(df: DataFrame, col: str = "text",
+                          max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
+    equal bit-slices and bucket-join on (band, slice) — by pigeonhole any
+    pair within hamming distance ``bands - 1`` shares at least one intact
+    band, so recall is GUARANTEED for ``max_hamming <= bands - 1`` (larger
+    distances degrade gracefully).  Candidates are then exact-filtered with
+    ``bit_count(xor)``.  The join key is a 16-bit slice + band id: at 100 TB
+    this shuffles 10 bytes/doc/band, never documents, and hot buckets are
+    bounded by how many docs genuinely share a slice.
+    Returns (doc_a, doc_b, hamming)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    sigs = simhash(df, col)
+    slices = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("simhash", b * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("slice"))
+            for b in range(bands)])).alias("bs"))
+    slices = slices.select("doc_id", "simhash", "bs.band", "bs.slice")
+    cand = (slices.alias("x").join(slices.alias("y"), ["band", "slice"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("x.simhash")
+                                .bitwiseXOR(F.col("y.simhash")))
+                    .alias("hamming"))
+            .distinct())
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
 def dedup_keep_first(df: DataFrame, col: str = "text") -> DataFrame:
     """Exact dedup that keeps the lowest doc_id per duplicate group."""
     w = Window.partitionBy(F.md5(F.col(col).cast("binary"))).orderBy("doc_id")

@@ -649,6 +649,11 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"),
+                                       max_hamming=3, bands=4)
+
+
 def q_fingerprint(spark, sf_dir):
     return textfn.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -721,6 +726,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "fingerprint": q_fingerprint,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

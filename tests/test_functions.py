@@ -105,6 +105,22 @@ def test_simhash_similar_docs_close(spark, docs):
     assert d01 < d04  # near-dup is closer in hamming space than unrelated
 
 
+def test_simhash_neardup_pairs(spark, docs):
+    """Identical docs are hamming-0 pairs; the banded join must find them,
+    and unrelated docs must not appear at a tight threshold."""
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert out.get((0, 3)) == 0            # exact dup → identical signature
+    assert (0, 4) not in out               # unrelated doc stays out
+    # recall guarantee: hamming <= bands-1 pairs always share a band
+    wide = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_neardup_pairs(
+                docs, max_hamming=63, bands=4).collect()}
+    for (a, b), h in wide.items():
+        if h <= 3:
+            assert (a, b) in out
+
+
 def test_lang_id_heuristic(spark, docs):
     out = {r["doc_id"]: r["lang_pred"] for r in textfn.lang_id(docs).collect()}
     assert out[0] == "en" and out[2] == "es"
