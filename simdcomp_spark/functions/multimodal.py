@@ -96,6 +96,44 @@ def extract_features(df: DataFrame, batch_pixels: int = 1 << 24,
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def resize(df: DataFrame, target: int = 32,
+           decoders: dict | None = None) -> DataFrame:
+    """Resize/downsample each media item's decoded signal to ``target``
+    samples (linear interpolation — for a real image decoder this is the
+    per-axis resample; the Arrow/UDF plumbing is identical).  Returns
+    (media_id, kind, resized array<float>, orig_len)."""
+    decoders = dict(_DECODERS if decoders is None else decoders)
+
+    def _dec(kind, payload):
+        fn = decoders.get(kind)
+        if fn is None:
+            raise NotImplementedError(f"no {kind!r} decoder registered")
+        return fn(payload, {})
+
+    def fn(it):
+        import pandas as pd
+        for pdf in it:
+            out_sig, out_len = [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                data = _dec(kind, bytes(payload)).astype(np.float32)
+                if data.size == 0:
+                    data = np.zeros(1, dtype=np.float32)
+                xs = np.linspace(0.0, data.size - 1, target)
+                out_sig.append(np.interp(
+                    xs, np.arange(data.size), data).astype(np.float32))
+                out_len.append(int(data.size))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "resized": out_sig,
+                "orig_len": pd.Series(out_len, dtype="int32"),
+            })
+
+    return df.mapInPandas(
+        fn, schema="media_id string, kind string, resized array<float>, "
+                   "orig_len int")
+
+
 def frame_sample(df: DataFrame, every_nth: int = 10,
                  decoders: dict | None = None) -> DataFrame:
     """Video-style frame sampling stub: keeps every Nth 'frame' of the

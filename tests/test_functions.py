@@ -220,6 +220,10 @@ def test_multimodal_plumbing(spark):
     assert {r["n_bytes"] for r in feats} == {100 + i for i in range(20)}
     frames = multimodal.frame_sample(df, every_nth=16)
     assert frames.count() > 0
+    resized = multimodal.resize(df, target=32).collect()
+    assert len(resized) == 20
+    assert all(len(r["resized"]) == 32 for r in resized)
+    assert all(r["orig_len"] > 0 for r in resized)
     # unknown kind raises the documented NotImplementedError
     bad = spark.createDataFrame([("x", "video", b"zz", "v", 0, 0, 0)],
                                 multimodal.MEDIA_SCHEMA)
