@@ -45,6 +45,45 @@ def test_d1_search_select_property(seed, n, key):
     assert val[0] == row[slot]
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31), st.integers(1, 40),
+       st.sampled_from(["bitpack", "for", "d1", "rle", "dict"]))
+def test_codec_roundtrip_property(seed, nrows, name):
+    from simdcomp_spark import codecs
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(0, 400, size=nrows).astype(np.int64)
+    flat = rng.integers(0, 2**32, size=int(lens.sum()), dtype=np.uint32)
+    if rng.integers(0, 2):  # half the cases: low-entropy, run-heavy data
+        flat %= np.uint32(17)
+    c = codecs.get(name)
+    e = c.encode_flat(flat, lens)
+    d = c.decode_flat(lens, e.widths, e.widths_lens, e.inits, e.inits_lens,
+                      e.payload, e.payload_lens)
+    assert (d == flat).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31), st.integers(1, 60))
+def test_fsst_roundtrip_property(seed, nrows):
+    from simdcomp_spark.codecs import fsst
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(nrows):
+        n = int(rng.integers(0, 300))
+        # random bytes incl. deliberate 0xFF runs (escape-marker collisions)
+        b = rng.integers(0, 256, size=n, dtype=np.uint8)
+        b[rng.random(n) < 0.05] = 255
+        docs.append(bytes(b))
+    table, encs = fsst.encode_batch(docs)
+    assert fsst.decode_batch(encs, table) == docs
+    row_lens = np.fromiter(map(len, encs), np.int64, count=len(encs))
+    codes = np.frombuffer(b"".join(encs), np.uint8)
+    flat, out_lens = table.decode_flat(codes, row_lens)
+    offs = np.concatenate(([0], np.cumsum(out_lens)))
+    buf = flat.tobytes()
+    assert [buf[offs[i]:offs[i + 1]] for i in range(len(docs))] == docs
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.integers(0, 2**31), st.integers(1, 900), st.integers(0, 2**32 - 1))
 def test_for_search_property(seed, n, key):
