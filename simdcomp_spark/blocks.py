@@ -386,7 +386,10 @@ def search_sorted_for_flat(lens: np.ndarray, widths: np.ndarray,
     # count of blocks j' (excluding block 0) with first[j'] < key, per row —
     # that IS the target block index j (see docstring)
     not_first = np.ones(row_id.size, dtype=bool)
-    not_first[row_first_block] = False
+    # rows with 0 blocks have row_first_block == the NEXT row's first block
+    # (or one past the end for a trailing empty row) — only mark rows that
+    # actually own a first block, else a trailing empty row indexes OOB
+    not_first[row_first_block[nblocks > 0]] = False
     lt = (inits < k32) & not_first
     j = np.add.reduceat(lt.astype(np.int64), row_first_block[ne])
 

@@ -564,6 +564,7 @@ def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
 
     def fn(it):
         from . import blocks as B
+        from .kernels import multi_arange
         flat_search = {"d1": B.search_sorted_flat,
                        "for": B.search_sorted_for_flat}
         for batch in it:
@@ -571,17 +572,36 @@ def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
                 .astype(np.int64)
             codec_np = batch.column(3).to_numpy(zero_copy_only=False)
             names = np.unique(codec_np)
-            assert all(str(n) in flat_search for n in names), \
-                "range_count requires a sorted-row family (d1/for)"
-            wf, _wl = _binary_to_flat(batch.column(4))
-            inf, _il = _binary_to_flat(batch.column(5))
+            bad = [str(n) for n in names if str(n) not in flat_search]
+            if bad:
+                raise ValueError(
+                    f"range_count requires a sorted-row family (d1/for), "
+                    f"got codec(s) {bad}")
+            wf, wl = _binary_to_flat(batch.column(4))
+            inf, il = _binary_to_flat(batch.column(5))
             pf, pl = _binary_to_flat(batch.column(6))
-            search = flat_search[str(names[0])] if names.size == 1 else None
-            assert search is not None, \
-                "mixed-codec batches: route through search_sorted twice"
-            inits_u32 = np.ascontiguousarray(inf).view(np.uint32)
-            idx_lo = search(n_toks, wf, inits_u32, pf, pl, lo)
-            idx_hi = search(n_toks, wf, inits_u32, pf, pl, hi)
+            if names.size == 1:
+                search = flat_search[str(names[0])]
+                inits_u32 = np.ascontiguousarray(inf).view(np.uint32)
+                idx_lo = search(n_toks, wf, inits_u32, pf, pl, lo)
+                idx_hi = search(n_toks, wf, inits_u32, pf, pl, hi)
+            else:  # mixed d1/for batch (post-shuffle): per-codec sub-gathers
+                idx_lo = np.zeros(n_toks.size, dtype=np.int64)
+                idx_hi = np.zeros(n_toks.size, dtype=np.int64)
+                w_off = np.cumsum(wl) - wl
+                i_off = np.cumsum(il) - il
+                p_off = np.cumsum(pl) - pl
+                for name in names:
+                    sel = np.nonzero(codec_np == name)[0]
+                    search = flat_search[str(name)]
+                    n_s = n_toks[sel]
+                    wf_s = wf[multi_arange(w_off[sel], wl[sel])]
+                    in_s = np.ascontiguousarray(
+                        inf[multi_arange(i_off[sel], il[sel])]) \
+                        .view(np.uint32)
+                    pf_s = pf[multi_arange(p_off[sel], pl[sel])]
+                    idx_lo[sel] = search(n_s, wf_s, in_s, pf_s, pl[sel], lo)
+                    idx_hi[sel] = search(n_s, wf_s, in_s, pf_s, pl[sel], hi)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1).cast(pa.int32()),
                  pa.array(n_toks.astype(np.int32)),

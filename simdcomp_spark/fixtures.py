@@ -98,8 +98,10 @@ def _gen_partition_rows_fast(start: int, count: int, seed: int, vocab: int,
     lens[(start + np.arange(count)) % 4096 == 0] = 80000
     tot = int(lens.sum())
     cdf = _zipf_cdf(vocab)
-    toks = np.searchsorted(cdf, rng.random(tot)).astype(np.uint32) \
-        .view(np.int32)
+    # float rounding can leave cdf[-1] slightly below a drawn uniform, which
+    # would return `vocab` (out of domain) — clip to the valid token range
+    toks = np.minimum(np.searchsorted(cdf, rng.random(tot)), vocab - 1) \
+        .astype(np.uint32).view(np.int32)
     offs = np.concatenate(([0], np.cumsum(lens)))
     return lens, toks, offs
 

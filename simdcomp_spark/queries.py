@@ -543,11 +543,17 @@ def q_minmax_encoded(spark, sf_dir):
 def q_range_count(spark, sf_dir):
     """Compressed-domain range count: events per user with id in
     [2000, 6000), answered by two zone-map lower-bound probes per row —
-    no decode, one narrow pass."""
+    no decode, one narrow pass.  Runs over a deliberately MIXED-codec
+    encoded table (half d1, half FOR, repartitioned so every batch mixes
+    both) to keep the post-shuffle per-codec routing covered."""
     LO, HI = 2000, 6000
     tok = tokens_table(spark, sf_dir, "events", "user_id",
                        "event_id", "event_id", "events")
-    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(tok.where(even), codec="d1", split_threshold=None)
+           .unionByName(engine.encode(tok.where(~even), codec="for",
+                                      split_threshold=None))
+           .repartition(8))
     out = engine.range_count(enc, LO, HI)
     return out.select(F.col("doc_id").cast("long").alias("user_id"),
                       F.col("n_tok").cast("int").alias("n"),

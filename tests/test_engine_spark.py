@@ -208,3 +208,30 @@ def test_submit_job_script(spark, unit_df, tmp_path):
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     assert _json.loads(lines[0])["encoded"] == 4
     assert _json.loads(lines[1])["roundtrip_mismatches"] == 0
+
+
+def test_range_count_mixed_codec_batches(spark, unit_df):
+    """range_count must route mixed d1/FOR batches per codec group (a
+    post-shuffle encoded table can interleave both sorted-row families)."""
+    sdf = unit_df.where(F.col("n_tok") > 0) \
+        .withColumn("tokens", F.array_sort("tokens")) \
+        .where(F.array_min("tokens") >= 0)  # signed sort == uint32 sort
+    truth = {r["doc_id"]: sum(2000 <= t < 60000 for t in r["tokens"])
+             for r in sdf.collect()}
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(sdf.where(even), codec="d1", split_threshold=None)
+           .unionByName(engine.encode(sdf.where(~even), codec="for",
+                                      split_threshold=None))
+           .repartition(2))
+    rows = engine.range_count(enc, 2000, 60000).collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r["n_in_range"] == truth[r["doc_id"]], r["doc_id"]
+
+
+def test_range_count_rejects_unsorted_family(spark, unit_df):
+    from pyspark.errors.exceptions.captured import PythonException
+    enc = engine.encode(unit_df.where(F.col("n_tok") > 0),
+                        codec="bitpack", split_threshold=None)
+    with pytest.raises(PythonException, match="sorted-row family"):
+        engine.range_count(enc, 0, 10).collect()

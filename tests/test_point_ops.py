@@ -111,3 +111,24 @@ def test_arrow_offset_overflow_raises():
         _binary_from_flat(np.zeros(1, dtype=np.uint8), lens)
     with pytest.raises(ValueError, match="int32 offset"):
         _list_from_flat(np.zeros(1, dtype=np.int32), lens)
+
+
+@pytest.mark.parametrize("mode", ["for", "d1"])
+def test_search_sorted_flat_trailing_empty_row(mode):
+    """Regression: a trailing 0-length row made row_first_block[-1] point
+    one past the per-block arrays; the FOR variant crashed with IndexError
+    (LENS puts its 0-length row first, which missed this)."""
+    rng = np.random.default_rng(23)
+    lens = np.array([300, 0, 5, 0])
+    rows = [np.sort(rng.integers(0, 2**31, size=n, dtype=np.uint32))
+            for n in lens]
+    flat = np.concatenate([r for r in rows if r.size]).astype(np.uint32)
+    enc = blocks.encode_flat(flat, lens, mode)
+    fn = blocks.search_sorted_flat if mode == "d1" \
+        else blocks.search_sorted_for_flat
+    for key in (0, 2**20, 2**30, 2**32 - 1):
+        idx = fn(lens, enc.widths, enc.inits, enc.payload,
+                 enc.payload_lens, key)
+        expect = np.array([np.searchsorted(r, np.uint32(key), "left")
+                           for r in rows])
+        assert (idx == expect).all(), key
