@@ -110,6 +110,55 @@ class SymbolTable:
         self._sym_mat = np.zeros((len(symbols) + 1, MAX_LEN), dtype=np.uint8)
         for i, s in enumerate(symbols):
             self._sym_mat[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        # encode side (the FSST paper's lookup shape, vectorized): a
+        # single-candidate hash table keyed on the first 3 bytes for symbols
+        # of length 3..8 (verified against the full window), a 64K direct
+        # LUT for 2-byte symbols, a 256 LUT for 1-byte symbols.  Windows are
+        # little-endian uint32 pairs (bytes i..i+3 and i+4..i+7), so no
+        # byteswaps and no uint64 anywhere.
+        HBITS = 13
+        self._hbits = HBITS
+        nslots = 1 << HBITS
+        self._lut1 = np.full(256, ESCAPE, dtype=np.uint8)
+        self._lut2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+        self._slot_len = np.zeros(nslots, dtype=np.uint8)
+        self._slot_code = np.zeros(nslots, dtype=np.uint8)
+        self._slot_val_lo = np.zeros(nslots, dtype=np.uint32)
+        self._slot_val_hi = np.zeros(nslots, dtype=np.uint32)
+        self._slot_mask_lo = np.zeros(nslots, dtype=np.uint32)
+        self._slot_mask_hi = np.zeros(nslots, dtype=np.uint32)
+        # lower code = higher training gain, so iterate in reverse: on a
+        # hash collision the higher-gain symbol ends up owning the slot
+        for code in range(len(symbols) - 1, -1, -1):
+            s = symbols[code]
+            L = len(s)
+            if L == 1:
+                self._lut1[s[0]] = code
+            elif L == 2:
+                self._lut2[s[0] | (s[1] << 8)] = code
+            else:
+                pad = s + b"\x00" * (MAX_LEN - L)
+                lo = int.from_bytes(pad[:4], "little")
+                hi = int.from_bytes(pad[4:], "little")
+                key3 = s[0] | (s[1] << 8) | (s[2] << 16)
+                h = ((key3 * 2654435761) & 0xFFFFFFFF) >> (32 - HBITS)
+                self._slot_len[h] = L
+                self._slot_code[h] = code
+                self._slot_val_lo[h] = lo
+                self._slot_val_hi[h] = hi
+                self._slot_mask_lo[h] = (1 << (8 * min(L, 4))) - 1
+                self._slot_mask_hi[h] = (1 << (8 * max(L - 4, 0))) - 1
+        # combined uint64 views + dense decode tables for the optional C
+        # kernel (simdcomp_spark.native); byte-identical semantics
+        self._slot_val64 = (self._slot_val_lo.astype(np.uint64)
+                            | (self._slot_val_hi.astype(np.uint64) << 32))
+        self._slot_mask64 = (self._slot_mask_lo.astype(np.uint64)
+                             | (self._slot_mask_hi.astype(np.uint64) << 32))
+        self._dec_mat256 = np.zeros((256, MAX_LEN), dtype=np.uint8)
+        self._dec_mat256[:len(symbols)] = self._sym_mat[:len(symbols)]
+        self._dec_len256 = np.zeros(256, dtype=np.uint8)
+        self._dec_len256[:len(symbols)] = \
+            self._sym_lens[:len(symbols)].astype(np.uint8)
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -130,10 +179,104 @@ class SymbolTable:
         return cls(syms)
 
     def encode(self, s: bytes) -> bytes:
-        # findall runs the tokenization fully in C; the join maps each token
-        # to its 1-byte code (or escape pair) via a pre-built lookup
-        lut = self._enc_lut
-        return b"".join([lut[tok] for tok in self._pat.findall(s)])
+        flat, _lens = self.encode_flat(
+            np.frombuffer(s, dtype=np.uint8),
+            np.asarray([len(s)], dtype=np.int64))
+        return flat.tobytes()
+
+    def encode_flat(self, buf: np.ndarray, row_lens: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encode MANY rows in one batched pass: ``buf`` is the concatenated
+        raw bytes, ``row_lens`` their lengths.  Returns (flat encoded uint8
+        buffer, encoded length per row).
+
+        Two vectorized stages replace the per-row regex loop:
+
+        1. match at EVERY position — little-endian uint32 window pairs, one
+           verified hash probe for symbols of length 3..8 (the FSST paper's
+           single-candidate lookup), direct LUTs for 2- and 1-byte symbols,
+           row-boundary aware via the remaining-bytes mask;
+        2. greedy chain resolution — a wavefront that advances ALL rows one
+           token per step (``pos += match_len[pos]``), so the Python-level
+           loop count is max-tokens-per-row, not total tokens."""
+        buf = np.ascontiguousarray(buf, dtype=np.uint8)
+        row_lens = np.asarray(row_lens, dtype=np.int64)
+        n = buf.size
+        if n == 0:
+            return np.zeros(0, np.uint8), np.zeros(row_lens.size, np.int64)
+        bounds = np.concatenate(([0], np.cumsum(row_lens)))
+        from .. import native
+        res = native.encode_flat(self, buf, bounds)
+        if res is not None:
+            return res
+        # --- stage 1: symbol match per position ---
+        # little-endian uint32 windows over buf padded to n+8: w_lo[i] =
+        # bytes i..i+3, and bytes i+4..i+7 are just w_lo[i+4] (a free view)
+        padded = np.zeros(n + MAX_LEN, dtype=np.uint8)
+        padded[:n] = buf
+        w_all = padded[:n + 4].astype(np.uint32)
+        tmp = np.empty(n + 4, dtype=np.uint32)
+        for k in (1, 2, 3):
+            np.copyto(tmp, padded[k:k + n + 4], casting="unsafe")
+            np.left_shift(tmp, np.uint32(8 * k), out=tmp)
+            np.bitwise_or(w_all, tmp, out=w_all)
+        w_lo = w_all[:n]
+        w_hi = w_all[4:4 + n]
+        # bytes remaining in the row at each position, saturated at 8
+        rem8 = np.minimum(
+            np.repeat(bounds[1:], row_lens) - np.arange(n, dtype=np.int64),
+            MAX_LEN).astype(np.uint8)
+        # 1-byte symbols (or escape) as the base layer
+        mcode = np.take(self._lut1, buf)
+        mlen = np.ones(n, dtype=np.uint8)
+        # 2-byte LUT (copyto-with-where: one fused pass, no index scatter)
+        c2 = np.take(self._lut2, (w_lo & np.uint32(0xFFFF)).astype(np.intp))
+        m2 = (c2 != ESCAPE) & (rem8 >= 2)
+        np.copyto(mcode, c2, where=m2)
+        np.copyto(mlen, np.uint8(2), where=m2)
+        # 3..8-byte verified hash probe
+        h = (w_lo & np.uint32(0xFFFFFF)) * np.uint32(2654435761)
+        np.right_shift(h, np.uint32(32 - self._hbits), out=h)
+        hp = h.astype(np.intp)
+        slen = np.take(self._slot_len, hp)
+        ok = (np.take(self._slot_val_lo, hp)
+              == (w_lo & np.take(self._slot_mask_lo, hp)))
+        ok &= (np.take(self._slot_val_hi, hp)
+               == (w_hi & np.take(self._slot_mask_hi, hp)))
+        ok &= (slen >= 3) & (slen <= rem8)
+        np.copyto(mcode, np.take(self._slot_code, hp), where=ok)
+        np.copyto(mlen, slen, where=ok)
+        # --- stage 2: wavefront greedy chain across all rows ---
+        visited = np.zeros(n, dtype=bool)
+        pos = bounds[:-1].copy()
+        end = bounds[1:]
+        alive = np.nonzero(pos < end)[0]
+        pos, end = pos[alive], end[alive]
+        while pos.size:
+            visited[pos] = True
+            pos = pos + np.take(mlen, pos)
+            keep = pos < end
+            if not keep.all():
+                pos, end = pos[keep], end[keep]
+        # --- emit: repeat+gather only (no integer-index scatters, which are
+        # pathologically slow on this numpy) ---
+        kept = np.nonzero(visited)[0]
+        tok_codes = np.take(mcode, kept)
+        lit = np.take(buf, kept)            # literal byte per token (escapes)
+        is_esc = tok_codes == ESCAPE
+        out_per_tok = np.where(is_esc, 2, 1).astype(np.int64)
+        src = np.repeat(np.arange(kept.size, dtype=np.int64), out_per_tok)
+        first = np.ones(src.size, dtype=bool)
+        first[1:] = src[1:] != src[:-1]
+        out = np.where(first, np.take(tok_codes, src), np.take(lit, src))
+        # per-row encoded lengths: cumsum of per-position contributions
+        contrib = np.where(visited,
+                           np.where(mcode == ESCAPE, np.int64(2),
+                                    np.int64(1)),
+                           np.int64(0))
+        ccum = np.concatenate(([0], np.cumsum(contrib)))
+        out_lens = ccum[bounds[1:]] - ccum[bounds[:-1]]
+        return out, out_lens
 
     def decode_flat(self, codes: np.ndarray, row_lens: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
@@ -152,6 +295,11 @@ class SymbolTable:
         n = codes.size
         if n == 0:
             return np.zeros(0, np.uint8), np.zeros(row_lens.size, np.int64)
+        from .. import native
+        res = native.decode_flat(
+            self, codes, np.concatenate(([0], np.cumsum(row_lens))))
+        if res is not None:
+            return res
         is255 = codes == ESCAPE
         idx = np.arange(n, dtype=np.int64)
         if is255.any():
@@ -196,7 +344,13 @@ def encode_batch(strings: list[bytes], table: SymbolTable | None = None
                  ) -> tuple[SymbolTable, list[bytes]]:
     if table is None:
         table = SymbolTable(train(strings))
-    return table, [table.encode(s) for s in strings]
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64,
+                       count=len(strings))
+    flat = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    out, out_lens = table.encode_flat(flat, lens)
+    obuf = out.tobytes()
+    offs = np.concatenate(([0], np.cumsum(out_lens)))
+    return table, [obuf[offs[i]:offs[i + 1]] for i in range(lens.size)]
 
 
 def decode_batch(encs: list[bytes], table: SymbolTable) -> list[bytes]:

@@ -34,7 +34,14 @@ def fsst_encode(df: DataFrame, col: str, out_col: str | None = None,
             if table is None:
                 table = fsst.SymbolTable(fsst.train(raw[:sample_rows]))
                 tbytes = table.serialize()
-            encs = [table.encode(s) for s in raw]
+            # one flat batched tokenization for the whole Arrow batch
+            lens = np.fromiter((len(s) for s in raw), dtype=np.int64,
+                               count=len(raw))
+            flat = np.frombuffer(b"".join(raw), dtype=np.uint8)
+            out, out_lens = table.encode_flat(flat, lens)
+            obuf = out.tobytes()
+            offs = np.concatenate(([0], np.cumsum(out_lens)))
+            encs = [obuf[offs[i]:offs[i + 1]] for i in range(lens.size)]
             out = pdf.drop(columns=[col]).copy()
             out[out_col] = encs
             out["fsst_table"] = [tbytes] * len(pdf)

@@ -169,3 +169,37 @@ def test_fsst_roundtrip():
     t2 = fsst.SymbolTable.deserialize(table.serialize())
     assert fsst.decode_batch(encs, t2) == strings
     assert [t2.encode(s) for s in strings] == encs
+
+
+def test_fsst_native_numpy_identical():
+    """The optional C kernel and the batched-numpy path must produce
+    byte-identical encodes and decodes from the same tables."""
+    import os
+    import numpy as np
+    from simdcomp_spark import native
+
+    rng = np.random.default_rng(99)
+    docs = [bytes(rng.integers(97, 123, size=int(n)).astype(np.uint8))
+            for n in rng.integers(0, 400, size=200)]
+    docs += [b"", b"\xff" * 9, bytes(range(256)), b"\xff\xff\x00"]
+    table = fsst.SymbolTable(fsst.train(docs[:64]))
+    flat = np.frombuffer(b"".join(docs), np.uint8)
+    lens = np.fromiter(map(len, docs), np.int64, count=len(docs))
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    c = native.encode_flat(table, flat, bounds)
+    if c is None:
+        import pytest
+        pytest.skip("no C toolchain: numpy fallback is the only path")
+    os.environ["SIMDCOMP_NO_NATIVE"] = "1"
+    native._lib, native._tried = None, False
+    try:
+        np_out, np_lens = table.encode_flat(flat, lens)
+        assert np.array_equal(c[0], np_out) and np.array_equal(c[1], np_lens)
+        np_dec, np_dl = table.decode_flat(np_out, np_lens)
+    finally:
+        del os.environ["SIMDCOMP_NO_NATIVE"]
+        native._lib, native._tried = None, False
+    cd = native.decode_flat(table, c[0], np.concatenate(([0],
+                                                         np.cumsum(c[1]))))
+    assert np.array_equal(cd[0], np_dec) and np.array_equal(cd[1], np_dl)
+    assert np.array_equal(cd[0], flat) and np.array_equal(cd[1], lens)
