@@ -132,20 +132,72 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     return df.mapInPandas(assign, schema=schema)
 
 
+def _ivf_sample(df: DataFrame, col: str, sample_rows: int,
+                id_col: str = "vec_id") -> np.ndarray:
+    """Bounded pseudo-random sample for centroid fitting WITHOUT a global
+    sort: order by xxhash64(id) and limit — plans as TakeOrderedAndProject
+    (per-task top-k, driver merges k·P rows), deterministic, and unbiased
+    w.r.t. storage order (hash order ≠ write order)."""
+    rows = (df.select(F.col(col).alias("e"),
+                      F.xxhash64(F.col(id_col)).alias("h"))
+            .orderBy("h").limit(sample_rows).collect())
+    if not rows:
+        raise ValueError("IVF: cannot fit centroids on an empty input")
+    return np.asarray([r["e"] for r in rows], dtype=np.float64)
+
+
+def ivf_build(df: DataFrame, path: str, n_clusters: int = 16,
+              col: str = "embedding", sample_rows: int = 4096,
+              seed: int = 7) -> np.ndarray:
+    """OFFLINE IVF index build (run once, amortized over every query):
+    fit the spherical-k-means coarse quantizer on a bounded random sample,
+    assign each row its cell in one narrow scan-side map, and write the
+    table PARTITIONED BY ivf_cell — the cell id becomes a storage partition
+    key, so a query's nprobe filter is partition pruning at the scan, not a
+    per-query recompute.  Centroids are stored alongside under
+    ``_ivf_meta`` (underscore-prefixed: invisible to table scans).
+    Returns the centroid matrix."""
+    cent = _kmeans_fit(_ivf_sample(df, col, sample_rows), n_clusters,
+                       seed=seed)
+    assigned = ivf_assign(df, cent, col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
+    return cent
+
+
+def ann_topk_ivf_indexed(spark, path: str, query: list[float], k: int = 10,
+                         nprobe: int = 4) -> DataFrame:
+    """Query path over an :func:`ivf_build` index: pick the ``nprobe``
+    cells nearest the query from the stored centroids, read ONLY those
+    partitions (``.explain()`` shows PartitionFilters on ivf_cell — no
+    full-table work of any kind), and exactly rerank the survivors."""
+    meta = spark.read.parquet(f"{path}/_ivf_meta").collect()
+    cent = np.zeros((len(meta), len(meta[0]["centroid"])))
+    for r in meta:
+        cent[r["cell"]] = r["centroid"]
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(c) for c in np.argsort(-(cent @ q))[:nprobe]]
+    df = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    return ann_topk_bruteforce(df.drop("ivf_cell"), query, k)
+
+
 def ann_topk_ivf(df: DataFrame, query: list[float], k: int = 10,
                  n_clusters: int = 16, nprobe: int = 4,
                  col: str = "embedding", sample_rows: int = 4096,
                  seed: int = 7) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer fit on a bounded
-    driver-side sample, rows assigned to cells with a vectorized pandas
-    UDF, then only the ``nprobe`` cells nearest the query are scanned and
-    exactly reranked (TakeOrderedAndProject).  The probe filter is a scan
-    predicate on the cell id — at scale it prunes (1 - nprobe/n_clusters)
-    of the data before any full dot product."""
-    sample = np.asarray(
-        [r[0] for r in df.select(col).limit(sample_rows).collect()],
-        dtype=np.float64)
-    cent = _kmeans_fit(sample, n_clusters, seed=seed)
+    """Ad-hoc (no prebuilt index) IVF approximate top-k: coarse quantizer
+    fit on a bounded random sample, rows assigned to cells in one
+    scan-side map, then only the ``nprobe`` nearest cells are exactly
+    reranked.  For repeated queries build the index once with
+    :func:`ivf_build` and use :func:`ann_topk_ivf_indexed` — there the
+    probe filter prunes at STORAGE level instead of re-assigning cells."""
+    cent = _kmeans_fit(_ivf_sample(df, col, sample_rows), n_clusters,
+                       seed=seed)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(cent @ q))[:nprobe].tolist()
@@ -155,18 +207,62 @@ def ann_topk_ivf(df: DataFrame, query: list[float], k: int = 10,
 
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
-                         bits: int = 16, col: str = "embedding",
-                         seed: int = 7) -> DataFrame:
-    """Near-duplicate vector pairs: LSH-bucket join (exact-signature match)
-    then exact cosine filter.  Returns (vec_a, vec_b, sim)."""
+                         bands: int = 6, rbits: int = 6,
+                         col: str = "embedding", seed: int = 7,
+                         max_bucket: int | None = 64) -> DataFrame:
+    """Near-duplicate vector pairs via BANDED random-hyperplane LSH.
+
+    The corpus-scale shape (mirrors ``minhash_lsh_candidates``):
+
+    1. each vector gets ``bands`` short signatures of ``rbits`` hyperplane
+       bits; a pair is a candidate if ANY band matches exactly — recall for
+       cosine ≥ t is 1-(1-p^rbits)^bands with p = 1 - arccos(t)/π (≈0.95
+       for t=0.9 at 6×6), vs ≈0.08 for one 16-bit signature;
+    2. the bucket join shuffles ONLY (band, sig, vec_id) — never the
+       vectors; buckets larger than ``max_bucket`` are dropped (mass
+       duplicates belong to exact dedup, not the quadratic join);
+    3. candidate pairs are deduped across bands, then reranked with the
+       exact cosine by joining the two vec_ids back to the vectors.
+
+    Returns (vec_a, vec_b, sim) with sim ≥ threshold."""
     first = df.select(col).first()
     dim = len(first[0]) if first else 0
-    sigs = lsh_signature(df, dim, bits, col, seed).select(
-        "vec_id", F.col(col).alias("emb"), "lsh_sig")
-    j = (sigs.alias("x").join(sigs.alias("y"), "lsh_sig")
-         .where(F.col("x.vec_id") < F.col("y.vec_id")))
-    a, b = _as_double(F.col("x.emb")), _as_double(F.col("y.emb"))
-    sim = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-    return (j.select(F.col("x.vec_id").alias("vec_a"),
-                     F.col("y.vec_id").alias("vec_b"), sim.alias("sim"))
+    planes = _hyperplanes(dim, bands * rbits, seed)
+    e = _as_double(F.col(col))
+    band_sigs = []
+    for b in range(bands):
+        sig = F.lit(0).cast("long")
+        for r in range(rbits):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * rbits + r]])
+            sig = sig.bitwiseOR(
+                F.when(_dot(e, p) > 0,
+                       F.shiftleft(F.lit(1).cast("long"), r))
+                .otherwise(F.lit(0).cast("long")))
+        band_sigs.append(sig)
+    buckets = df.select(
+        "vec_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig"))
+    if max_bucket is not None:
+        keep = (buckets.groupBy("band", "sig")
+                .agg(F.count("*").alias("m"))
+                .where(F.col("m").between(2, max_bucket))
+                .select("band", "sig"))
+        buckets = buckets.join(keep, ["band", "sig"])
+    cand = (buckets.alias("x").join(buckets.alias("y"), ["band", "sig"])
+            .where(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("vec_a"),
+                    F.col("y.vec_id").alias("vec_b"))
+            .distinct())
+    vecs = df.select(F.col("vec_id"), _as_double(F.col(col)).alias("emb"),
+                     F.sqrt(_dot(_as_double(F.col(col)),
+                                 _as_double(F.col(col)))).alias("nrm"))
+    j = (cand
+         .join(vecs.select(F.col("vec_id").alias("vec_a"),
+                           F.col("emb").alias("emb_a"),
+                           F.col("nrm").alias("nrm_a")), "vec_a")
+         .join(vecs.select(F.col("vec_id").alias("vec_b"),
+                           F.col("emb").alias("emb_b"),
+                           F.col("nrm").alias("nrm_b")), "vec_b"))
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / \
+        (F.col("nrm_a") * F.col("nrm_b"))
+    return (j.select("vec_a", "vec_b", sim.alias("sim"))
             .where(F.col("sim") >= threshold))

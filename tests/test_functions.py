@@ -243,7 +243,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         .coalesce(1).write.mode("append").parquet(in_dir)
     spark.createDataFrame(b2, "doc_id string, text string") \
         .coalesce(1).write.mode("append").parquet(in_dir)
-    q = streaming.start_dedup_stream(spark, in_dir, out_dir, buckets=8)
+    q = streaming.start_dedup_stream(spark, in_dir, out_dir)
     q.awaitTermination(120)
     got = spark.read.parquet(f"{out_dir}/data")
     texts = [r["text"] for r in got.collect()]
@@ -284,3 +284,80 @@ def test_streaming_encode(spark, tmp_path):
     enc = spark.read.parquet(f"{out_dir}/data")
     dec = engine.decode(enc, reassemble=True)
     assert engine.verify_roundtrip(df, dec) == 0
+
+
+def test_cosine_neardup_recall_and_precision(spark):
+    """Planted near-dup pairs (cosine ≥ 0.9): banded LSH must recover most
+    of them (theory: ~0.95 recall at 6 bands × 6 bits), and the exact
+    rerank guarantees precision — every returned pair really is ≥ t."""
+    rng = np.random.default_rng(11)
+    dim, n_planted = 32, 40
+    vecs, truth = [], set()
+    for i in range(n_planted):
+        v = rng.standard_normal(dim)
+        w = v + 0.10 * rng.standard_normal(dim)   # cosine ≈ 0.98-0.995
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        vecs.append((2 * i, [float(x) for x in v], 0))
+        vecs.append((2 * i + 1, [float(x) for x in w], 0))
+        if cos >= 0.9:
+            truth.add((2 * i, 2 * i + 1))
+    vecs += [(1000 + i, [float(x) for x in rng.standard_normal(dim)], 0)
+             for i in range(300)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    got = {(r["vec_a"], r["vec_b"]): r["sim"]
+           for r in similarity.cosine_neardup_pairs(
+               df, threshold=0.9, bands=6, rbits=6, max_bucket=64).collect()}
+    by_id = {v[0]: np.asarray(v[1]) for v in vecs}
+    for (a, b), s in got.items():     # precision: exact rerank is exact
+        va, vb = by_id[a], by_id[b]
+        assert s >= 0.9
+        assert abs(s - va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))) < 1e-6
+    recall = len(truth & set(got)) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+
+
+def test_ann_ivf_indexed_partition_pruning(spark, tmp_path):
+    """ivf_build + ann_topk_ivf_indexed: exhaustive probing equals exact,
+    and the query plan prunes partitions on ivf_cell at the scan — no
+    full-table cell re-assignment per query."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build(emb, path, n_clusters=8)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    exact = [r["vec_id"] for r in
+             similarity.ann_topk_bruteforce(emb, q, k=10).collect()]
+    full = similarity.ann_topk_ivf_indexed(spark, path, q, k=10, nprobe=8)
+    assert [r["vec_id"] for r in full.collect()] == exact
+    approx = similarity.ann_topk_ivf_indexed(spark, path, q, k=10, nprobe=3)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    assert "mapInPandas" not in plan.lower()
+    got = {r["vec_id"] for r in approx.collect()}
+    assert 0 in got and len(got & set(exact)) >= 5
+
+
+def test_streaming_dedup_state_io_is_flat():
+    """An already-seen key must be read-only on the state store (no
+    state.update), so per-trigger state I/O stays O(batch) however long
+    the stream has run; a new key writes one boolean marker."""
+    import pandas as pd
+
+    class StubState:
+        def __init__(self, exists):
+            self.exists = exists
+            self.updates = []
+
+        def update(self, v):
+            self.updates.append(v)
+
+    pdfs = [pd.DataFrame({"doc_id": ["b", "a"], "text": ["t", "t"]})]
+    seen = StubState(exists=True)
+    out = list(streaming.dedup_first_fn(("h1",), iter(pdfs), seen))
+    assert seen.updates == []                 # duplicate: nothing written
+    assert sum(len(p) for p in out) == 0
+    new = StubState(exists=False)
+    out = list(streaming.dedup_first_fn(("h2",), iter(pdfs), new))
+    assert new.updates == [(True,)]           # one marker, once
+    assert [(r.doc_id, r.text) for _, r in out[0].iterrows()] == [("a", "t")]
