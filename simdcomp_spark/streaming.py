@@ -49,18 +49,44 @@ def start_encode_stream(spark: SparkSession, in_dir: str, out_dir: str,
     return writer.start()
 
 
+def dedup_first_fn(key, pdfs, state):
+    """Per-content-hash stateful dedup kernel: the grouping key IS the
+    content hash, the state a one-boolean marker.
+
+    Why keyed-by-hash and not hash-bucket sets: with a marker per distinct
+    hash the state store touches only the keys PRESENT in the trigger, so
+    per-trigger state I/O is O(batch) — flat in stream history — and an
+    existing key is read-only (no ``state.update`` at all).  A bucketed
+    seen-set would rewrite the whole (growing) set blob on every trigger
+    that touches the bucket.  Sharding across executors falls out of the
+    state store's own key partitioning.  Total state size is identical:
+    one entry per distinct document, the minimum for exact dedup.
+
+    Emits the minimum doc_id among the trigger's rows for a NEW hash
+    (deterministic under any partitioning); duplicates emit nothing and
+    write nothing."""
+    import pandas as pd
+    if state.exists:                 # seen before: no emit, NO state write
+        yield pd.DataFrame({"doc_id": [], "text": []})
+        return
+    best_doc, text = None, None
+    for pdf in pdfs:
+        if len(pdf):
+            m = pdf["doc_id"].min()
+            if best_doc is None or m < best_doc:
+                best_doc = m
+                text = pdf.loc[pdf["doc_id"] == m, "text"].iloc[0]
+    state.update((True,))
+    yield pd.DataFrame({"doc_id": [best_doc], "text": [text]})
+
+
 def start_dedup_stream(spark: SparkSession, in_dir: str, out_dir: str,
-                       checkpoint: str | None = None, buckets: int = 64,
+                       checkpoint: str | None = None,
                        max_files_per_trigger: int = 1,
                        schema: str = "doc_id string, text string"):
     """Streaming exact dedup: emit each distinct text's FIRST occurrence,
-    across micro-batches, via ``applyInPandasWithState``.
-
-    State = the set of seen content hashes per bucket; the grouping key is
-    ``pmod(xxhash64(text), buckets)`` so state is sharded evenly across
-    executors instead of keyed per-document (which would make every row its
-    own state entry).  At 100 TB the state size is one 32-byte hash per
-    DISTINCT document — the minimum any exact streaming dedup can hold."""
+    across micro-batches, via ``applyInPandasWithState`` keyed by content
+    hash (see :func:`dedup_first_fn` for the state-cost argument)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     checkpoint = checkpoint or str(Path(out_dir) / "_checkpoint")
@@ -69,25 +95,11 @@ def start_dedup_stream(spark: SparkSession, in_dir: str, out_dir: str,
               .parquet(in_dir))
     hashed = stream.select(
         "doc_id", "text",
-        F.md5(F.col("text").cast("binary")).alias("h"),
-        F.pmod(F.xxhash64("text"), F.lit(buckets)).alias("bucket"))
+        F.md5(F.col("text").cast("binary")).alias("h"))
 
-    def fn(key, pdfs, state):
-        import pandas as pd
-        seen = set(state.get[0]) if state.exists else set()
-        keep_doc, keep_text = [], []
-        for pdf in pdfs:
-            for doc, text, h in zip(pdf["doc_id"], pdf["text"], pdf["h"]):
-                if h not in seen:
-                    seen.add(h)
-                    keep_doc.append(doc)
-                    keep_text.append(text)
-        state.update((list(seen),))
-        yield pd.DataFrame({"doc_id": keep_doc, "text": keep_text})
-
-    out = (hashed.groupBy("bucket").applyInPandasWithState(
-        fn, outputStructType="doc_id string, text string",
-        stateStructType="seen array<string>", outputMode="append",
+    out = (hashed.groupBy("h").applyInPandasWithState(
+        dedup_first_fn, outputStructType="doc_id string, text string",
+        stateStructType="seen boolean", outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
     return (out.writeStream.format("parquet")
             .option("path", str(Path(out_dir) / "data"))
