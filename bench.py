@@ -134,10 +134,16 @@ def run_bench() -> dict:
     queries = {}
     extras: dict = {}
 
-    # headline: encode+decode throughput on the deterministic tokens table
-    with tempfile.TemporaryDirectory() as tmp:
-        tokens_path = f"{tmp}/tokens.parquet"
+    # headline: encode+decode throughput on the deterministic tokens table.
+    # The table is a pure function of BENCH_DOCS (partition-id-seeded rng),
+    # so it is materialized ONCE under .benchdata/ and reused across runs —
+    # bench wall time measures the engine, not the zipf generator.
+    bench_dir = Path(__file__).resolve().parent / ".benchdata"
+    tokens_path = str(bench_dir / f"bench_tokens_{BENCH_DOCS}.parquet")
+    if not (Path(tokens_path) / "_SUCCESS").is_file():
+        bench_dir.mkdir(exist_ok=True)
         _materialize_tokens(spark, BENCH_DOCS, tokens_path)
+    with tempfile.TemporaryDirectory() as tmp:
         t0 = time.perf_counter()
         stats = _encode_job(spark, tokens_path, codec="auto")
         queries["encode_auto"] = time.perf_counter() - t0

@@ -98,10 +98,23 @@ def encode_flat(flat: np.ndarray, lens: np.ndarray, mode: str) -> EncodedFlat:
     row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
 
     widths = np.zeros(total_blocks, dtype=np.uint8)
+    src = flat
     if mode == "d1":
         first_of_row = blk_start == row_starts[row_id]
         safe_prev = np.where(first_of_row, 0, blk_start - 1)
-        inits = np.where(first_of_row, U32(0), flat[safe_prev]).astype(U32)
+        inits = np.where(first_of_row, U32(0),
+                         np.take(flat, safe_prev)).astype(U32)
+        # fused delta pass: per-block init == previous element, so every
+        # within-row delta is just the GLOBAL adjacent diff (one contiguous
+        # SIMD subtract) — only row firsts need init-0 fixup.  The per-group
+        # matrix subtract + extra alloc this replaces halved d1 encode
+        # throughput vs bitpack.
+        src = np.empty_like(flat)
+        np.subtract(flat[1:], flat[:-1], out=src[1:])
+        # row firsts (of NON-EMPTY rows only: an empty trailing row's start
+        # is one past the buffer): init is 0, delta == the value itself
+        rs = row_starts[lens > 0]
+        src[rs] = np.take(flat, rs)
     else:
         inits = np.zeros(total_blocks if mode == "for" else 0, dtype=U32)
 
@@ -110,20 +123,15 @@ def encode_flat(flat: np.ndarray, lens: np.ndarray, mode: str) -> EncodedFlat:
     for blen in np.unique(blk_len):
         blen = int(blen)
         sel = np.nonzero(blk_len == blen)[0]
-        mat = _gather_rows(flat, blk_start[sel], blen)
-        if mode == "plain":
-            vals = mat
-            widths[sel] = K.maxbits_rows(mat).astype(np.uint8)
-        elif mode == "for":
+        mat = _gather_rows(src, blk_start[sel], blen)
+        if mode == "for":
             mn = mat.min(axis=1)
             inits[sel] = mn
             widths[sel] = K.bits_u32(mat.max(axis=1) - mn).astype(np.uint8)
             vals = mat - mn[:, None]
-        else:  # d1
-            vals = np.empty_like(mat)
-            np.subtract(mat[:, 1:], mat[:, :-1], out=vals[:, 1:])
-            np.subtract(mat[:, 0], inits[sel], out=vals[:, 0])
-            widths[sel] = K.maxbits_rows(vals).astype(np.uint8)
+        else:  # plain / d1 (src already holds deltas for d1)
+            vals = mat
+            widths[sel] = K.maxbits_rows(mat).astype(np.uint8)
         group_cache.append((sel, vals, blen))
 
     # sizes + destination offsets (blocks are already in (row, seq) order)
