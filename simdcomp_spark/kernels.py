@@ -535,6 +535,60 @@ def fastset_d1(packed: bytearray, init: int, bit: int, value: int,
     fastset(packed, bit, new_delta, index)
 
 
+def fastset_rows(payload: np.ndarray, starts: np.ndarray, bits: np.ndarray,
+                 values: np.ndarray, indices: np.ndarray) -> None:
+    """Batched ``simdfastset`` across MANY single-block rows, in place.
+
+    ``payload`` is the concatenated uint8 payload buffer; row r's packed
+    block starts at byte ``starts[r]`` (always 16-aligned: block payload
+    sizes are multiples of 16), has width ``bits[r]``, and gets element
+    ``indices[r]`` overwritten with ``values[r]`` (must fit the width).
+    Same wire math as :func:`fastset` (src/simdbitpacking.c:14338-14368),
+    vectorized: grouped by width, two masked read-modify-write passes on
+    the uint32 view — no per-row Python."""
+    starts = np.asarray(starts, dtype=np.int64)
+    bits = np.asarray(bits, dtype=np.int64)
+    values = np.asarray(values, dtype=np.uint64)
+    indices = np.asarray(indices, dtype=np.int64)
+    if starts.size == 0:
+        return
+    pad = (-payload.size) % 4
+    u32 = (payload if not pad else
+           np.concatenate((payload, np.zeros(pad, np.uint8))))
+    u32 = u32.view(np.uint32) if not pad else u32.view(np.uint32)
+    # (pad only happens for a trailing b==0 row group, which writes nothing)
+    lane = indices % 4
+    bil = (indices // 4) * bits
+    w1 = bil // 32
+    s = bil % 32
+    widx = starts // 4 + 4 * w1 + lane
+    for b in np.unique(bits):
+        b = int(b)
+        g = np.nonzero(bits == b)[0]
+        if b == 0:
+            continue
+        if b == 32:
+            u32[widx[g]] = values[g].astype(np.uint32)
+            continue
+        mask = np.uint64((1 << b) - 1)
+        sg = s[g].astype(np.uint64)
+        cur = np.take(u32, widx[g]).astype(np.uint64)
+        cleared = cur & ~((mask << sg) & np.uint64(0xFFFFFFFF))
+        u32[widx[g]] = (cleared |
+                        ((values[g] << sg) & np.uint64(0xFFFFFFFF))) \
+            .astype(np.uint32)
+        cross = g[(bil[g] % 32) + b > 32]
+        if cross.size:
+            firstbits = (np.uint64(32) - s[cross].astype(np.uint64))
+            mask2 = (np.uint64(1) << (np.uint64(b) - firstbits)) - np.uint64(1)
+            w2idx = widx[cross] + 4
+            cur2 = np.take(u32, w2idx).astype(np.uint64)
+            u32[w2idx] = ((cur2 & ~mask2) |
+                          (values[cross] >> firstbits)).astype(np.uint32)
+    if pad:
+        payload[:] = u32.view(np.uint8)[:payload.size]
+
+
 def scan_d1(init: int, packed: bytes, bit: int, length: int = FULL_BLOCK
             ) -> int:
     """``simdscand1`` (src/simdpackedselect.c:15216+): advance the running

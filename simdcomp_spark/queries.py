@@ -39,6 +39,41 @@ def tokens_table(spark, sf_dir, table, key, order_col, val_col, source
                     F.lit(source).alias("source")))
 
 
+def _flatten_tokens(pdf):
+    """(lens, flat uint32 buffer, row starts, int64 doc ids) for a pandas
+    batch with (doc_id, tokens) — one concatenate, no per-element Python."""
+    arrs = [np.asarray(a) for a in pdf["tokens"]]
+    lens = np.fromiter((a.size for a in arrs), np.int64, count=len(arrs))
+    flat = (np.concatenate(arrs).astype(np.int64, copy=False)
+            .astype(np.uint32) if lens.sum() else np.zeros(0, np.uint32))
+    starts = np.cumsum(lens) - lens
+    uids = pdf["doc_id"].to_numpy().astype(np.int64)
+    return lens, flat, starts, uids
+
+
+def _explode_frame(key_name, uids, lens, starts, vals):
+    """(key, pos, tok) frame from per-row lengths + flat values — the
+    vectorized replacement for per-row extend loops."""
+    import pandas as pd
+    n = int(lens.sum())
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    return pd.DataFrame({
+        key_name: pd.Series(np.repeat(uids, lens), dtype="int64"),
+        "pos": pd.Series(pos.astype(np.int32), dtype="int32"),
+        "tok": pd.Series(vals[:n].view(np.int32), dtype="int32")})
+
+
+def _seg_cumsum_u32(vals: np.ndarray, lens: np.ndarray,
+                    starts: np.ndarray) -> np.ndarray:
+    """Per-row prefix sum (mod 2^32) over a flat buffer, vectorized: one
+    global cumsum, then subtract each row's incoming offset."""
+    cum = np.cumsum(vals.astype(np.uint64))
+    nz = lens > 0                   # empty-row starts would index OOB
+    base_row = np.zeros(lens.size, np.uint64)
+    base_row[nz] = cum[starts[nz]] - vals[starts[nz]].astype(np.uint64)
+    return (cum - np.repeat(base_row, lens)).astype(np.uint32)
+
+
 def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str,
                         salt: bool = False) -> DataFrame:
     """Narrow (zero-shuffle) encode→decode by default — the plan the engine
@@ -187,35 +222,18 @@ def q_minmax_decoded(spark, sf_dir):
 
 def q_select_for(spark, sf_dir):
     """simdselectFOR (SURVEY §2.3 #19): random access into block 0 of the
-    FOR-packed stream WITHOUT decoding it."""
+    FOR-packed stream WITHOUT decoding it — routed through the batched
+    engine op (engine.point_lookup → blocks.select_flat, grouped one-block
+    probes, no per-row Python)."""
     tok = tokens_table(spark, sf_dir, "events", "user_id",
                        "event_id", "event_id", "events")
     enc = engine.encode(tok, codec="for", split_threshold=None)
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            uids, slots, vals = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                if n == 0:
-                    continue
-                b = int(np.frombuffer(w, np.uint8)[0])
-                init = int(np.frombuffer(ini, np.uint32)[0])
-                blen = min(n, 128)
-                slot = min(64, n - 1)
-                nb = K.compressed_bytes(blen, b)
-                v = K.select_for(init, bytes(p[:nb]), b, slot)
-                uids.append(int(did))
-                slots.append(slot)
-                vals.append(np.int32(v))
-            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
-                                "slot": pd.Series(slots, dtype="int32"),
-                                "val": pd.Series(vals, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="user_id long, slot int, val int")
+    enc = enc.where(F.col("n_tok") > 0).withColumn(
+        "lookup_idx", F.least(F.lit(64), F.col("n_tok") - 1).cast("int"))
+    out = engine.point_lookup(enc)
+    return out.select(F.col("doc_id").cast("long").alias("user_id"),
+                      F.col("idx").cast("int").alias("slot"),
+                      F.col("val").cast("int").alias("val"))
 
 
 def q_point_lookup(spark, sf_dir):
@@ -242,26 +260,10 @@ def q_search_d1(spark, sf_dir):
                        "o_orderkey", "o_orderkey", "orders")
     tok = tok.where(F.col("n_tok").between(1, 128))
     enc = engine.encode(tok, codec="d1", split_threshold=None)
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            keys, ns, idxs = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                b = int(np.frombuffer(w, np.uint8)[0])
-                init = int(np.frombuffer(ini, np.uint32)[0])
-                idx, _val = K.search_d1(init, bytes(p), b, n, KEY)
-                keys.append(int(did))
-                ns.append(n)
-                idxs.append(idx)
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "n": pd.Series(ns, dtype="int32"),
-                                "idx": pd.Series(idxs, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
+    out = engine.search_sorted(enc, KEY)
+    return out.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                      F.col("n_tok").cast("int").alias("n"),
+                      F.col("idx").cast("int").alias("idx"))
 
 
 def q_search_for(spark, sf_dir):
@@ -273,26 +275,10 @@ def q_search_for(spark, sf_dir):
                        "o_orderkey", "o_orderkey", "orders")
     tok = tok.where(F.col("n_tok").between(1, 128))
     enc = engine.encode(tok, codec="for", split_threshold=None)
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            keys, ns, idxs = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                b = int(np.frombuffer(w, np.uint8)[0])
-                init = int(np.frombuffer(ini, np.uint32)[0])
-                idx, _val = K.search_for(init, bytes(p), b, n, KEY)
-                keys.append(int(did))
-                ns.append(n)
-                idxs.append(idx)
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "n": pd.Series(ns, dtype="int32"),
-                                "idx": pd.Series(idxs, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="o_custkey long, n int, idx int")
+    out = engine.search_sorted(enc, KEY)
+    return out.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                      F.col("n_tok").cast("int").alias("n"),
+                      F.col("idx").cast("int").alias("idx"))
 
 
 def q_masked_pack(spark, sf_dir):
@@ -306,17 +292,13 @@ def q_masked_pack(spark, sf_dir):
     def f(it):
         import pandas as pd
         for pdf in it:
-            uids, poss, toks = [], [], []
-            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
-                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
-                packed = K.simdpack_length(a, B, mask=True)
-                back = K.simdunpack_length(packed, a.size, B)
-                uids.extend([int(did)] * a.size)
-                poss.extend(range(a.size))
-                toks.extend(back.view(np.int32))
-            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
+            lens, flat, starts, uids = _flatten_tokens(pdf)
+            # ONE masked pack+unpack for the whole batch: the mask
+            # round-trip (out == v & (2^B - 1)) is elementwise, so block
+            # boundaries shifting across row joins cannot change it
+            packed = K.simdpack_length(flat, B, mask=True)
+            back = K.simdunpack_length(packed, flat.size, B)
+            yield _explode_frame("user_id", uids, lens, starts, back)
 
     return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
 
@@ -335,63 +317,82 @@ def q_avx_roundtrip(spark, sf_dir):
     def f(it):
         import pandas as pd
         for pdf in it:
-            uids, poss, toks = [], [], []
-            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
-                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
-                b = K.maxbits(a)
-                outs = []
-                for blk_n, pack, unpack in (
-                        (K.AVX_BLOCK, K.avxpack, K.avxunpack),
-                        (K.AVX512_BLOCK, K.avx512pack, K.avx512unpack)):
-                    pad_n = -(-a.size // blk_n) * blk_n
-                    padded = np.zeros(pad_n, dtype=np.uint32)
-                    padded[:a.size] = a
-                    back = np.concatenate([
-                        unpack(pack(padded[o:o + blk_n], b), b)
-                        for o in range(0, pad_n, blk_n)])[:a.size]
-                    outs.append(back)
-                assert (outs[0] == outs[1]).all()
-                uids.extend([int(did)] * a.size)
-                poss.extend(range(a.size))
-                toks.extend(outs[0].view(np.int32))
-            yield pd.DataFrame({"user_id": pd.Series(uids, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
+            lens, flat, starts, uids = _flatten_tokens(pdf)
+            # per-row maxbits via one reduceat (rows are non-empty here)
+            row_or = np.bitwise_or.reduceat(flat, starts) \
+                if flat.size else np.zeros(0, np.uint32)
+            row_b = K.bits_u32(row_or)
+            out = np.empty_like(flat)
+            # group rows by width; per group ONE batched pack+unpack in
+            # each lane layout over a zero-padded dense matrix
+            for b in np.unique(row_b):
+                b = int(b)
+                sel = np.nonzero(row_b == b)[0]
+                lmax = int(lens[sel].max())
+                gpos = K.multi_arange(starts[sel], lens[sel])
+                backs = []
+                for blk_n, lanes in ((K.AVX_BLOCK, 8), (K.AVX512_BLOCK, 16)):
+                    width = -(-lmax // blk_n) * blk_n
+                    mat = np.zeros((sel.size, width), dtype=np.uint32)
+                    inmask = np.arange(width) < lens[sel][:, None]
+                    mat[inmask] = np.take(flat, gpos)
+                    if b == 0:
+                        back = np.zeros_like(mat)
+                    elif b == 32:
+                        back = mat.copy()
+                    else:
+                        blocks3 = np.ascontiguousarray(
+                            mat.reshape(-1, blk_n // lanes, lanes))
+                        words = K.pack_lanes(blocks3, b)
+                        back = K.unpack_lanes(words, blk_n // lanes, b) \
+                            .reshape(sel.size, width)
+                    backs.append(back[inmask])   # valid region only
+                assert (backs[0] == backs[1]).all()
+                out[gpos] = backs[0]
+            yield _explode_frame("user_id", uids, lens, starts, out)
 
     return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
+
+
+def _fastset_shim(enc, mode: str, last_element: bool = False):
+    """Shared batched shape of the three fastset gate queries: one
+    kernels.fastset_rows in-place write over the batch's concatenated
+    payloads (stored value 0 — each variant's semantics reduce to a zero
+    delta/offset write), then ONE blocks.decode_flat for the whole batch.
+    Rows are single-block by construction (n_tok ≤ 128)."""
+    def f(it):
+        from . import blocks
+        for pdf in it:
+            n = pdf["n_tok"].to_numpy().astype(np.int64)
+            wf = np.frombuffer(b"".join(pdf["widths"]), np.uint8)
+            pf_list = [bytes(p) for p in pdf["payload"]]
+            pl = np.fromiter((len(p) for p in pf_list), np.int64,
+                             count=len(pf_list))
+            flat = np.frombuffer(b"".join(pf_list), np.uint8).copy()
+            starts = np.cumsum(pl) - pl
+            idxs = (n - 1) if last_element else np.minimum(50, n - 1)
+            K.fastset_rows(flat, starts, wf.astype(np.int64),
+                           np.zeros(n.size, np.uint64), idxs)
+            inits = (np.frombuffer(b"".join(pdf["inits"]), np.uint32)
+                     if mode != "plain" else np.zeros(0, np.uint32))
+            back = blocks.decode_flat(n, wf, inits, flat, pl, mode)
+            uids = pdf["doc_id"].to_numpy().astype(np.int64)
+            yield _explode_frame("o_custkey", uids, n,
+                                 np.cumsum(n) - n, back)
+
+    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
 
 
 def q_fastset(spark, sf_dir):
     """simdfastset (SURVEY §2.2 #14, src/simdbitpacking.c:14338-14368):
     in-place point write into the packed block — set position min(50, n-1)
-    to 0, then a full decode must show exactly that one change."""
+    to 0, then a full decode must show exactly that one change.  Batched:
+    kernels.fastset_rows + one decode_flat per Arrow batch."""
     tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
                        "o_orderkey", "o_orderkey", "orders")
     tok = tok.where(F.col("n_tok").between(1, 128))
     enc = engine.encode(tok, codec="bitpack", split_threshold=None)
-    from . import codecs as C
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            keys, poss, toks = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                b = int(np.frombuffer(w, np.uint8)[0])
-                buf = bytearray(p)
-                K.fastset(buf, b, 0, min(50, n - 1))
-                back = C.get("bitpack").decode_rows(
-                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
-                keys.extend([int(did)] * n)
-                poss.extend(range(n))
-                toks.extend(back.view(np.int32))
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+    return _fastset_shim(enc, "plain")
 
 
 def q_search_sorted(spark, sf_dir):
@@ -418,30 +419,8 @@ def q_fastset_for(spark, sf_dir):
                        "o_orderkey", "o_orderkey", "orders")
     tok = tok.where(F.col("n_tok").between(1, 128))
     enc = engine.encode(tok, codec="for", split_threshold=None)
-    from . import codecs as C
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            keys, poss, toks = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                b = int(np.frombuffer(w, np.uint8)[0])
-                init = int(np.frombuffer(ini, np.uint32)[0])
-                buf = bytearray(p)
-                K.fastset_for(buf, init, b, init, min(50, n - 1))
-                back = C.get("for").decode_rows(
-                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
-                keys.extend([int(did)] * n)
-                poss.extend(range(n))
-                toks.extend(back.view(np.int32))
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+    # fastset_for stores value - init; writing the block base is a 0 write
+    return _fastset_shim(enc, "for")
 
 
 def q_masked_d1(spark, sf_dir):
@@ -455,19 +434,18 @@ def q_masked_d1(spark, sf_dir):
     def f(it):
         import pandas as pd
         for pdf in it:
-            keys, poss, toks = [], [], []
-            for did, arr in zip(pdf["doc_id"], pdf["tokens"]):
-                a = np.asarray(arr, dtype=np.int64).astype(np.uint32)
-                deltas = np.diff(a, prepend=np.uint32(0)).astype(np.uint32)
-                packed = K.simdpack_length(deltas, B, mask=True)
-                masked = K.simdunpack_length(packed, a.size, B)
-                back = np.cumsum(masked, dtype=np.uint64).astype(np.uint32)
-                keys.extend([int(did)] * a.size)
-                poss.extend(range(a.size))
-                toks.extend(back.view(np.int32))
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
+            lens, flat, starts, uids = _flatten_tokens(pdf)
+            # per-row deltas = one global diff + row-start fixup (init 0)
+            deltas = np.empty_like(flat)
+            if flat.size:
+                np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+                rs = starts[lens > 0]
+                deltas[rs] = np.take(flat, rs)
+            # ONE masked pack+unpack (elementwise property, see masked_pack)
+            packed = K.simdpack_length(deltas, B, mask=True)
+            masked = K.simdunpack_length(packed, flat.size, B)
+            back = _seg_cumsum_u32(masked, lens, starts)
+            yield _explode_frame("o_custkey", uids, lens, starts, back)
 
     return tok.mapInPandas(f, schema="o_custkey long, pos int, tok int")
 
@@ -483,32 +461,9 @@ def q_fastset_d1(spark, sf_dir):
                        "o_orderkey", "o_orderkey", "orders")
     tok = tok.where(F.col("n_tok").between(1, 128))
     enc = engine.encode(tok, codec="d1", split_threshold=None)
-    from . import codecs as C
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            keys, poss, toks = [], [], []
-            for did, n, w, ini, p in zip(pdf["doc_id"], pdf["n_tok"],
-                                         pdf["widths"], pdf["inits"],
-                                         pdf["payload"]):
-                n = int(n)
-                b = int(np.frombuffer(w, np.uint8)[0])
-                init = int(np.frombuffer(ini, np.uint32)[0])
-                prev = K.select_d1(init, bytes(p), b, n - 2, n) if n > 1 \
-                    else (init & 0xFFFFFFFF)
-                buf = bytearray(p)
-                K.fastset_d1(buf, init, b, prev, n - 1, n)
-                back = C.get("d1").decode_rows(
-                    np.asarray([n]), [bytes(w)], [bytes(ini)], [bytes(buf)])[0]
-                keys.extend([int(did)] * n)
-                poss.extend(range(n))
-                toks.extend(back.view(np.int32))
-            yield pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64"),
-                                "pos": pd.Series(poss, dtype="int32"),
-                                "tok": pd.Series(toks, dtype="int32")})
-
-    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+    # setting the LAST element to its predecessor == writing delta 0 at
+    # n-1, with no following delta to adjust — a pure fastset_rows write
+    return _fastset_shim(enc, "d1", last_element=True)
 
 
 def q_search_sorted_for(spark, sf_dir):
