@@ -188,13 +188,39 @@ def run_bench() -> dict:
     # driver-facing queries on the sf dir
     for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
                  "auto_roundtrip", "compressed_size", "exact_dedup",
-                 "token_count", "ann_topk"):
+                 "token_count", "ann_topk", "fsst_roundtrip"):
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(spark, SF_DIR).count()
         queries[name] = time.perf_counter() - t0
 
     spark.stop()
+
+    # FSST codec-core throughput (single core, driver-side) on the real
+    # documents text — the per-core number the per-partition UDF scales with
+    try:
+        import duckdb
+        import numpy as np
+        from simdcomp_spark.codecs import fsst
+        rows = duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+        docs = [r[0].encode() for r in rows]
+        tbl = fsst.SymbolTable(fsst.train(docs[:2048]))
+        flat = np.frombuffer(b"".join(docs), np.uint8)
+        lens = np.fromiter(map(len, docs), np.int64, count=len(docs))
+        tbl.encode_flat(flat, lens)  # warm (compiles the C kernel if absent)
+        t0 = time.perf_counter()
+        enc, enc_lens = tbl.encode_flat(flat, lens)
+        extras["fsst_encode_mb_s_core"] = round(
+            flat.size / (time.perf_counter() - t0) / 1e6, 1)
+        t0 = time.perf_counter()
+        tbl.decode_flat(enc, enc_lens)
+        extras["fsst_decode_mb_s_core"] = round(
+            flat.size / (time.perf_counter() - t0) / 1e6, 1)
+        extras["fsst_ratio"] = round(enc.size / max(1, flat.size), 4)
+    except Exception:
+        pass
     out = {
         "metric": "headline query wall time (encode/decode throughput + "
                   "operator queries)",

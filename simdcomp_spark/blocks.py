@@ -118,6 +118,26 @@ def encode_flat(flat: np.ndarray, lens: np.ndarray, mode: str) -> EncodedFlat:
     else:
         inits = np.zeros(total_blocks if mode == "for" else 0, dtype=U32)
 
+    # fused C fast path: analyze + pack directly on the flat buffers —
+    # one pass each, no (nblk, blen) matrices (native.py; numpy fallback
+    # below is byte-identical and remains the portable path)
+    from . import native
+    if native.have_flat_codec():
+        blk_len32 = blk_len.astype(np.int32)
+        cinits = inits if mode != "plain" else np.zeros(1, dtype=U32)
+        if mode == "for":
+            inits = cinits = np.empty(total_blocks, dtype=U32)
+        widths = native.analyze_blocks(src, blk_start, blk_len32, mode,
+                                       cinits)
+        sizes = K.compressed_bytes_arr(blk_len, widths.astype(np.int64))
+        dst = np.cumsum(sizes) - sizes
+        payload = np.empty(int(sizes.sum()), dtype=np.uint8)
+        native.pack_blocks_flat(src, flat, blk_start, blk_len32, widths,
+                                cinits, dst, mode, payload)
+        payload_lens = np.zeros(nrows, dtype=np.int64)
+        np.add.at(payload_lens, row_id, sizes)
+        return EncodedFlat(nblocks, widths, inits, payload, payload_lens)
+
     # pass 1: analyze (widths per block), grouped by block length
     group_cache: list[tuple[np.ndarray, np.ndarray, int]] = []
     for blen in np.unique(blk_len):
@@ -194,6 +214,15 @@ def decode_flat(lens: np.ndarray, widths: np.ndarray, inits: np.ndarray,
     row_pl_starts = np.concatenate(([0], np.cumsum(payload_lens)[:-1]))
     src_start = row_pl_starts[row_id] + (excl - row_base[row_id])
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
+
+    # fused C fast path: one pass, codec semantics applied in-block
+    from . import native
+    if native.have_flat_codec():
+        cinits = inits if mode != "plain" else np.zeros(1, dtype=U32)
+        native.unpack_blocks_flat(payload, src_start, blk_start,
+                                  blk_len.astype(np.int32), widths,
+                                  cinits, mode, out)
+        return out
 
     keys = blk_len.astype(np.int64) * 64 + widths.astype(np.int64)
     for key in np.unique(keys):

@@ -148,6 +148,10 @@ def pack_lanes(vals: np.ndarray, bit: int, mask: bool = False) -> np.ndarray:
     vals = np.ascontiguousarray(vals, dtype=U32)
     nblk, rows, lanes = vals.shape
     assert lanes in (4, 8, 16)  # SSE / AVX2 / AVX-512 interleave widths
+    from . import native
+    res = native.pack_lanes(vals, bit, mask)
+    if res is not None:
+        return res
     if mask:
         vals = vals & U32((1 << bit) - 1)
     nwords = (rows * bit + 31) // 32
@@ -180,6 +184,10 @@ def unpack_lanes(words: np.ndarray, rows: int, bit: int) -> np.ndarray:
     assert 0 < bit < 32, bit
     words = np.ascontiguousarray(words, dtype=U32)
     nblk, _nw, lanes = words.shape
+    from . import native
+    res = native.unpack_lanes(words, rows, bit)
+    if res is not None:
+        return res
     if bit in (8, 16) and rows % (32 // bit) == 0:
         group = 32 // bit
         dt = np.uint8 if bit == 8 else np.uint16

@@ -203,3 +203,43 @@ def test_fsst_native_numpy_identical():
                                                          np.cumsum(c[1]))))
     assert np.array_equal(cd[0], np_dec) and np.array_equal(cd[1], np_dl)
     assert np.array_equal(cd[0], flat) and np.array_equal(cd[1], lens)
+
+
+def test_flat_codec_native_numpy_identical():
+    """The fused C block codec (analyze+pack / unpack on flat buffers) must
+    be byte-identical to the grouped-numpy path for every mode, including
+    b==32 raw blocks, empty rows (incl. trailing), and multi-block rows."""
+    import os
+    import numpy as np
+    from simdcomp_spark import blocks, native
+
+    if not native.have_flat_codec():
+        import pytest
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(123)
+    lens = np.array([0, 1, 5, 127, 128, 129, 300, 1000, 4096, 50, 0])
+    tot = int(lens.sum())
+    base = np.cumsum(rng.integers(0, 64, size=tot, dtype=np.uint32),
+                     dtype=np.uint64).astype(np.uint32)
+    wide = rng.integers(0, 2**32, size=tot, dtype=np.uint64) \
+        .astype(np.uint32)
+    mixed = np.where(rng.random(tot) < 0.05, wide, base).astype(np.uint32)
+    for mode, buf in (("plain", mixed), ("d1", base), ("for", mixed)):
+        enc_c = blocks.encode_flat(buf, lens, mode)
+        dec_c = blocks.decode_flat(lens, enc_c.widths, enc_c.inits,
+                                   enc_c.payload, enc_c.payload_lens, mode)
+        os.environ["SIMDCOMP_NO_NATIVE"] = "1"
+        native._lib, native._tried = None, False
+        try:
+            enc_n = blocks.encode_flat(buf, lens, mode)
+            dec_n = blocks.decode_flat(lens, enc_c.widths, enc_c.inits,
+                                       enc_c.payload, enc_c.payload_lens,
+                                       mode)
+        finally:
+            del os.environ["SIMDCOMP_NO_NATIVE"]
+            native._lib, native._tried = None, False
+        assert np.array_equal(enc_c.payload, enc_n.payload), mode
+        assert np.array_equal(enc_c.widths, enc_n.widths), mode
+        assert np.array_equal(enc_c.inits, enc_n.inits), mode
+        assert np.array_equal(enc_c.payload_lens, enc_n.payload_lens), mode
+        assert np.array_equal(dec_c, buf) and np.array_equal(dec_n, buf), mode
