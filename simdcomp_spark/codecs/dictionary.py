@@ -17,12 +17,37 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import blocks
+from .. import blocks, native
 from ..kernels import multi_arange
 from .base import Codec, FlatEncoded
 
 U32 = np.uint32
 _HDR = 4
+
+
+def _place(out: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
+           lens: np.ndarray) -> None:
+    """out[dst_off[i]:+lens[i]] = the i-th packed slice of ``src`` (src is
+    the contiguous row-order concatenation).  C segmented memcpy when
+    available, multi_arange fancy-index otherwise (byte-identical)."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    src_off = np.cumsum(lens) - lens
+    dst_off = np.ascontiguousarray(dst_off, dtype=np.int64)
+    if not native.gather_rows(src, src_off, lens, out, dst_off):
+        out[multi_arange(dst_off, lens)] = src
+
+
+def _extract(src: np.ndarray, src_off: np.ndarray, lens: np.ndarray
+             ) -> np.ndarray:
+    """Packed row-order concatenation of src[src_off[i]:+lens[i]]."""
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    dst_off = np.cumsum(lens) - lens
+    src_off = np.ascontiguousarray(src_off, dtype=np.int64)
+    if not native.gather_rows(src, src_off, lens, out, dst_off):
+        out[:] = src[multi_arange(src_off, lens)]
+    return out
 
 
 def _dict_streams(flat: np.ndarray, lens: np.ndarray):
@@ -32,6 +57,9 @@ def _dict_streams(flat: np.ndarray, lens: np.ndarray):
     total = flat.size
     if total == 0:
         return np.empty(0, U32), np.zeros(nrows, np.int64), np.empty(0, U32)
+    res = native.dict_streams(flat, lens)   # C per-row radix path
+    if res is not None:
+        return res
     row_of = np.repeat(np.arange(nrows, dtype=np.uint64), lens)
     # one fused (row, value) uint64 key → single radix argsort; ~5x faster
     # than the two-key lexsort and uniqueness becomes one comparison
@@ -75,17 +103,18 @@ class DictCodec(Codec):
                          0)
         out = np.empty(int(sizes.sum()), dtype=np.uint8)
         start = np.cumsum(sizes) - sizes
-        hdr = n_dict.astype(U32).view(np.uint8).reshape(nrows, 4)
+        hdr = np.ascontiguousarray(n_dict.astype(U32)).view(np.uint8)
         ne = np.nonzero(nonempty)[0]
-        out[start[ne][:, None] + np.arange(4)] = hdr[ne]
+        _place(out, start[ne], hdr.reshape(nrows, 4)[ne].ravel(),
+               np.full(ne.size, 4, np.int64))
         cur = start + _HDR
-        out[multi_arange(cur, np.where(nonempty, nbd, 0))] = ed.widths
+        _place(out, cur, ed.widths, np.where(nonempty, nbd, 0))
         cur = cur + nbd
-        out[multi_arange(cur, np.where(nonempty, nbc, 0))] = ec.widths
+        _place(out, cur, ec.widths, np.where(nonempty, nbc, 0))
         cur = cur + nbc
-        out[multi_arange(cur, ed.payload_lens)] = ed.payload
+        _place(out, cur, ed.payload, ed.payload_lens)
         cur = cur + ed.payload_lens
-        out[multi_arange(cur, ec.payload_lens)] = ec.payload
+        _place(out, cur, ec.payload, ec.payload_lens)
         z = np.zeros(nrows, dtype=np.int64)
         return FlatEncoded(np.zeros(0, np.uint8), z, np.zeros(0, np.uint8), z,
                            out, sizes)
@@ -104,15 +133,15 @@ class DictCodec(Codec):
         nbd = (n_dict + 127) // 128
         nbc = np.where(nonempty, (lens + 127) // 128, 0)
         cur = po + _HDR
-        wd = payload[multi_arange(cur, np.where(nonempty, nbd, 0))]
+        wd = _extract(payload, cur, np.where(nonempty, nbd, 0))
         cur = cur + nbd
-        wc = payload[multi_arange(cur, nbc)]
+        wc = _extract(payload, cur, nbc)
         cur = cur + nbc
         pd_lens = blocks.payload_bytes_from_widths(n_dict, wd)
-        pd = payload[multi_arange(cur, pd_lens)]
+        pd = _extract(payload, cur, pd_lens)
         cur = cur + pd_lens
         pc_lens = blocks.payload_bytes_from_widths(lens, wc)
-        pc = payload[multi_arange(cur, pc_lens)]
+        pc = _extract(payload, cur, pc_lens)
         uniq = blocks.decode_flat(n_dict, wd, np.zeros(0, U32), pd, pd_lens,
                                   "plain")
         codes = blocks.decode_flat(lens, wc, np.zeros(0, U32), pc, pc_lens,

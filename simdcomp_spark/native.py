@@ -205,6 +205,75 @@ void unpack_blocks_flat(const uint8_t *payload, const int64_t *src_off,
     }
 }
 
+/* Segmented memcpy: for each row copy lens[i] bytes from src+src_off[i]
+ * to dst+dst_off[i].  Replaces the numpy multi_arange fancy-index gathers
+ * in the codec wire-format assembly/parsing (those build an int64 index
+ * per BYTE; this is a straight memcpy per row). */
+void gather_rows(const uint8_t *src, const int64_t *src_off,
+                 const int64_t *lens, int64_t n, uint8_t *dst,
+                 const int64_t *dst_off)
+{
+    for (int64_t i = 0; i < n; i++)
+        memcpy(dst + dst_off[i], src + src_off[i], (size_t)lens[i]);
+}
+
+/* Per-row dictionary streams (dict codec hot loop): for each row emit its
+ * sorted distinct values (uniq, packed contiguously across rows), the
+ * per-row distinct count, and for every original token its rank in the
+ * row's sorted distinct set.  Per row: LSB-radix sort of (value<<32|pos)
+ * pairs, with passes skipped for value bytes that don't vary inside the
+ * row (token ids are typically < 2^16-2^24 → 2-3 passes), then one scan.
+ * scratch must hold 2*max_row_len uint64.  Returns the total uniq count.
+ * Matches the numpy fused-key argsort path exactly (same sorted-distinct
+ * ranks); rows are independent so the batch layout is identical. */
+int64_t dict_streams(const uint32_t *flat, const int64_t *row_off,
+                     int64_t nrows, uint64_t *scratch,
+                     uint32_t *uniq, int64_t *n_dict, uint32_t *codes)
+{
+    int64_t u = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t s = row_off[r], n = row_off[r + 1] - s;
+        if (n <= 0) { n_dict[r] = 0; continue; }
+        const uint32_t *v = flat + s;
+        uint64_t *a = scratch, *tmp = scratch + n;
+        uint32_t orv = 0;
+        int64_t hist[4][256];
+        memset(hist, 0, sizeof hist);
+        for (int64_t k = 0; k < n; k++) {   /* build + all histograms, 1 pass */
+            uint32_t x = v[k];
+            orv |= x;
+            hist[0][x & 255]++;
+            hist[1][(x >> 8) & 255]++;
+            hist[2][(x >> 16) & 255]++;
+            hist[3][x >> 24]++;
+            a[k] = ((uint64_t)x << 32) | (uint64_t)k;
+        }
+        int nbytes = orv ? (bits32(orv) + 7) / 8 : 0;
+        for (int byte = 0; byte < nbytes; byte++) {
+            const int64_t *cnt = hist[byte];
+            int shift = 32 + 8 * byte;
+            if (cnt[(a[0] >> shift) & 255] == n)
+                continue;                    /* byte constant in this row */
+            int64_t pos[256], run = 0;
+            for (int i = 0; i < 256; i++) { pos[i] = run; run += cnt[i]; }
+            for (int64_t k = 0; k < n; k++)
+                tmp[pos[(a[k] >> shift) & 255]++] = a[k];
+            uint64_t *sw = a; a = tmp; tmp = sw;
+        }
+        int64_t u0 = u;
+        uint32_t prev = (uint32_t)(a[0] >> 32);
+        uniq[u++] = prev;
+        codes[s + (uint32_t)a[0]] = 0;
+        for (int64_t k = 1; k < n; k++) {
+            uint32_t val = (uint32_t)(a[k] >> 32);
+            if (val != prev) { uniq[u++] = val; prev = val; }
+            codes[s + (uint32_t)a[k]] = (uint32_t)(u - u0 - 1);
+        }
+        n_dict[r] = u - u0;
+    }
+    return u;
+}
+
 /* Greedy FSST tokenizer over concatenated rows.
  * buf MUST be padded with >=8 zero bytes past position n.
  * Tables: lut1[256]/lut2[65536] hold a symbol code or 255 (escape);
@@ -302,9 +371,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v2.so")
+            so = os.path.join(d, "simdcomp_kernels_v5.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v2.c")
+                src = os.path.join(d, "simdcomp_kernels_v5.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -339,6 +408,11 @@ def _load() -> ctypes.CDLL | None:
             lib.unpack_blocks_flat.restype = None
             lib.unpack_blocks_flat.argtypes = [u8p, i64p, i64p, i32p, u8p,
                                                u32p, i64, ci, u32p]
+            lib.dict_streams.restype = i64
+            lib.dict_streams.argtypes = [u32p, i64p, i64, u64p, u32p, i64p,
+                                         u32p]
+            lib.gather_rows.restype = None
+            lib.gather_rows.argtypes = [u8p, i64p, i64p, i64, u8p, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -421,6 +495,40 @@ def unpack_lanes(words: np.ndarray, rows: int, bit: int) -> np.ndarray | None:
     out = np.empty((nblk, rows, lanes), dtype=np.uint32)
     lib.unpack_lanes(_pu32(words), nblk, rows, lanes, bit, _pu32(out))
     return out
+
+
+def gather_rows(src: np.ndarray, src_off: np.ndarray, lens: np.ndarray,
+                dst: np.ndarray, dst_off: np.ndarray) -> bool:
+    """C segmented memcpy dst[dst_off[i]:+lens[i]] = src[src_off[i]:+lens[i]];
+    False if the kernel is unavailable (caller falls back to multi_arange)."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.gather_rows(_p8(src), _p64(src_off), _p64(lens), lens.size,
+                    _p8(dst), _p64(dst_off))
+    return True
+
+
+def dict_streams(flat: np.ndarray, lens: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """C per-row dict streams; returns (uniq, n_dict, codes) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    row_off = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    total = int(row_off[-1])
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    max_len = int(lens.max()) if lens.size else 0
+    scratch = np.empty(max(2 * max_len, 1), dtype=np.uint64)
+    uniq = np.empty(max(total, 1), dtype=np.uint32)
+    n_dict = np.empty(lens.size, dtype=np.int64)
+    codes = np.empty(max(total, 1), dtype=np.uint32)
+    nuniq = lib.dict_streams(_pu32(flat), _p64(row_off), lens.size,
+                             _pu64(scratch), _pu32(uniq), _p64(n_dict),
+                             _pu32(codes))
+    return uniq[:nuniq], n_dict, codes[:total]
 
 
 def _pi32(a: np.ndarray):
