@@ -18,8 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 from .. import blocks
-from ..kernels import multi_arange
-from .base import Codec, FlatEncoded
+from .base import Codec, FlatEncoded, extract_rows as _extract, \
+    place_rows as _place
 
 U32 = np.uint32
 _HDR = 4
@@ -39,8 +39,11 @@ def _runs_flat(flat: np.ndarray, lens: np.ndarray):
     start_idx = np.nonzero(is_start)[0]
     run_lens = np.diff(np.concatenate((start_idx, [total])))
     run_vals = flat[start_idx]
-    row_of_run = np.searchsorted(np.cumsum(lens), start_idx, side="right")
-    rpr = np.bincount(row_of_run, minlength=nrows).astype(np.int64)
+    # runs per row: one reduceat over the start-flags (empty rows excluded
+    # — reduceat misreads zero-length segments — then scattered back)
+    ne = np.nonzero(lens > 0)[0]
+    rpr = np.zeros(nrows, dtype=np.int64)
+    rpr[ne] = np.add.reduceat(is_start, row_starts[ne])
     return run_vals, run_lens, rpr
 
 
@@ -62,18 +65,19 @@ class RLECodec(Codec):
         out = np.empty(int(sizes.sum()), dtype=np.uint8)
         start = np.cumsum(sizes) - sizes
         # header
-        hdr = rpr.astype(U32).view(np.uint8).reshape(nrows, 4)
+        hdr = np.ascontiguousarray(rpr.astype(U32)).view(np.uint8)
         ne = np.nonzero(nonempty)[0]
-        out[start[ne][:, None] + np.arange(4)] = hdr[ne]
+        _place(out, start[ne], hdr.reshape(nrows, 4)[ne].ravel(),
+               np.full(ne.size, 4, np.int64))
         # components, each scattered with row-relative cursors
         cur = start + _HDR
-        out[multi_arange(cur, np.where(nonempty, nb, 0))] = ev.widths
+        _place(out, cur, ev.widths, np.where(nonempty, nb, 0))
         cur = cur + nb
-        out[multi_arange(cur, np.where(nonempty, nb, 0))] = el.widths
+        _place(out, cur, el.widths, np.where(nonempty, nb, 0))
         cur = cur + nb
-        out[multi_arange(cur, ev.payload_lens)] = ev.payload
+        _place(out, cur, ev.payload, ev.payload_lens)
         cur = cur + ev.payload_lens
-        out[multi_arange(cur, el.payload_lens)] = el.payload
+        _place(out, cur, el.payload, el.payload_lens)
         z = np.zeros(nrows, dtype=np.int64)
         return FlatEncoded(np.zeros(0, np.uint8), z, np.zeros(0, np.uint8), z,
                            out, sizes)
@@ -91,15 +95,15 @@ class RLECodec(Codec):
             n_runs[ne] = np.ascontiguousarray(hdr).view(U32).reshape(-1)
         nb = (n_runs + 127) // 128
         cur = po + _HDR
-        wv = payload[multi_arange(cur, np.where(nonempty, nb, 0))]
+        wv = _extract(payload, cur, np.where(nonempty, nb, 0))
         cur = cur + nb
-        wl = payload[multi_arange(cur, np.where(nonempty, nb, 0))]
+        wl = _extract(payload, cur, np.where(nonempty, nb, 0))
         cur = cur + nb
         pv_lens = blocks.payload_bytes_from_widths(n_runs, wv)
-        pv = payload[multi_arange(cur, pv_lens)]
+        pv = _extract(payload, cur, pv_lens)
         cur = cur + pv_lens
         pl_lens = blocks.payload_bytes_from_widths(n_runs, wl)
-        pl = payload[multi_arange(cur, pl_lens)]
+        pl = _extract(payload, cur, pl_lens)
         run_vals = blocks.decode_flat(n_runs, wv, np.zeros(0, U32), pv,
                                       pv_lens, "plain")
         run_lens1 = blocks.decode_flat(n_runs, wl, np.zeros(0, U32), pl,
