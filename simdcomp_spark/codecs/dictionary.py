@@ -122,9 +122,12 @@ class DictCodec(Codec):
                                   "plain")
         codes = blocks.decode_flat(lens, wc, np.zeros(0, U32), pc, pc_lens,
                                    "plain")
-        # final gather with uint32 index math: per-batch token counts fit
-        # u32, and halving the index-temporary width halves DRAM traffic on
-        # the memory-bound decode path
+        # final gather: one C pass out[k] = uniq[dict_off[row]+codes[k]]
+        # when available; numpy path keeps uint32 index math (per-batch
+        # token counts fit u32, halving index-temporary DRAM traffic)
+        res = native.dict_gather(uniq, codes, lens, n_dict)
+        if res is not None:
+            return res
         dict_off = (np.cumsum(n_dict) - n_dict).astype(U32)
         idx = codes + np.repeat(dict_off, lens)
         return np.take(uniq, idx)

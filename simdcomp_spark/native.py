@@ -274,6 +274,19 @@ int64_t dict_streams(const uint32_t *flat, const int64_t *row_off,
     return u;
 }
 
+/* Dict decode final gather: out[k] = uniq[dict_off[row]+codes[k]] in one
+ * pass (replaces numpy repeat + add + take — three full-size temporaries). */
+void dict_gather(const uint32_t *uniq, const uint32_t *codes,
+                 const int64_t *row_off, const int64_t *dict_off,
+                 int64_t nrows, uint32_t *out)
+{
+    for (int64_t r = 0; r < nrows; r++) {
+        const uint32_t *u = uniq + dict_off[r];
+        for (int64_t k = row_off[r]; k < row_off[r + 1]; k++)
+            out[k] = u[codes[k]];
+    }
+}
+
 /* Greedy FSST tokenizer over concatenated rows.
  * buf MUST be padded with >=8 zero bytes past position n.
  * Tables: lut1[256]/lut2[65536] hold a symbol code or 255 (escape);
@@ -371,9 +384,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v5.so")
+            so = os.path.join(d, "simdcomp_kernels_v6.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v5.c")
+                src = os.path.join(d, "simdcomp_kernels_v6.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -413,6 +426,8 @@ def _load() -> ctypes.CDLL | None:
                                          u32p]
             lib.gather_rows.restype = None
             lib.gather_rows.argtypes = [u8p, i64p, i64p, i64, u8p, i64p]
+            lib.dict_gather.restype = None
+            lib.dict_gather.argtypes = [u32p, u32p, i64p, i64p, i64, u32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -507,6 +522,26 @@ def gather_rows(src: np.ndarray, src_off: np.ndarray, lens: np.ndarray,
     lib.gather_rows(_p8(src), _p64(src_off), _p64(lens), lens.size,
                     _p8(dst), _p64(dst_off))
     return True
+
+
+def dict_gather(uniq: np.ndarray, codes: np.ndarray, lens: np.ndarray,
+                n_dict: np.ndarray) -> np.ndarray | None:
+    """C one-pass dict gather out[k] = uniq[dict_off[row]+codes[k]];
+    None if the kernel is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n_dict = np.ascontiguousarray(n_dict, dtype=np.int64)
+    row_off = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    dict_off = np.cumsum(n_dict) - n_dict
+    uniq = np.ascontiguousarray(uniq, dtype=np.uint32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    out = np.empty(max(int(row_off[-1]), 1), dtype=np.uint32)
+    lib.dict_gather(_pu32(uniq), _pu32(codes), _p64(row_off),
+                    _p64(dict_off), lens.size, _pu32(out))
+    return out[:int(row_off[-1])]
 
 
 def dict_streams(flat: np.ndarray, lens: np.ndarray

@@ -243,3 +243,44 @@ def test_flat_codec_native_numpy_identical():
         assert np.array_equal(enc_c.inits, enc_n.inits), mode
         assert np.array_equal(enc_c.payload_lens, enc_n.payload_lens), mode
         assert np.array_equal(dec_c, buf) and np.array_equal(dec_n, buf), mode
+
+
+def test_dict_rle_native_numpy_identical():
+    """The C dict_streams / gather_rows / dict_gather kernels must produce
+    byte-identical encodes and decodes to the pure-numpy paths for the dict
+    and rle codecs, across empty rows, constant rows, wide values, and
+    multi-block rows."""
+    import os
+    from simdcomp_spark import native
+    from simdcomp_spark.codecs import REGISTRY
+
+    if native._load() is None:
+        pytest.skip("no C toolchain: numpy fallback is the only path")
+    rng = np.random.default_rng(41)
+    rows = [np.zeros(0, np.uint32),
+            rng.integers(0, 1 << 16, 300, dtype=np.int64).astype(np.uint32),
+            np.full(400, 0xFFFFFFFF, np.uint32),
+            np.repeat(rng.integers(0, 9, 40, dtype=np.int64), 13
+                      ).astype(np.uint32),
+            rng.integers(0, 1 << 31, 700, dtype=np.int64).astype(np.uint32),
+            np.zeros(0, np.uint32)]
+    flat = np.concatenate(rows)
+    lens = np.fromiter((r.size for r in rows), np.int64, count=len(rows))
+    for name in ("dict", "rle"):
+        codec = REGISTRY[name]
+        ce = codec.encode_flat(flat, lens)
+        cdec = codec.decode_flat(lens, ce.widths, ce.widths_lens, ce.inits,
+                                 ce.inits_lens, ce.payload, ce.payload_lens)
+        os.environ["SIMDCOMP_NO_NATIVE"] = "1"
+        native._lib, native._tried = None, False
+        try:
+            ne = codec.encode_flat(flat, lens)
+            assert np.array_equal(ce.payload, ne.payload), name
+            assert np.array_equal(ce.payload_lens, ne.payload_lens), name
+            ndec = codec.decode_flat(lens, ne.widths, ne.widths_lens,
+                                     ne.inits, ne.inits_lens, ne.payload,
+                                     ne.payload_lens)
+        finally:
+            del os.environ["SIMDCOMP_NO_NATIVE"]
+            native._lib, native._tried = None, False
+        assert np.array_equal(cdec, ndec) and np.array_equal(cdec, flat), name
