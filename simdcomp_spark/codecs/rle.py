@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import blocks
+from .. import blocks, native
 from .base import Codec, FlatEncoded, extract_rows as _extract, \
     place_rows as _place
 
@@ -32,6 +32,9 @@ def _runs_flat(flat: np.ndarray, lens: np.ndarray):
     if total == 0:
         return (np.empty(0, U32), np.empty(0, np.int64),
                 np.zeros(nrows, np.int64))
+    res = native.rle_runs(flat, lens)       # C one-pass path
+    if res is not None:
+        return res
     row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     is_start = np.ones(total, dtype=bool)
     is_start[1:] = flat[1:] != flat[:-1]

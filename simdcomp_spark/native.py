@@ -274,6 +274,37 @@ int64_t dict_streams(const uint32_t *flat, const int64_t *row_off,
     return u;
 }
 
+/* Run detection over concatenated rows (rle codec): one pass emitting
+ * run values, run lengths, and runs-per-row; runs never cross row
+ * boundaries.  run_vals/run_lens must have capacity row_off[nrows].
+ * Returns the total run count. */
+int64_t rle_runs(const uint32_t *flat, const int64_t *row_off, int64_t nrows,
+                 uint32_t *run_vals, int64_t *run_lens, int64_t *rpr)
+{
+    int64_t nr = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t s = row_off[r], e = row_off[r + 1];
+        int64_t r0 = nr;
+        if (s < e) {
+            uint32_t cur = flat[s];
+            int64_t cnt = 1;
+            for (int64_t k = s + 1; k < e; k++) {
+                if (flat[k] == cur) cnt++;
+                else {
+                    run_vals[nr] = cur;
+                    run_lens[nr++] = cnt;
+                    cur = flat[k];
+                    cnt = 1;
+                }
+            }
+            run_vals[nr] = cur;
+            run_lens[nr++] = cnt;
+        }
+        rpr[r] = nr - r0;
+    }
+    return nr;
+}
+
 /* Dict decode final gather: out[k] = uniq[dict_off[row]+codes[k]] in one
  * pass (replaces numpy repeat + add + take — three full-size temporaries). */
 void dict_gather(const uint32_t *uniq, const uint32_t *codes,
@@ -384,9 +415,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v6.so")
+            so = os.path.join(d, "simdcomp_kernels_v7.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v6.c")
+                src = os.path.join(d, "simdcomp_kernels_v7.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -428,6 +459,8 @@ def _load() -> ctypes.CDLL | None:
             lib.gather_rows.argtypes = [u8p, i64p, i64p, i64, u8p, i64p]
             lib.dict_gather.restype = None
             lib.dict_gather.argtypes = [u32p, u32p, i64p, i64p, i64, u32p]
+            lib.rle_runs.restype = i64
+            lib.rle_runs.argtypes = [u32p, i64p, i64, u32p, i64p, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -522,6 +555,26 @@ def gather_rows(src: np.ndarray, src_off: np.ndarray, lens: np.ndarray,
     lib.gather_rows(_p8(src), _p64(src_off), _p64(lens), lens.size,
                     _p8(dst), _p64(dst_off))
     return True
+
+
+def rle_runs(flat: np.ndarray, lens: np.ndarray
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """C one-pass run detection; returns (run_vals, run_lens, runs_per_row)
+    or None if the kernel is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    row_off = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    total = int(row_off[-1])
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    run_vals = np.empty(max(total, 1), dtype=np.uint32)
+    run_lens = np.empty(max(total, 1), dtype=np.int64)
+    rpr = np.empty(lens.size, dtype=np.int64)
+    nr = lib.rle_runs(_pu32(flat), _p64(row_off), lens.size,
+                      _pu32(run_vals), _p64(run_lens), _p64(rpr))
+    return run_vals[:nr], run_lens[:nr], rpr
 
 
 def dict_gather(uniq: np.ndarray, codes: np.ndarray, lens: np.ndarray,
