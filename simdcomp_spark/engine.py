@@ -259,7 +259,7 @@ def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
 
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                  split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
-                 batch_rows: int = 8192) -> DataFrame:
+                 batch_rows: int = 2048) -> DataFrame:
     """Fused scan→encode: Spark schedules one task per parquet row-group,
     and the worker reads it with pyarrow directly — the token buffers never
     cross the JVM row format at all.
@@ -269,7 +269,12 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     pushdown has nothing to push, and the JVM per-element list conversion
     (the dominant fixed cost of the `mapInArrow`-over-scan plan) is pure
     overhead.  Work units are (file, row_group) so task size is bounded by
-    the writer's row-group size regardless of file count skew."""
+    the writer's row-group size regardless of file count skew.
+
+    ``batch_rows`` trades per-batch Python overhead against cache
+    residency: 2048 rows ≈ 7 MB of tokens keeps the per-thread working set
+    near the L3 share at full thread count (measured +7-10% over 8192 at
+    8 and 32 cores on this host; 1024 regresses)."""
     import pyarrow.parquet as pq
 
     fdf = _rowgroup_units(spark, path)
@@ -329,7 +334,7 @@ def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
 
 
 def decode_files(spark: SparkSession, path: str,
-                 batch_rows: int = 8192) -> DataFrame:
+                 batch_rows: int = 2048) -> DataFrame:
     """Fused scan→decode, symmetric to :func:`encode_files`: one task per
     parquet row group of an ENCODED table, read with pyarrow inside the
     worker — the packed binary columns never enter the JVM row format.
