@@ -284,3 +284,23 @@ def test_dict_rle_native_numpy_identical():
             del os.environ["SIMDCOMP_NO_NATIVE"]
             native._lib, native._tried = None, False
         assert np.array_equal(cdec, ndec) and np.array_equal(cdec, flat), name
+
+
+def test_dict_d1_values_extreme_deltas():
+    """The dict values sub-stream is delta-packed; full-range u32 deltas
+    must route through the b==32 raw-block path and round-trip exactly."""
+    from simdcomp_spark.codecs import REGISTRY
+    c = REGISTRY["dict"]
+    rows = [np.array([0, 2**32 - 1], np.uint32),
+            np.array([2**32 - 1] * 7 + [0], np.uint32),
+            np.arange(2**32 - 130, 2**32, dtype=np.uint32),
+            np.array([1], np.uint32),
+            np.zeros(0, np.uint32)]
+    flat = np.concatenate(rows)
+    lens = np.fromiter((r.size for r in rows), np.int64, count=len(rows))
+    e = c.encode_flat(flat, lens)
+    d = c.decode_flat(lens, e.widths, e.widths_lens, e.inits, e.inits_lens,
+                      e.payload, e.payload_lens)
+    assert np.array_equal(d, flat)
+    assert np.array_equal(np.asarray(c.payload_sizes_flat(flat, lens)),
+                          e.payload_lens)
