@@ -722,6 +722,30 @@ def q_streaming_dedup(spark, sf_dir):
         .select("doc_id", "text")
 
 
+def q_streaming_encode(spark, sf_dir):
+    """Structured-Streaming encode path driven end-to-end: the orders
+    tokens table is written to a watched directory, `start_encode_stream`
+    (foreachBatch → the same engine.encode pipeline) consumes it with
+    availableNow, and the encoded micro-batch output is decoded and
+    exploded — proving the streaming sink's bytes decode bit-identically
+    to the batch oracle."""
+    import os
+    from . import streaming
+    base = _stream_tmp(sf_dir, "senc")
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    tok.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.start_encode_stream(spark, in_dir, out_dir,
+                                  codec="d1").awaitTermination()
+    enc = spark.read.parquet(os.path.join(out_dir, "data"))
+    dec = engine.decode(enc, reassemble=False)
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_streaming_window(spark, sf_dir):
     """Watermarked event-time windowed aggregation over a file stream of
     the events table: tokens (sum of user_id) and docs per 1-hour window
@@ -793,6 +817,7 @@ QUERIES = {
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_encode": q_streaming_encode,
     "streaming_window": q_streaming_window,
 }
 
@@ -1078,6 +1103,13 @@ UNION ALL
 SELECT min('c_' || CAST(doc_id AS VARCHAR)) AS doc_id,
        text || ' v2' AS text
 FROM documents GROUP BY text
+""",
+    "streaming_encode": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
 """,
     "streaming_window": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS win_start,
