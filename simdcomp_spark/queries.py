@@ -645,6 +645,18 @@ def q_ann_ivf(spark, sf_dir):
                                            nprobe=6)
 
 
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF plumbing with ``nprobe == n_clusters``: every cell is probed, so
+    the result equals exact brute-force top-k STRUCTURALLY (pytest proves
+    the same identity at toy scale; this gate proves it on the fixture
+    against the SQL oracle) — the quantize/assign/prune/rerank machinery is
+    exercised end-to-end with zero recall luck."""
+    df = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_ivf(df, qvec, k=10, n_clusters=16, nprobe=16)
+
+
 def q_minhash_verified(spark, sf_dir):
     """Two-stage near-dup: LSH candidates + exact shingle-Jaccard verify on
     only the candidate pairs (the corpus-scale dedup plan)."""
@@ -660,16 +672,22 @@ def q_cosine_neardup(spark, sf_dir):
     The raw fixture has no pairs above 0.9, so the query PLANTS them
     deterministically: every 25th vector gets a jittered copy (vec_id +
     10^6, x_i + 0.02·sin(vec_id + i)) with cosine ≈ 0.99 to its source —
-    a non-vacuous gate that actually exercises recall."""
+    a non-vacuous gate that actually exercises recall.  The jitter is
+    applied in a select of its own so ``vec_id`` inside the transform
+    unambiguously binds the SOURCE id (Spark's lateral-column-alias
+    resolution would otherwise capture the shifted alias), keeping the
+    plant reproducible by the pure-SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = (emb.where(F.col("vec_id") % 25 == 0)
-               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+               .select("vec_id",
                        F.transform(
                            "embedding",
                            lambda x, i: (x + F.lit(0.02) *
                                          F.sin(F.col("vec_id") + i))
                            .cast("float")).alias("embedding"),
-                       "label"))
+                       "label")
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       "embedding", "label"))
     return (similarity.cosine_neardup_pairs(
         emb.unionByName(planted), threshold=0.9, bands=6, rbits=6,
         max_bucket=64)
@@ -813,6 +831,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "minhash_verified": q_minhash_verified,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,
@@ -1118,4 +1137,134 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS win_start
        CAST(count(*) AS BIGINT) AS docs
 FROM events GROUP BY 1, 2
 """,
+    # cosine_neardup: exact all-pairs cosine over the fixture plus the SAME
+    # deterministically planted jittered copies the Spark query creates.
+    # Pairing the banded-LSH pipeline against the exhaustive answer asserts
+    # 100% recall AND precision at gate scale (planted pairs sit at ~0.994,
+    # where 6x6-bit banded recall is 1 - (1-p^6)^6 ≈ 0.9999).
+    "cosine_neardup": """
+WITH planted AS (
+  SELECT e.vec_id + 1000000 AS pid,
+         list_transform(generate_series(0, len(e.embedding) - 1),
+            i -> CAST(e.embedding[i + 1] + 0.02 * sin(e.vec_id + i) AS FLOAT)) AS emb
+  FROM embeddings e WHERE e.vec_id % 25 = 0),
+allv AS (
+  SELECT vec_id, embedding AS emb FROM embeddings
+  UNION ALL SELECT pid AS vec_id, emb FROM planted),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
+                                CAST(b.emb AS DOUBLE[])) AS sim
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(sim, 4) AS sim FROM pairs WHERE sim >= 0.9
+""",
+    # minhash_verified: the two-stage LSH+verify pipeline against the
+    # EXHAUSTIVE exact-Jaccard answer (threshold 15%, no df cap) — equality
+    # asserts the LSH candidate stage achieved 100% recall on the fixture's
+    # true near-dup pairs (precision is structural: the verify stage is
+    # exact).
+    "minhash_verified": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS sh
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 >= 15 * (sa.sz + sb.sz - inter)
+""",
+    # ann_ivf_exhaustive: nprobe == n_clusters probes every cell, so the
+    # IVF machinery must reproduce exact top-k STRUCTURALLY — the oracle is
+    # plain exhaustive cosine top-k (same SQL as ann_topk).
+    "ann_ivf_exhaustive": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e, q),
+r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+""",
 }
+
+
+def _fmt_vec(v) -> str:
+    """Full-precision SQL list literal (repr round-trips doubles)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _ann_lsh_oracle(dim: int = 64, bits: int = 12, probe_hamming: int = 2,
+                    k: int = 10, seed: int = 7) -> str:
+    """Full SQL replication of ``ann_topk_lsh`` with the SAME hyperplanes
+    inlined as literals: signature computation, hamming-ball bucket filter,
+    exact rerank, top-k.  The oracle mirrors the approximate pipeline
+    structurally, so the gate holds for WHATEVER recall the signature
+    filter achieves — no data luck involved (unlike pairing against
+    exhaustive top-k, which would depend on the filter recalling 10/10)."""
+    planes = similarity._hyperplanes(dim, bits, seed)
+
+    def sig(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({col}, {_fmt_vec(planes[i])}) > 0"
+            f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits))
+
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT ({sig('qe')}) AS qsig FROM q),
+sigs AS (
+  SELECT vec_id, emb, ({sig('emb')}) AS sig
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+cand AS (
+  SELECT s.vec_id, list_cosine_similarity(s.emb, q.qe) AS sim
+  FROM sigs s, qs, q
+  WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming}),
+r AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM cand)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _lang_id_oracle() -> str:
+    """Full SQL replication of :func:`text.lang_id`: occurrence-weighted
+    stopword voting (list_max over (score, lang) structs == Spark's
+    array_max tie-break) with dominant-Unicode-script override applied in
+    the same first-match-wins order."""
+    structs = []
+    for lang, sw in textfn._STOPWORDS.items():
+        inlist = ", ".join("'" + w + "'" for w in sw)
+        structs.append(
+            "{'score': CAST(len(list_filter(string_split(lower(text), ' '),"
+            f" x -> x IN ({inlist}))) AS INT), 'lang': '{lang}'}}")
+    best = "list_max([" + ", ".join(structs) + "])"
+    clauses = " ".join(
+        f"WHEN length(text) - length(regexp_replace(text, '{pattern}', '', 'g'))"
+        f" > GREATEST(length(text), 1) * {frac} THEN '{lang}'"
+        for lang, pattern, frac in textfn._SCRIPTS)
+    return f"""
+SELECT doc_id,
+       CASE {clauses}
+            WHEN ({best}).score > 0 THEN ({best}).lang
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
+ORACLES["lang_id"] = _lang_id_oracle()
