@@ -36,6 +36,17 @@ _C_SRC = r"""
 #include <stdint.h>
 #include <string.h>
 
+/* The flat-codec hot loops have two builds: a 4-lane SSE2 one (x86-64
+ * always has SSE2; the 4-lane wire layout IS the SSE layout, so one
+ * 128-bit op per row replaces 4 scalar ops and the per-element address
+ * math) and the original scalar loops for any other architecture.  Both
+ * produce byte-identical payloads (asserted in tests against the numpy
+ * builders and the compiled-reference golden vectors). */
+#if defined(__SSE2__) || defined(__x86_64__)
+#include <emmintrin.h>
+#define SIMDCOMP_SSE2 1
+#endif
+
 /* Generic lane-interleaved bit-pack: vals (nblk, rows, lanes) u32 ->
  * out (nblk, nwords, lanes) u32, nwords = ceil(rows*bit/32).  One
  * width-parameterized loop (gcc auto-vectorizes the lane dimension) —
@@ -133,7 +144,9 @@ void analyze_blocks(const uint32_t *src, const int64_t *blk_start,
 
 /* pack every block at its own width into payload at dst[i].
  * FOR subtracts inits[i]; blocks with b==32 copy raw orig values;
- * tails are padded to a lane multiple with value 0 (FOR: init). */
+ * tails are padded to a lane multiple with value 0 (FOR: init).
+ * Full 4-lane rows go through one 128-bit shift/or per row (SSE2);
+ * the last partial row (and non-x86 builds) uses the scalar loop. */
 void pack_blocks_flat(const uint32_t *src, const uint32_t *orig,
                       const int64_t *blk_start, const int32_t *blk_len,
                       const uint8_t *widths, const uint32_t *inits,
@@ -153,15 +166,36 @@ void pack_blocks_flat(const uint32_t *src, const uint32_t *orig,
         int nwords = (rows * b + 31) / 32;
         uint32_t *o = (uint32_t *)(payload + dst[i]);
         memset(o, 0, (size_t)nwords * 16);
-        for (int k = 0; k < rows; k++) {
-            int off = k * b, w = off >> 5, s = off & 31;
-            for (int l = 0; l < 4; l++) {
-                int j = k * 4 + l;
-                uint32_t x = (j < n) ? (v[j] - base) : 0;
-                o[w * 4 + l] |= x << s;
-                if (s + b > 32)
-                    o[(w + 1) * 4 + l] |= x >> (32 - s);
+        int j0 = 0;
+#ifdef SIMDCOMP_SSE2
+        {
+            int full = n >> 2;
+            __m128i vbase = _mm_set1_epi32((int)base);
+            for (int kr = 0; kr < full; kr++) {
+                int off = kr * b, w = off >> 5, s = off & 31;
+                __m128i x = _mm_sub_epi32(
+                    _mm_loadu_si128((const __m128i *)(v + kr * 4)), vbase);
+                __m128i lo = _mm_loadu_si128((const __m128i *)(o + w * 4));
+                _mm_storeu_si128((__m128i *)(o + w * 4),
+                                 _mm_or_si128(lo, _mm_slli_epi32(x, s)));
+                if (s + b > 32) {
+                    __m128i hi =
+                        _mm_loadu_si128((const __m128i *)(o + w * 4 + 4));
+                    _mm_storeu_si128((__m128i *)(o + w * 4 + 4),
+                                     _mm_or_si128(hi,
+                                                  _mm_srli_epi32(x, 32 - s)));
+                }
             }
+            j0 = full * 4;
+        }
+#endif
+        for (int j = j0; j < n; j++) {
+            int k = j >> 2, l = j & 3;
+            int off = k * b, w = off >> 5, s = off & 31;
+            uint32_t x = v[j] - base;
+            o[w * 4 + l] |= x << s;
+            if (s + b > 32)
+                o[(w + 1) * 4 + l] |= x >> (32 - s);
         }
     }
 }
@@ -188,7 +222,27 @@ void unpack_blocks_flat(const uint8_t *payload, const int64_t *src_off,
         }
         const uint32_t *w = (const uint32_t *)(payload + src_off[i]);
         uint32_t m = (1u << b) - 1u;
-        for (int k = 0; k < n; k++) {
+        int k0 = 0;
+#ifdef SIMDCOMP_SSE2
+        {
+            int full = n >> 2;
+            __m128i vm = _mm_set1_epi32((int)m);
+            for (int kr = 0; kr < full; kr++) {
+                int off = kr * b, wi = off >> 5, s = off & 31;
+                __m128i lo = _mm_loadu_si128((const __m128i *)(w + wi * 4));
+                __m128i x = _mm_srli_epi32(lo, s);
+                if (s + b > 32) {
+                    __m128i hi =
+                        _mm_loadu_si128((const __m128i *)(w + wi * 4 + 4));
+                    x = _mm_or_si128(x, _mm_slli_epi32(hi, 32 - s));
+                }
+                _mm_storeu_si128((__m128i *)(o + kr * 4),
+                                 _mm_and_si128(x, vm));
+            }
+            k0 = full * 4;
+        }
+#endif
+        for (int k = k0; k < n; k++) {
             int off = (k >> 2) * b, wi = off >> 5, s = off & 31;
             uint32_t x = w[wi * 4 + (k & 3)] >> s;
             if (s + b > 32)
@@ -197,10 +251,34 @@ void unpack_blocks_flat(const uint8_t *payload, const int64_t *src_off,
         }
         if (mode == 1) {
             uint32_t base = inits[i];
-            for (int k = 0; k < n; k++) o[k] += base;
+            int k = 0;
+#ifdef SIMDCOMP_SSE2
+            __m128i vb = _mm_set1_epi32((int)base);
+            for (; k + 4 <= n; k += 4)
+                _mm_storeu_si128(
+                    (__m128i *)(o + k),
+                    _mm_add_epi32(_mm_loadu_si128((const __m128i *)(o + k)),
+                                  vb));
+#endif
+            for (; k < n; k++) o[k] += base;
         } else if (mode == 2) {
             uint32_t acc = inits[i];
-            for (int k = 0; k < n; k++) { acc += o[k]; o[k] = acc; }
+            int k = 0;
+#ifdef SIMDCOMP_SSE2
+            /* in-register prefix scan (shift+add, log2 steps) with the
+             * running total broadcast from the previous vector's lane 3 */
+            __m128i vacc = _mm_set1_epi32((int)acc);
+            for (; k + 4 <= n; k += 4) {
+                __m128i x = _mm_loadu_si128((const __m128i *)(o + k));
+                x = _mm_add_epi32(x, _mm_slli_si128(x, 4));
+                x = _mm_add_epi32(x, _mm_slli_si128(x, 8));
+                x = _mm_add_epi32(x, vacc);
+                _mm_storeu_si128((__m128i *)(o + k), x);
+                vacc = _mm_shuffle_epi32(x, 0xFF);
+            }
+            acc = (uint32_t)_mm_cvtsi128_si32(vacc);
+#endif
+            for (; k < n; k++) { acc += o[k]; o[k] = acc; }
         }
     }
 }
@@ -415,9 +493,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v7.so")
+            so = os.path.join(d, "simdcomp_kernels_v8.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v7.c")
+                src = os.path.join(d, "simdcomp_kernels_v8.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
