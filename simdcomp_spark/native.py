@@ -352,6 +352,62 @@ int64_t dict_streams(const uint32_t *flat, const int64_t *row_off,
     return u;
 }
 
+/* Bounded-vocab fast path for the dict streams: a direct-address
+ * epoch-tagged table (tag/rank sized max_val+1, tag zeroed by the caller
+ * once per batch) replaces the per-row pair radix sort.  The probe loop is
+ * BRANCHLESS (always store, conditionally advance the count) because the
+ * new-vs-seen branch is ~50/50 on zipf token data and the misprediction
+ * was the dominant cost; only the distinct set (typically ~40% of tokens)
+ * goes through the radix passes, and codes come from one rank lookup per
+ * token.  ~2x the pair-radix path on 50k-vocab zipf data; the caller
+ * gates on max_val so unbounded values fall back to dict_streams. */
+int64_t dict_streams_table(const uint32_t *flat, const int64_t *row_off,
+                           int64_t nrows, uint32_t *tag, uint32_t *rank,
+                           uint32_t *tmp, uint32_t *tmp2,
+                           uint32_t *uniq, int64_t *n_dict, uint32_t *codes)
+{
+    int64_t u = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t s = row_off[r], n = row_off[r + 1] - s;
+        if (n <= 0) { n_dict[r] = 0; continue; }
+        const uint32_t *v = flat + s;
+        uint32_t epoch = (uint32_t)r + 1u;
+        int64_t cnt = 0;
+        uint32_t orv = 0;
+        for (int64_t k = 0; k < n; k++) {
+            uint32_t x = v[k];
+            uint32_t isnew = (tag[x] != epoch);
+            tag[x] = epoch;
+            tmp[cnt] = x;
+            cnt += isnew;
+            orv |= x;
+        }
+        int nbytes = orv ? (bits32(orv) + 7) / 8 : 0;
+        uint32_t *a = tmp, *b = tmp2;
+        for (int byte = 0; byte < nbytes; byte++) {
+            int shift = 8 * byte;
+            int64_t hist[256];
+            memset(hist, 0, sizeof hist);
+            for (int64_t k = 0; k < cnt; k++) hist[(a[k] >> shift) & 255]++;
+            if (hist[(a[0] >> shift) & 255] == cnt)
+                continue;                    /* byte constant in this row */
+            int64_t pos[256], run = 0;
+            for (int i = 0; i < 256; i++) { pos[i] = run; run += hist[i]; }
+            for (int64_t k = 0; k < cnt; k++)
+                b[pos[(a[k] >> shift) & 255]++] = a[k];
+            uint32_t *sw = a; a = b; b = sw;
+        }
+        for (int64_t k = 0; k < cnt; k++) {
+            uniq[u + k] = a[k];
+            rank[a[k]] = (uint32_t)k;
+        }
+        for (int64_t k = 0; k < n; k++) codes[s + k] = rank[v[k]];
+        n_dict[r] = cnt;
+        u += cnt;
+    }
+    return u;
+}
+
 /* Run detection over concatenated rows (rle codec): one pass emitting
  * run values, run lengths, and runs-per-row; runs never cross row
  * boundaries.  run_vals/run_lens must have capacity row_off[nrows].
@@ -493,9 +549,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v8.so")
+            so = os.path.join(d, "simdcomp_kernels_v9.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v8.c")
+                src = os.path.join(d, "simdcomp_kernels_v9.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -533,6 +589,9 @@ def _load() -> ctypes.CDLL | None:
             lib.dict_streams.restype = i64
             lib.dict_streams.argtypes = [u32p, i64p, i64, u64p, u32p, i64p,
                                          u32p]
+            lib.dict_streams_table.restype = i64
+            lib.dict_streams_table.argtypes = [u32p, i64p, i64, u32p, u32p,
+                                               u32p, u32p, u32p, i64p, u32p]
             lib.gather_rows.restype = None
             lib.gather_rows.argtypes = [u8p, i64p, i64p, i64, u8p, i64p]
             lib.dict_gather.restype = None
@@ -675,9 +734,17 @@ def dict_gather(uniq: np.ndarray, codes: np.ndarray, lens: np.ndarray,
     return out[:int(row_off[-1])]
 
 
+# direct-address table path cap: tag+rank are (max_val+1) u32 each, so
+# 2^22 caps the per-call scratch at 32 MB — plenty for token vocabularies
+# (50k-256k ids), while arbitrary u32 values fall back to the pair radix
+_DICT_TABLE_MAX = 1 << 22
+
+
 def dict_streams(flat: np.ndarray, lens: np.ndarray
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """C per-row dict streams; returns (uniq, n_dict, codes) or None."""
+    """C per-row dict streams; returns (uniq, n_dict, codes) or None.
+    Bounded-vocab batches go through the branchless direct-address table
+    kernel; unbounded values use the per-row pair radix sort."""
     lib = _load()
     if lib is None:
         return None
@@ -687,10 +754,20 @@ def dict_streams(flat: np.ndarray, lens: np.ndarray
     total = int(row_off[-1])
     flat = np.ascontiguousarray(flat, dtype=np.uint32)
     max_len = int(lens.max()) if lens.size else 0
-    scratch = np.empty(max(2 * max_len, 1), dtype=np.uint64)
     uniq = np.empty(max(total, 1), dtype=np.uint32)
     n_dict = np.empty(lens.size, dtype=np.int64)
     codes = np.empty(max(total, 1), dtype=np.uint32)
+    max_val = int(flat.max()) if total else 0
+    if total and max_val < _DICT_TABLE_MAX:
+        tag = np.zeros(max_val + 1, dtype=np.uint32)
+        rank = np.empty(max_val + 1, dtype=np.uint32)
+        tmp = np.empty(max_len + 1, dtype=np.uint32)
+        tmp2 = np.empty(max_len + 1, dtype=np.uint32)
+        nuniq = lib.dict_streams_table(
+            _pu32(flat), _p64(row_off), lens.size, _pu32(tag), _pu32(rank),
+            _pu32(tmp), _pu32(tmp2), _pu32(uniq), _p64(n_dict), _pu32(codes))
+        return uniq[:nuniq], n_dict, codes[:total]
+    scratch = np.empty(max(2 * max_len, 1), dtype=np.uint64)
     nuniq = lib.dict_streams(_pu32(flat), _p64(row_off), lens.size,
                              _pu64(scratch), _pu32(uniq), _p64(n_dict),
                              _pu32(codes))
