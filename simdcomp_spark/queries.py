@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import engine, kernels as K, strings
+from . import engine, kernels as K, oracles_xxh, strings
 from .functions import dedup, similarity, text as textfn
 
 
@@ -1268,3 +1268,16 @@ FROM documents
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
 ORACLES["lang_id"] = _lang_id_oracle()
+
+# the hash-seeded operators, previously rows-only: their pipelines build on
+# Spark's xxhash64, which oracles_xxh replicates bit-exactly in generated
+# DuckDB SQL (HUGEINT mod-2^64 arithmetic; pinned against Spark in
+# tests/test_oracles_xxh.py).  simhash/fingerprint are full replications;
+# simhash_neardup's oracle is the EXHAUSTIVE hamming≤3 answer (the banded
+# Spark plan equals it structurally: pigeonhole recall for
+# max_hamming ≤ bands-1 + exact bit_count verify); minhash_lsh is a full
+# replication of the banded bucket join.
+ORACLES["simhash"] = oracles_xxh.simhash_oracle()
+ORACLES["simhash_neardup"] = oracles_xxh.simhash_neardup_oracle()
+ORACLES["fingerprint"] = oracles_xxh.fingerprint_oracle()
+ORACLES["minhash_lsh"] = oracles_xxh.minhash_lsh_oracle()
