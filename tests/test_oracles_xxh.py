@@ -49,6 +49,80 @@ def test_xxh64_sql_matches_spark(spark):
                                r["hl2"]), r["s"]
 
 
+def _py_xxh64(b: bytes, seed: int = 42) -> int:
+    """Reference XXH64 (validated against Spark) for the fuzz test."""
+    M = (1 << 64) - 1
+    P1, P2, P3 = OX.P1, OX.P2, OX.P3
+    P4, P5 = OX.P4, OX.P5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(b)
+    if n >= 32:
+        v = [(seed + P1 + P2) & M, (seed + P2) & M, seed & M,
+             (seed - P1) & M]
+        i = 0
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(b[i + 8 * j:i + 8 * j + 8], "little")
+                v[j] = (rotl((v[j] + k * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12)
+             + rotl(v[3], 18)) & M
+        for x in v:
+            h ^= (rotl((x * P2) & M, 31) * P1) & M
+            h = (h * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+        i = 0
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = int.from_bytes(b[i:i + 8], "little")
+        h ^= (rotl((k * P2) & M, 31) * P1) & M
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(b[i:i + 4], "little")
+        h ^= (k * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (b[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_xxh64_sql_fuzz_random_strings():
+    """Random unicode strings (every length class) through the SQL
+    pipeline vs the python reference — no Spark needed, so this can fuzz
+    broadly."""
+    from hypothesis import given, settings, strategies as st
+
+    con = duckdb.connect()
+    layers = OX.hash_str_layers()
+
+    sql = OX.layered_select(
+        "SELECT hex(encode(s)) AS hx, octet_length(encode(s)) AS n "
+        "FROM (VALUES (?::VARCHAR)) v(s)", layers)
+    q = f"SELECT {OX.to_signed('h64')} FROM ({sql})"
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=80,
+                   alphabet=st.characters(exclude_characters="\x00")))
+    def check(s):
+        got = con.execute(q, [s]).fetchone()[0]
+        assert got == _py_xxh64(s.encode()), repr(s)
+
+    check()
+
+
 def test_to_unsigned_roundtrip():
     con = duckdb.connect()
     vals = [0, 1, -1, 2**63 - 1, -(2**63), -42]
