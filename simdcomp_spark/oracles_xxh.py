@@ -228,7 +228,7 @@ def simhash_oracle() -> str:
         "ELSE CAST(0 AS BIGINT) END")
     sig = " + ".join(f"({t})" for t in terms)
     return f"""
-WITH wh AS ({_WORD_HASH}),
+WITH wh AS MATERIALIZED ({_WORD_HASH}),
 occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
 SELECT o.doc_id, {sig} AS simhash
 FROM occ o JOIN wh ON wh.w = o.w
@@ -243,7 +243,7 @@ def simhash_neardup_oracle(max_hamming: int = 3) -> str:
     the exhaustive answer structurally."""
     sim = simhash_oracle()
     return f"""
-WITH sims AS ({sim})
+WITH sims AS MATERIALIZED ({sim})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -264,9 +264,9 @@ def fingerprint_oracle() -> str:
         step)
     return f"""
 WITH RECURSIVE
-wh AS ({_WORD_HASH}),
+wh AS MATERIALIZED ({_WORD_HASH}),
 wlist AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-wp AS (
+wp AS MATERIALIZED (
   SELECT l.doc_id, p.i AS pos, wh.h64, len(l.ws) AS np
   FROM wlist l
   JOIN LATERAL (SELECT unnest(generate_series(1, len(l.ws))) AS i) p ON true
@@ -324,13 +324,13 @@ sh_doc AS (
               ELSE array_to_string(w, ' ') END AS sh
   FROM words, LATERAL (
     SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
-shh AS ({sh_hash}),
-sigs AS (
+shh AS MATERIALIZED ({sh_hash}),
+sigs AS MATERIALIZED (
   SELECT d.doc_id, {mins}
   FROM sh_doc d JOIN shh ON shh.sh = d.sh
   GROUP BY d.doc_id),
-bnd AS ({bands_sql}),
-buckets AS ({bucket_union})
+bnd AS MATERIALIZED ({bands_sql}),
+buckets AS MATERIALIZED ({bucket_union})
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM buckets x JOIN buckets y ON x.band = y.band AND x.bkt = y.bkt
 WHERE x.doc_id < y.doc_id
