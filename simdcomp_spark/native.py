@@ -549,15 +549,24 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v9.so")
+            so = os.path.join(d, "simdcomp_kernels_v10.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v9.c")
+                src = os.path.join(d, "simdcomp_kernels_v10.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
-                subprocess.run(
-                    ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True, capture_output=True, timeout=60)
+                # x86-64-v2 (SSE4.2) lets gcc vectorize the unsigned
+                # min/max analyze loops (pminud is not in baseline SSE2);
+                # fall back to plain -O3 on toolchains without the flag
+                try:
+                    subprocess.run(
+                        ["gcc", "-O3", "-march=x86-64-v2", "-shared",
+                         "-fPIC", "-o", tmp, src],
+                        check=True, capture_output=True, timeout=60)
+                except subprocess.CalledProcessError:
+                    subprocess.run(
+                        ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                        check=True, capture_output=True, timeout=60)
                 os.replace(tmp, so)           # atomic: racing procs are fine
             lib = ctypes.CDLL(so)
             i64, u8p, i64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
