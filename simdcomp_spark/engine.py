@@ -27,6 +27,7 @@ Schema of the encoded table:
 from __future__ import annotations
 
 import os
+import tempfile
 import time
 
 import numpy as np
@@ -72,6 +73,14 @@ def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill scratch on tmpfs when available: the engine's plans
+        # shuffle compressed bytes (or nothing), so scratch stays small, and
+        # the shared sandbox disk is co-tenant-thrashed (identical shuffle
+        # queries measured 1-14 s depending on the window).  On a real
+        # cluster this maps to the standard NVMe/ramdisk local-dir setup.
+        .config("spark.local.dir",
+                "/dev/shm/simdcomp_spark_scratch"
+                if os.path.isdir("/dev/shm") else tempfile.gettempdir())
         .getOrCreate()
     )
 
