@@ -635,7 +635,13 @@ def q_ann_ivf(spark, sf_dir):
     import os
     import tempfile
     df = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag includes the source file identity (path + size + mtime), so a
+    # regenerated fixture or a stale index from an earlier session can
+    # never be served: the cache key changes with the data
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"simdcomp_ivf_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         similarity.ivf_build(df, path, n_clusters=16)
