@@ -47,6 +47,31 @@ DEFAULT_SPLIT_THRESHOLD = 1 << 16  # tokens per segment
 _BLOCK_MODES = {"bitpack": "plain", "for": "for", "d1": "d1"}
 
 
+def _scratch_dir() -> str:
+    """Shuffle/spill scratch directory.
+
+    tmpfs (/dev/shm) is used only when it currently has generous headroom
+    (≥8 GiB free) — the engine's plans shuffle compressed bytes (or
+    nothing), so scratch stays small, but a RAM-backed dir with no headroom
+    would turn a big spill into ENOSPC/OOM instead of a slow-disk
+    degradation.  ``SIMDCOMP_SCRATCH`` overrides the choice entirely, and
+    the tmpfs path is per-uid so concurrent users never share state.  On a
+    real cluster this maps to the standard NVMe/ramdisk local-dir setup."""
+    env = os.environ.get("SIMDCOMP_SCRATCH")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm):
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                return os.path.join(
+                    shm, f"simdcomp_spark_scratch_{os.getuid()}")
+        except OSError:
+            pass
+    return tempfile.gettempdir()
+
+
 def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -73,14 +98,12 @@ def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        # shuffle/spill scratch on tmpfs when available: the engine's plans
-        # shuffle compressed bytes (or nothing), so scratch stays small, and
-        # the shared sandbox disk is co-tenant-thrashed (identical shuffle
-        # queries measured 1-14 s depending on the window).  On a real
-        # cluster this maps to the standard NVMe/ramdisk local-dir setup.
-        .config("spark.local.dir",
-                "/dev/shm/simdcomp_spark_scratch"
-                if os.path.isdir("/dev/shm") else tempfile.gettempdir())
+        # shuffle/spill scratch on tmpfs when it has headroom (see
+        # _scratch_dir): the engine's plans shuffle compressed bytes (or
+        # nothing), so scratch stays small, and the shared sandbox disk is
+        # co-tenant-thrashed (identical shuffle queries measured 1-14 s
+        # depending on the window).
+        .config("spark.local.dir", _scratch_dir())
         .getOrCreate()
     )
 
@@ -254,16 +277,37 @@ def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
     """(file, row_group) work units for the fused scan paths — one Spark
     task per parquet row group, so task size is bounded by the writer's
     row-group size regardless of file-count skew.  Recurses into
-    partitioned layouts (e.g. the resumable writer's ``shard=N`` dirs)."""
-    import pyarrow.parquet as pq
+    partitioned layouts (e.g. the resumable writer's ``shard=N`` dirs).
+
+    The per-file footer reads are DISTRIBUTED: the driver only lists file
+    names (one directory-metadata pass, the same listing Spark's own file
+    index performs) and collects one small (path, n_row_groups) pair per
+    file — it never opens a data file.  At 100 TB / 10^5-10^6 files the
+    old sequential driver loop serialized minutes-to-hours of small-read
+    footer I/O before any task could start; the footer reads now fan out
+    across the cluster."""
     from pathlib import Path
 
     files = sorted(str(p) for p in Path(path).rglob("*.parquet"))
-    units = []
-    for f in files:
-        for rg in range(pq.ParquetFile(f).num_row_groups):
-            units.append((f, rg))
-    if not units:  # empty input dir → empty unit table, not a crash
+    if not files:  # empty input dir → empty unit table, not a crash
+        return spark.createDataFrame([], "path string, rg int")
+
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
+           .repartition(min(len(files), par * 4)))
+
+    def footer_counts(it):
+        import pyarrow.parquet as pq
+        for batch in it:
+            paths = batch.column(0).to_pylist()
+            ns = [pq.ParquetFile(p).metadata.num_row_groups for p in paths]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(ns, type=pa.int32())],
+                names=["path", "n"])
+
+    counts = fdf.mapInArrow(footer_counts, "path string, n int").collect()
+    units = [(r["path"], rg) for r in counts for rg in range(r["n"])]
+    if not units:
         return spark.createDataFrame([], "path string, rg int")
     return spark.createDataFrame(units, "path string, rg int") \
         .repartition(len(units))

@@ -767,7 +767,11 @@ def dict_streams(flat: np.ndarray, lens: np.ndarray
     n_dict = np.empty(lens.size, dtype=np.int64)
     codes = np.empty(max(total, 1), dtype=np.uint32)
     max_val = int(flat.max()) if total else 0
-    if total and max_val < _DICT_TABLE_MAX:
+    # epoch tags are (uint32_t)r + 1: a batch of >= 2^32-1 rows would wrap
+    # the tag back to the zero-initialized value and silently corrupt the
+    # streams — route such (unrealistic but possible) batches to the
+    # epoch-free pair-radix kernel instead
+    if total and max_val < _DICT_TABLE_MAX and lens.size < 0xFFFFFFFF:
         tag = np.zeros(max_val + 1, dtype=np.uint32)
         rank = np.empty(max_val + 1, dtype=np.uint32)
         tmp = np.empty(max_len + 1, dtype=np.uint32)

@@ -634,14 +634,27 @@ def q_ann_ivf(spark, sf_dir):
     import hashlib
     import os
     import tempfile
+    from pathlib import Path
     df = _t(spark, sf_dir, "embeddings")
-    # tag includes the source file identity (path + size + mtime), so a
-    # regenerated fixture or a stale index from an earlier session can
-    # never be served: the cache key changes with the data
+    # tag includes the source data identity (file names + sizes + mtimes,
+    # recursing into parquet directories), so a regenerated fixture or a
+    # stale index from an earlier session can never be served: the cache
+    # key changes with the data.  Non-local sf_dir forms (file:/, hdfs:/)
+    # aren't os.stat-able — fall back to a path-only tag (no caching
+    # guarantee beyond path identity, still correct: ivf_build just reruns).
     src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    try:
+        if os.path.isdir(src):
+            ident = repr(sorted(
+                (str(p.relative_to(src)), p.stat().st_size,
+                 p.stat().st_mtime_ns)
+                for p in Path(src).rglob("*") if p.is_file()))
+        else:
+            st = os.stat(src)
+            ident = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = ""
+    tag = hashlib.sha1(f"{src}:{ident}".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"simdcomp_ivf_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         similarity.ivf_build(df, path, n_clusters=16)

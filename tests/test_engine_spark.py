@@ -162,6 +162,34 @@ def test_decode_files_fused_path(spark, unit_df, tmp_path):
     assert got == want
 
 
+def test_rowgroup_units_many_small_files_no_driver_io(spark, unit_df,
+                                                      tmp_path, monkeypatch):
+    """At 100 TB the fused paths face 10^5-10^6 files; work-unit discovery
+    must not open parquet footers on the driver (the old sequential loop
+    serialized all of them before any task ran).  The driver may only LIST
+    file names; footer reads fan out as a Spark job.  Proven by poisoning
+    pq.ParquetFile in the driver process (executors are separate processes,
+    so the job itself is unaffected) over a many-small-files layout."""
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "many")
+    # 40 single-row-group files
+    unit_df.repartition(40).write.parquet(src)
+    from pathlib import Path
+    n_files = len(list(Path(src).glob("*.parquet")))
+    assert n_files >= 30
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side parquet footer read in fused path")
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+
+    units = engine._rowgroup_units(spark, src)
+    assert units.count() == n_files  # one row group per small file
+    enc = engine.encode_files(spark, src, codec="bitpack",
+                              split_threshold=1 << 14)
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
 def test_point_lookup_all_codecs(spark, unit_df):
     """Compressed-domain point lookup agrees with the raw arrays for every
     codec, including multi-block rows and the 70k-token skew row."""
