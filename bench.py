@@ -201,6 +201,15 @@ def run_bench() -> dict:
         q(spark, SF_DIR).count()
         queries[name] = time.perf_counter() - t0
 
+    # indexed IVF: timing + the measured recall@10 the query now carries
+    # (approximate operators report their error as a number)
+    t0 = time.perf_counter()
+    ivf_rows = em.queries()["ann_ivf"](spark, SF_DIR).collect()
+    queries["ann_ivf"] = time.perf_counter() - t0
+    if ivf_rows and "recall_at_10" in ivf_rows[0].asDict():
+        extras["ann_ivf_recall_at_10_nprobe6"] = float(
+            ivf_rows[0]["recall_at_10"])
+
     spark.stop()
 
     # FSST codec-core throughput (single core, driver-side) on the real

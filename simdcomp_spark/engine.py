@@ -40,7 +40,7 @@ from .codecs.auto import choose_codec_flat
 
 ENCODED_SCHEMA = ("doc_id string, source string, seg_id int, n_tok int, "
                   "codec string, widths binary, inits binary, payload binary, "
-                  "pid int, enc_ns long")
+                  "pid int, enc_ns long, content_hash binary")
 DECODED_SCHEMA = "doc_id string, source string, seg_id int, tokens array<int>"
 
 DEFAULT_SPLIT_THRESHOLD = 1 << 16  # tokens per segment
@@ -239,6 +239,8 @@ def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
             widths_arr = _binary_from_flat(e.widths, e.widths_lens)
             inits_arr = _binary_from_flat(e.inits, e.inits_lens)
             payload_arr = _binary_from_flat(e.payload, e.payload_lens)
+            from .kernels import content_hash_flat
+            ch = content_hash_flat(flat, lens)
             total_ns += time.perf_counter_ns() - t0
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1),
@@ -247,9 +249,11 @@ def encode(df: DataFrame, codec: str = "auto", shards: int | None = None,
                  pa.array([chosen] * n, type=pa.string()),
                  widths_arr, inits_arr, payload_arr,
                  pa.array(np.full(n, pid, dtype=np.int32)),
-                 pa.array(np.full(n, total_ns, dtype=np.int64))],
+                 pa.array(np.full(n, total_ns, dtype=np.int64)),
+                 _binary_from_flat(ch, np.full(n, 16, dtype=np.int64))],
                 names=["doc_id", "source", "seg_id", "n_tok", "codec",
-                       "widths", "inits", "payload", "pid", "enc_ns"])
+                       "widths", "inits", "payload", "pid", "enc_ns",
+                       "content_hash"])
 
     return df.mapInArrow(encode_fn, schema=ENCODED_SCHEMA)
 
@@ -360,6 +364,8 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                         chosen, _ = choose_codec_flat(flat, lens)
                     e = codecs.get(chosen).encode_flat(flat, lens)
                     n = lens.size
+                    from .kernels import content_hash_flat
+                    ch = content_hash_flat(flat, lens)
                     total_ns += time.perf_counter_ns() - t0
                     yield pa.RecordBatch.from_arrays(
                         [doc_ids, sources, pa.array(seg_ids, pa.int32()),
@@ -369,10 +375,12 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                          _binary_from_flat(e.inits, e.inits_lens),
                          _binary_from_flat(e.payload, e.payload_lens),
                          pa.array(np.full(n, pid, dtype=np.int32)),
-                         pa.array(np.full(n, total_ns, dtype=np.int64))],
+                         pa.array(np.full(n, total_ns, dtype=np.int64)),
+                         _binary_from_flat(ch,
+                                           np.full(n, 16, dtype=np.int64))],
                         names=["doc_id", "source", "seg_id", "n_tok",
                                "codec", "widths", "inits", "payload",
-                               "pid", "enc_ns"])
+                               "pid", "enc_ns", "content_hash"])
 
     return fdf.mapInArrow(fn, schema=ENCODED_SCHEMA)
 
@@ -729,12 +737,36 @@ def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
 
 
 def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
-    """Exact duplicate detection WITHOUT decoding: for a fixed codec the
-    encode is a deterministic bijection per row, so equal
-    (codec, n_tok, widths, inits, payload) ⟺ equal token arrays.  Groups by
-    a hash of the compressed representation — at 100 TB this shuffles ~2-16
-    bits/token instead of raw 32-bit tokens.  Returns one row per distinct
-    token sequence: (seq_hash, n_docs, first_doc)."""
+    """Exact duplicate detection WITHOUT decoding.
+
+    Primary path: group on the ``content_hash`` column the encoder stamps
+    on every row — a 128-bit hash of the RAW token stream computed in-UDF
+    at encode time (kernels.content_hash_flat), so it is CODEC-INVARIANT:
+    two identical docs hash equal even when ``codec='auto'`` picked
+    different codecs (or different block layouts) for their partitions.
+    At 100 TB this shuffles 16 bytes + doc_id per row — far below even the
+    compressed token bytes.
+
+    Fallback (tables encoded before content_hash existed): hash the
+    compressed representation, which is a per-row bijection only for a
+    FIXED codec — enforced by raising when the table mixes codecs (the old
+    silent false-negative mode).  Returns one row per distinct token
+    sequence: (seq_hash string, n_docs, first_doc)."""
+    if "content_hash" in df_encoded.columns:
+        return (df_encoded
+                .select(F.hex(F.col("content_hash")).alias("seq_hash"),
+                        "doc_id")
+                .groupBy("seq_hash")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("first_doc")))
+    codecs_present = [r["codec"] for r in
+                      df_encoded.select("codec").distinct().collect()]
+    if len(codecs_present) > 1:
+        raise ValueError(
+            "encoded_dedup on a legacy table (no content_hash column) "
+            f"requires a single fixed codec, found {sorted(codecs_present)}: "
+            "identical docs encoded by different codecs would hash apart "
+            "(silent false negatives). Re-encode to get content_hash.")
     h = F.sha2(F.concat(F.col("codec").cast("binary"),
                         F.col("n_tok").cast("string").cast("binary"),
                         F.col("widths"), F.col("inits"), F.col("payload")), 256)

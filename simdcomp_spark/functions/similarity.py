@@ -186,6 +186,30 @@ def ann_topk_ivf_indexed(spark, path: str, query: list[float], k: int = 10,
     return ann_topk_bruteforce(df.drop("ivf_cell"), query, k)
 
 
+def ivf_recall_at_k(spark, df: DataFrame, path: str,
+                    queries: list[list[float]], k: int = 10,
+                    nprobe: int = 4) -> float:
+    """Measured recall@k of the indexed IVF query path vs the exact
+    brute-force answer, averaged over ``queries`` — the quantified analog
+    of the reference's search-vs-linear-scan oracles
+    (/root/reference/tests/unit.c:736-773): an approximate operator is
+    only 'done' when its error is a measured number, not a vibe.
+
+    Each query runs the same two plans a user would (partition-pruned IVF
+    probe; TakeOrderedAndProject exact top-k) and the driver intersects
+    the two k-row answers — O(k) driver data per query."""
+    if not queries:
+        raise ValueError("ivf_recall_at_k needs at least one query vector")
+    hits = 0
+    for qv in queries:
+        approx = {r["vec_id"] for r in
+                  ann_topk_ivf_indexed(spark, path, qv, k, nprobe).collect()}
+        exact = {r["vec_id"] for r in
+                 ann_topk_bruteforce(df, qv, k).collect()}
+        hits += len(approx & exact)
+    return hits / (k * len(queries))
+
+
 def ann_topk_ivf(df: DataFrame, query: list[float], k: int = 10,
                  n_clusters: int = 16, nprobe: int = 4,
                  col: str = "embedding", sample_rows: int = 4096,

@@ -625,3 +625,57 @@ def multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     shift = starts - (np.cumsum(lens) - lens)
     seg_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
     return np.arange(total, dtype=np.int64) + np.take(shift, seg_id)
+
+
+# ---------------------------------------------------------------------------
+# Canonical per-row content hash (codec-invariant dedup key)
+# ---------------------------------------------------------------------------
+
+_CH_P1 = np.uint64(0x9E3779B97F4A7C15)   # odd → invertible mod 2^64
+_CH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_CH_C1 = np.uint64(0x9AE16A3B2F90404F)
+_CH_C2 = np.uint64(0x165667B19E3779F9)
+
+
+def content_hash_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """128-bit content hash of each row's raw token stream, vectorized.
+
+    The dedup key the engine stamps on every encoded row: it is computed
+    from the RAW tokens before any codec runs, so equal token arrays hash
+    equal no matter which codec a partition's auto-selector picked (the
+    compressed representation is NOT codec-invariant).  Two independent
+    64-bit polynomial hashes H_p = sum_i (v_i + C) * p^(n-1-i) mod 2^64
+    (distinct odd multipliers), each folded with the row length and passed
+    through a splitmix64 finalizer.  Implementation is one global prefix
+    sum per multiplier (mod-2^64 wraparound arithmetic) — no per-row
+    Python, empty rows well-defined.  Returns uint8 of shape (16 * nrows,)
+    — 16 little-endian bytes per row."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = lens.size
+    out = np.empty((max(n, 1), 2), dtype=np.uint64)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    v = flat[:int(ends[-1])].astype(np.uint64)
+    maxlen = int(lens.max())
+    g = np.arange(v.size, dtype=np.int64)
+    rev = np.repeat(ends - 1, lens) - g      # row-local position from end
+    for j, (p, c) in enumerate(((_CH_P1, _CH_C1), (_CH_P2, _CH_C2))):
+        pows = np.empty(max(maxlen, 1), dtype=np.uint64)
+        pows[0] = 1
+        if maxlen > 1:
+            np.cumprod(np.full(maxlen - 1, p, dtype=np.uint64),
+                       out=pows[1:])
+        terms = (v + c) * pows[rev]
+        csum = np.zeros(terms.size + 1, dtype=np.uint64)
+        np.cumsum(terms, out=csum[1:])
+        h = csum[ends] - csum[starts]
+        h ^= lens.astype(np.uint64) * p
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        out[:n, j] = h
+    return out[:n].reshape(-1).view(np.uint8)

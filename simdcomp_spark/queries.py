@@ -39,28 +39,32 @@ def tokens_table(spark, sf_dir, table, key, order_col, val_col, source
                     F.lit(source).alias("source")))
 
 
-def _flatten_tokens(pdf):
-    """(lens, flat uint32 buffer, row starts, int64 doc ids) for a pandas
-    batch with (doc_id, tokens) — one concatenate, no per-element Python."""
-    arrs = [np.asarray(a) for a in pdf["tokens"]]
-    lens = np.fromiter((a.size for a in arrs), np.int64, count=len(arrs))
-    flat = (np.concatenate(arrs).astype(np.int64, copy=False)
-            .astype(np.uint32) if lens.sum() else np.zeros(0, np.uint32))
+def _flatten_batch(batch):
+    """(lens, flat uint32 buffer, row starts, int64 doc ids) for an Arrow
+    batch with (doc_id, tokens) — zero-copy buffer views via the engine's
+    helpers, no per-row Python at all."""
+    import pyarrow.compute as pc
+    import pyarrow as pa_
+    flat_i32, lens = engine._list_to_flat(batch.column(1))
+    flat = flat_i32.view(np.uint32)
     starts = np.cumsum(lens) - lens
-    uids = pdf["doc_id"].to_numpy().astype(np.int64)
+    uids = pc.cast(batch.column(0), pa_.int64()).to_numpy(
+        zero_copy_only=False)
     return lens, flat, starts, uids
 
 
-def _explode_frame(key_name, uids, lens, starts, vals):
-    """(key, pos, tok) frame from per-row lengths + flat values — the
+def _explode_batch(key_name, uids, lens, starts, vals):
+    """(key, pos, tok) Arrow batch from per-row lengths + flat values — the
     vectorized replacement for per-row extend loops."""
-    import pandas as pd
+    import pyarrow as pa_
     n = int(lens.sum())
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-    return pd.DataFrame({
-        key_name: pd.Series(np.repeat(uids, lens), dtype="int64"),
-        "pos": pd.Series(pos.astype(np.int32), dtype="int32"),
-        "tok": pd.Series(vals[:n].view(np.int32), dtype="int32")})
+    return pa_.RecordBatch.from_arrays(
+        [pa_.array(np.repeat(uids, lens), type=pa_.int64()),
+         pa_.array(pos.astype(np.int32), type=pa_.int32()),
+         pa_.array(np.ascontiguousarray(vals[:n]).view(np.int32),
+                   type=pa_.int32())],
+        names=[key_name, "pos", "tok"])
 
 
 def _seg_cumsum_u32(vals: np.ndarray, lens: np.ndarray,
@@ -77,11 +81,16 @@ def _seg_cumsum_u32(vals: np.ndarray, lens: np.ndarray,
 def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str,
                         salt: bool = False) -> DataFrame:
     """Narrow (zero-shuffle) encode→decode by default — the plan the engine
-    ships at 100 TB.  ``salt=True`` keeps one gate query on the explicit
-    salt-repartition path so the shuffled/mixed-codec decode stays covered
-    without making every headline bench measure a voluntary raw-token
-    shuffle."""
-    enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=salt)
+    ships at 100 TB.  ``salt=True`` keeps gate coverage on the explicit
+    salt-repartition + post-shuffle decode path, but salts the ENCODED
+    table (engine.salt_encoded): the shuffle moves ~2-16 bits/token of
+    compressed bytes instead of raw 32-bit token arrays, which is both the
+    plan a real job would run and ~10x less sensitive to the sandbox's
+    shuffle-I/O weather (the old pre-encode raw-token salt made this the
+    dominant, window-sensitive line of every bench)."""
+    enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=False)
+    if salt:
+        enc = engine.salt_encoded(enc)
     dec = engine.decode(enc, reassemble=False)
     ex = dec.select(F.col("doc_id").cast("long").alias(key_name),
                     F.posexplode("tokens").alias("pos", "tok"))
@@ -150,12 +159,40 @@ def q_auto_roundtrip(spark, sf_dir):
     tok = (df.groupBy("user_id").agg(arr.alias("tokens"))
            .select(F.col("user_id").cast("string").alias("doc_id"), "tokens",
                    F.size("tokens").alias("n_tok"), F.lit("ev").alias("source")))
-    return _roundtrip_exploded(tok, "auto", "user_id")
+    # salted post-encode: when auto picks different codecs per partition,
+    # the shuffled batches interleave them — keeps the mixed-codec decode
+    # routing (engine._decode_batch_columns) covered by a gate query
+    return _roundtrip_exploded(tok, "auto", "user_id", salt=True)
 
 
 # ---------------------------------------------------------------------------
 # analyzers + size formula (reference §2.1, #11)
 # ---------------------------------------------------------------------------
+
+def _maxbits_of_widths(enc: DataFrame, key_name: str,
+                       out_name: str) -> DataFrame:
+    """Per-row max over the encoded per-block widths column — fully
+    vectorized: one flat-buffer view + one ``np.maximum.reduceat`` per
+    Arrow batch, no Python loop over rows."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc
+    src = enc.select("doc_id", "widths")
+
+    def f(it):
+        for batch in it:
+            wf, wl = engine._binary_to_flat(batch.column(1))
+            mb = np.zeros(wl.size, dtype=np.int64)
+            nz = wl > 0
+            if wf.size:
+                starts = (np.cumsum(wl) - wl)[nz]
+                mb[nz] = np.maximum.reduceat(wf, starts)
+            yield pa_.RecordBatch.from_arrays(
+                [pc.cast(batch.column(0), pa_.int64()),
+                 pa_.array(mb.astype(np.int32), type=pa_.int32())],
+                names=[key_name, out_name])
+
+    return src.mapInArrow(f, schema=f"{key_name} long, {out_name} int")
+
 
 def q_maxbits(spark, sf_dir):
     """maxbits_length (SURVEY §2.1 #2-#3) via the encoded widths column:
@@ -163,17 +200,7 @@ def q_maxbits(spark, sf_dir):
     tok = tokens_table(spark, sf_dir, "events", "user_id",
                        "event_id", "event_id", "events")
     enc = engine.encode(tok, codec="bitpack", split_threshold=None)
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            yield pd.DataFrame({
-                "user_id": pdf["doc_id"].astype("int64"),
-                "maxbits": [int(np.frombuffer(w, np.uint8).max()) if len(w)
-                            else 0 for w in pdf["widths"]]})
-
-    return enc.mapInPandas(f, schema="user_id long, maxbits int") \
-        .withColumn("maxbits", F.col("maxbits").cast("int"))
+    return _maxbits_of_widths(enc, "user_id", "maxbits")
 
 
 def q_maxbits_d1(spark, sf_dir):
@@ -181,16 +208,7 @@ def q_maxbits_d1(spark, sf_dir):
     tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
                        "o_orderkey", "o_orderkey", "orders")
     enc = engine.encode(tok, codec="d1", split_threshold=None)
-
-    def f(it):
-        import pandas as pd
-        for pdf in it:
-            yield pd.DataFrame({
-                "o_custkey": pdf["doc_id"].astype("int64"),
-                "maxbits_d1": [int(np.frombuffer(w, np.uint8).max()) if len(w)
-                               else 0 for w in pdf["widths"]]})
-
-    return enc.mapInPandas(f, schema="o_custkey long, maxbits_d1 int")
+    return _maxbits_of_widths(enc, "o_custkey", "maxbits_d1")
 
 
 def q_compressed_size(spark, sf_dir):
@@ -290,17 +308,17 @@ def q_masked_pack(spark, sf_dir):
                        "event_id", "event_id", "events")
 
     def f(it):
-        import pandas as pd
-        for pdf in it:
-            lens, flat, starts, uids = _flatten_tokens(pdf)
+        for batch in it:
+            lens, flat, starts, uids = _flatten_batch(batch)
             # ONE masked pack+unpack for the whole batch: the mask
             # round-trip (out == v & (2^B - 1)) is elementwise, so block
             # boundaries shifting across row joins cannot change it
             packed = K.simdpack_length(flat, B, mask=True)
             back = K.simdunpack_length(packed, flat.size, B)
-            yield _explode_frame("user_id", uids, lens, starts, back)
+            yield _explode_batch("user_id", uids, lens, starts, back)
 
-    return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
+    return tok.select("doc_id", "tokens").mapInArrow(
+        f, schema="user_id long, pos int, tok int")
 
 
 def q_avx_roundtrip(spark, sf_dir):
@@ -315,9 +333,8 @@ def q_avx_roundtrip(spark, sf_dir):
                        "event_id", "event_id", "events")
 
     def f(it):
-        import pandas as pd
-        for pdf in it:
-            lens, flat, starts, uids = _flatten_tokens(pdf)
+        for batch in it:
+            lens, flat, starts, uids = _flatten_batch(batch)
             # per-row maxbits via one reduceat (rows are non-empty here)
             row_or = np.bitwise_or.reduceat(flat, starts) \
                 if flat.size else np.zeros(0, np.uint32)
@@ -349,9 +366,10 @@ def q_avx_roundtrip(spark, sf_dir):
                     backs.append(back[inmask])   # valid region only
                 assert (backs[0] == backs[1]).all()
                 out[gpos] = backs[0]
-            yield _explode_frame("user_id", uids, lens, starts, out)
+            yield _explode_batch("user_id", uids, lens, starts, out)
 
-    return tok.mapInPandas(f, schema="user_id long, pos int, tok int")
+    return tok.select("doc_id", "tokens").mapInArrow(
+        f, schema="user_id long, pos int, tok int")
 
 
 def _fastset_shim(enc, mode: str, last_element: bool = False):
@@ -359,28 +377,41 @@ def _fastset_shim(enc, mode: str, last_element: bool = False):
     kernels.fastset_rows in-place write over the batch's concatenated
     payloads (stored value 0 — each variant's semantics reduce to a zero
     delta/offset write), then ONE blocks.decode_flat for the whole batch.
-    Rows are single-block by construction (n_tok ≤ 128)."""
+    Rows are single-block by construction (n_tok ≤ 128).  Arrow-native:
+    the binary columns are viewed as flat buffers (engine._binary_to_flat),
+    no per-row bytes materialization."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc
+    src = enc.select("doc_id", "n_tok", "widths", "inits", "payload")
+
     def f(it):
         from . import blocks
-        for pdf in it:
-            n = pdf["n_tok"].to_numpy().astype(np.int64)
-            wf = np.frombuffer(b"".join(pdf["widths"]), np.uint8)
-            pf_list = [bytes(p) for p in pdf["payload"]]
-            pl = np.fromiter((len(p) for p in pf_list), np.int64,
-                             count=len(pf_list))
-            flat = np.frombuffer(b"".join(pf_list), np.uint8).copy()
+        for batch in it:
+            n = batch.column(1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            wf, _wl = engine._binary_to_flat(batch.column(2))
+            inf, _il = engine._binary_to_flat(batch.column(3))
+            pf, pl = engine._binary_to_flat(batch.column(4))
+            flat = pf.copy()                      # in-place write target
             starts = np.cumsum(pl) - pl
             idxs = (n - 1) if last_element else np.minimum(50, n - 1)
             K.fastset_rows(flat, starts, wf.astype(np.int64),
                            np.zeros(n.size, np.uint64), idxs)
-            inits = (np.frombuffer(b"".join(pdf["inits"]), np.uint32)
+            inits = (np.ascontiguousarray(inf).view(np.uint32)
                      if mode != "plain" else np.zeros(0, np.uint32))
             back = blocks.decode_flat(n, wf, inits, flat, pl, mode)
-            uids = pdf["doc_id"].to_numpy().astype(np.int64)
-            yield _explode_frame("o_custkey", uids, n,
-                                 np.cumsum(n) - n, back)
+            uids = pc.cast(batch.column(0), pa_.int64()) \
+                .to_numpy(zero_copy_only=False)
+            tot = int(n.sum())
+            pos = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(n) - n, n)).astype(np.int32)
+            yield pa_.RecordBatch.from_arrays(
+                [pa_.array(np.repeat(uids, n), type=pa_.int64()),
+                 pa_.array(pos, type=pa_.int32()),
+                 pa_.array(back[:tot].view(np.int32), type=pa_.int32())],
+                names=["o_custkey", "pos", "tok"])
 
-    return enc.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+    return src.mapInArrow(f, schema="o_custkey long, pos int, tok int")
 
 
 def q_fastset(spark, sf_dir):
@@ -432,9 +463,8 @@ def q_masked_d1(spark, sf_dir):
                        "o_orderkey", "o_orderkey", "orders")
 
     def f(it):
-        import pandas as pd
-        for pdf in it:
-            lens, flat, starts, uids = _flatten_tokens(pdf)
+        for batch in it:
+            lens, flat, starts, uids = _flatten_batch(batch)
             # per-row deltas = one global diff + row-start fixup (init 0)
             deltas = np.empty_like(flat)
             if flat.size:
@@ -445,9 +475,10 @@ def q_masked_d1(spark, sf_dir):
             packed = K.simdpack_length(deltas, B, mask=True)
             masked = K.simdunpack_length(packed, flat.size, B)
             back = _seg_cumsum_u32(masked, lens, starts)
-            yield _explode_frame("o_custkey", uids, lens, starts, back)
+            yield _explode_batch("o_custkey", uids, lens, starts, back)
 
-    return tok.mapInPandas(f, schema="o_custkey long, pos int, tok int")
+    return tok.select("doc_id", "tokens").mapInArrow(
+        f, schema="o_custkey long, pos int, tok int")
 
 
 def q_fastset_d1(spark, sf_dir):
@@ -516,11 +547,22 @@ def q_range_count(spark, sf_dir):
 
 
 def q_encoded_dedup(spark, sf_dir):
-    """Exact dedup in the COMPRESSED domain (no decode): histogram of
-    duplicate-group sizes of per-order sorted quantity sequences."""
+    """Exact dedup in the COMPRESSED domain (no decode), CODEC-INVARIANT:
+    the table is split by doc-id hash and the halves encoded with two
+    different codecs (duplicate quantity sequences routinely land in both
+    halves), so duplicates must collapse ACROSS codecs — the encoder's
+    raw-content hash (engine.encoded_dedup primary path) is what makes
+    that exact; the old compressed-representation hash silently missed
+    every cross-codec pair.  Histogram of duplicate-group sizes of
+    per-order sorted quantity sequences; the oracle groups the raw arrays,
+    so equality proves exactness."""
     tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
                        "l_quantity", "l_quantity", "lineitem")
-    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(tok.where(even), codec="bitpack",
+                         split_threshold=None)
+           .unionByName(engine.encode(tok.where(~even), codec="rle",
+                                      split_threshold=None)))
     groups = engine.encoded_dedup(enc)
     return (groups.groupBy("n_docs")
             .agg(F.count("*").alias("n_groups"))
@@ -660,8 +702,12 @@ def q_ann_ivf(spark, sf_dir):
         similarity.ivf_build(df, path, n_clusters=16)
     qvec = [float(x) for x in
             df.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return similarity.ann_topk_ivf_indexed(spark, path, qvec, k=10,
-                                           nprobe=6)
+    res = similarity.ann_topk_ivf_indexed(spark, path, qvec, k=10, nprobe=6)
+    # quantify the approximation instead of emitting an unmeasured top-k:
+    # recall@10 vs the exact answer rides along as a column (constant per
+    # run), so the gate snapshot records WHAT recall nprobe=6 achieved
+    rec = similarity.ivf_recall_at_k(spark, df, path, [qvec], k=10, nprobe=6)
+    return res.withColumn("recall_at_10", F.lit(float(round(rec, 4))))
 
 
 def q_ann_ivf_exhaustive(spark, sf_dir):

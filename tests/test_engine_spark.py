@@ -257,6 +257,68 @@ def test_range_count_mixed_codec_batches(spark, unit_df):
         assert r["n_in_range"] == truth[r["doc_id"]], r["doc_id"]
 
 
+def test_salt_encoded_mixed_codec_decode(spark, unit_df):
+    """The bench/gate sentinel shape: salt the ENCODED table (compressed
+    bytes shuffled, not raw tokens), then decode the shuffled, guaranteed
+    mixed-codec batches.  Asserts both that >1 codec is present after the
+    salt (so the per-codec sub-gather routing in _decode_batch_columns is
+    genuinely exercised) and that the round-trip stays bit-identical."""
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(unit_df.where(even), codec="bitpack",
+                         split_threshold=1 << 14)
+           .unionByName(engine.encode(unit_df.where(~even), codec="d1",
+                                      split_threshold=1 << 14)))
+    salted = engine.salt_encoded(enc, shards=4)
+    assert salted.select("codec").distinct().count() == 2
+    dec = engine.decode(salted, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_encoded_dedup_codec_invariant(spark):
+    """Identical docs encoded by DIFFERENT codecs (auto picking per
+    partition, or explicit per-half codecs) must still collapse: the
+    content_hash stamped at encode time is computed from the raw token
+    stream, not the compressed bytes."""
+    rows = []
+    for i in range(40):
+        toks = [int(x) for x in np.arange(20) * 3 + (i % 10)]
+        rows.append((f"doc_{i:03d}", "t", len(toks), toks))
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int, tokens array<int>")
+    # 10 distinct sequences, each duplicated 4x; halves get different codecs
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(df.where(even), codec="d1", split_threshold=None)
+           .unionByName(engine.encode(df.where(~even), codec="bitpack",
+                                      split_threshold=None)))
+    assert enc.select("codec").distinct().count() == 2
+    groups = engine.encoded_dedup(enc).collect()
+    assert len(groups) == 10
+    assert all(g["n_docs"] == 4 for g in groups)
+    # auto-encoded path end-to-end too (whatever codecs auto picks)
+    enc_auto = engine.encode(df.repartition(8), codec="auto",
+                             split_threshold=None)
+    groups2 = engine.encoded_dedup(enc_auto).collect()
+    assert len(groups2) == 10 and all(g["n_docs"] == 4 for g in groups2)
+
+
+def test_encoded_dedup_legacy_table_requires_fixed_codec(spark, unit_df):
+    """A pre-content_hash table (column dropped) with mixed codecs must be
+    REJECTED — the compressed-representation fallback hash is only a
+    bijection per fixed codec."""
+    even = F.xxhash64("doc_id") % 2 == 0
+    enc = (engine.encode(unit_df.where(even), codec="d1",
+                         split_threshold=None)
+           .unionByName(engine.encode(unit_df.where(~even), codec="bitpack",
+                                      split_threshold=None)))
+    legacy = enc.drop("content_hash")
+    with pytest.raises(ValueError, match="single fixed codec"):
+        engine.encoded_dedup(legacy)
+    # single-codec legacy tables still work
+    single = engine.encode(unit_df, codec="bitpack",
+                           split_threshold=None).drop("content_hash")
+    assert engine.encoded_dedup(single).count() > 0
+
+
 def test_range_count_rejects_unsorted_family(spark, unit_df):
     from pyspark.errors.exceptions.captured import PythonException
     enc = engine.encode(unit_df.where(F.col("n_tok") > 0),
