@@ -2,10 +2,17 @@
 with typed metadata.
 
 The Spark-side machinery (schema, Arrow batching, partitioning, UDF
-signatures) is real and tested; the actual media decoding is stubbed behind
-``set_decoder`` because no image/audio libraries exist in this container —
-a deployment installs Pillow/torchaudio/av and registers real decoders, and
-nothing else changes.
+signatures) is real and tested.  Decoders resolve in three tiers:
+
+1. **Auto-detected real decoders** (``register_default_decoders``, run at
+   import): PCM-WAV audio via the stdlib ``wave`` module (always
+   available), images via Pillow and video via PyAV WHEN those libraries
+   are importable — so the NotImplementedError path is reachable only
+   when a format's library is truly absent from the environment;
+2. **Explicit registration** (``set_decoder`` / the ``decoders=`` arg) for
+   custom formats — overrides the defaults;
+3. **Deterministic fake** (``deterministic_fake_decoder``) for CI and the
+   correctness gate, exercising the identical Arrow/UDF plumbing.
 """
 
 from __future__ import annotations
@@ -36,6 +43,82 @@ def _decode(kind: str, payload: bytes, meta: dict) -> np.ndarray:
             f"no {kind!r} decoder registered in this environment — "
             "install the media libs and call set_decoder()")
     return fn(payload, meta)
+
+
+def wav_audio_decoder() -> Callable[[bytes, dict], np.ndarray]:
+    """PCM-WAV decoder built on the stdlib ``wave`` module — real audio
+    decode with zero optional dependencies.  Returns float32 samples in
+    [-1, 1] (channels interleaved, as stored)."""
+
+    def fn(payload: bytes, meta: dict) -> np.ndarray:
+        import io
+        import wave
+        with wave.open(io.BytesIO(payload)) as w:
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if sw == 1:  # 8-bit WAV is unsigned
+            return (np.frombuffer(raw, np.uint8).astype(np.float32)
+                    - 128.0) / 128.0
+        if sw == 4:
+            return np.frombuffer(raw, np.int32).astype(np.float32) / 2 ** 31
+        raise ValueError(f"unsupported WAV sample width {sw}")
+
+    return fn
+
+
+def pillow_image_decoder() -> Callable[[bytes, dict], np.ndarray] | None:
+    """Image decoder via Pillow, or None when Pillow is not installed."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def fn(payload: bytes, meta: dict) -> np.ndarray:
+        import io
+        from PIL import Image
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.float32).ravel()
+
+    return fn
+
+
+def av_video_decoder() -> Callable[[bytes, dict], np.ndarray] | None:
+    """Per-frame mean-luma video decoder via PyAV, or None when absent."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        return None
+
+    def fn(payload: bytes, meta: dict) -> np.ndarray:
+        import io
+        import av
+        with av.open(io.BytesIO(payload)) as container:
+            return np.asarray(
+                [float(frame.to_ndarray().mean())
+                 for frame in container.decode(video=0)], dtype=np.float32)
+
+    return fn
+
+
+def register_default_decoders() -> list[str]:
+    """Detect available media libraries and register real decoders for any
+    kind that has none yet.  Runs once at import; returns the kinds
+    registered, so ``NotImplementedError`` is raised only for formats whose
+    library is genuinely absent (Pillow for image, PyAV for video — WAV
+    audio always works via the stdlib)."""
+    registered = []
+    for kind, factory in (("audio", wav_audio_decoder),
+                          ("image", pillow_image_decoder),
+                          ("video", av_video_decoder)):
+        if kind in _DECODERS:
+            continue
+        fn = factory()
+        if fn is not None:
+            _DECODERS[kind] = fn
+            registered.append(kind)
+    return registered
 
 
 def deterministic_fake_decoder(kind: str) -> Callable[[bytes, dict], np.ndarray]:
@@ -162,3 +245,8 @@ def frame_sample(df: DataFrame, every_nth: int = 10,
             yield out
 
     return df.mapInPandas(fn, schema="media_id string, frame_no int, frame float")
+
+
+# auto-register real decoders for whatever media libraries this
+# environment actually has (stdlib WAV always; Pillow/PyAV when importable)
+register_default_decoders()

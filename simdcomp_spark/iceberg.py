@@ -1,0 +1,551 @@
+"""Apache Iceberg (v2 spec) table layout: export, read, append, time travel.
+
+The north rule targets "Iceberg tables of pre-tokenized training
+sequences"; this module makes that concrete WITHOUT any Iceberg runtime
+dependency (none exists in this environment): it writes and reads the
+public Iceberg v2 table format directly —
+
+    table_dir/
+      data/*.parquet                          (Spark-written data files)
+      metadata/
+        version-hint.text                     ("N" → current metadata)
+        vN.metadata.json                      (table metadata, v2 spec)
+        snap-<id>.avro                        (manifest LIST, Avro)
+        manifest-<id>.avro                    (manifest, Avro)
+
+Two self-contained layers:
+
+* a minimal generic **Avro 1.11 object-container codec** (``_avro_write`` /
+  ``_avro_read``) driven by the writer's JSON schema — Iceberg manifests
+  and manifest lists are Avro files per the spec, so the layout is readable
+  by real Iceberg libraries (field names and field-ids follow the spec
+  tables) and this reader can consume manifests written by them (null
+  codec; deflate supported via zlib on read);
+* the **Iceberg table protocol**: ``export_encoded`` publishes an encoded
+  DataFrame as a new Iceberg table, ``append`` commits another snapshot,
+  ``read_table`` loads the current (or any historic) snapshot by walking
+  version-hint → metadata → manifest list → manifests → data files, and
+  ``snapshots`` lists the log.  Commits follow Iceberg's
+  metadata-swap discipline: data + manifests + new metadata json are all
+  written BEFORE version-hint.text is atomically replaced, so a reader
+  never observes a half-commit and a crashed writer leaves the previous
+  version current.
+
+File-level stats for manifests (record_count / file_size_in_bytes) are
+gathered by a DISTRIBUTED Spark job, mirroring engine._rowgroup_units —
+no per-file driver I/O at any scale.
+
+The reference engine has no table notion at all (README.md:23-24 "does
+not define a compressed format"); this is the storage layer the north
+rule adds on top of it.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+import zlib
+from pathlib import Path
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Minimal Avro 1.11 object-container codec (public spec, generic datum
+# reader/writer driven by the JSON schema)
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"Obj\x01"
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.b = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.b[self.pos:self.pos + n]
+        if len(out) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return out
+
+    def read_long(self) -> int:
+        u, shift = 0, 0
+        while True:
+            byte = self.b[self.pos]
+            self.pos += 1
+            u |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+
+def _write_datum(out: bytearray, schema, datum) -> None:
+    if isinstance(schema, list):                       # union
+        for i, branch in enumerate(schema):
+            bname = branch if isinstance(branch, str) else branch.get("type")
+            if datum is None and bname == "null":
+                out += _zigzag_encode(i)
+                return
+            if datum is not None and bname != "null":
+                out += _zigzag_encode(i)
+                _write_datum(out, branch, datum)
+                return
+        raise ValueError(f"datum {datum!r} fits no union branch {schema}")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if datum else 0)
+    elif t in ("int", "long"):
+        out += _zigzag_encode(int(datum))
+    elif t == "float":
+        out += struct.pack("<f", float(datum))
+    elif t == "double":
+        out += struct.pack("<d", float(datum))
+    elif t in ("bytes", "string"):
+        raw = datum.encode("utf-8") if isinstance(datum, str) else bytes(datum)
+        out += _zigzag_encode(len(raw))
+        out += raw
+    elif t == "fixed":
+        out += bytes(datum)
+    elif t == "record":
+        for f in schema["fields"]:
+            _write_datum(out, f["type"], datum.get(f["name"]))
+    elif t == "array":
+        if datum:
+            out += _zigzag_encode(len(datum))
+            for item in datum:
+                _write_datum(out, schema["items"], item)
+        out += _zigzag_encode(0)
+    elif t == "map":
+        if datum:
+            out += _zigzag_encode(len(datum))
+            for k, v in datum.items():
+                _write_datum(out, "string", k)
+                _write_datum(out, schema["values"], v)
+        out += _zigzag_encode(0)
+    else:
+        raise NotImplementedError(f"avro type {t!r}")
+
+
+def _read_datum(r: _Reader, schema):
+    if isinstance(schema, list):                       # union
+        return _read_datum(r, schema[r.read_long()])
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.read_long()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return r.read(r.read_long())
+    if t == "string":
+        return r.read(r.read_long()).decode("utf-8")
+    if t == "fixed":
+        return r.read(int(schema["size"]))
+    if t == "record":
+        return {f["name"]: _read_datum(r, f["type"])
+                for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return out
+            if n < 0:                 # block with byte-size prefix
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                out.append(_read_datum(r, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                k = _read_datum(r, "string")
+                out[k] = _read_datum(r, schema["values"])
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+def _avro_write(path: str, schema: dict, records: list[dict],
+                metadata: dict[str, bytes] | None = None) -> None:
+    """Write an Avro object-container file (null codec)."""
+    schema_json = json.dumps(schema).encode()
+    sync = bytes((hash((schema_json, len(records))) & ((1 << 128) - 1))
+                 .to_bytes(16, "little"))
+    body = bytearray()
+    for rec in records:
+        _write_datum(body, schema, rec)
+    meta = {"avro.schema": schema_json, "avro.codec": b"null"}
+    for k, v in (metadata or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode()
+    out = bytearray(_MAGIC)
+    _write_datum(out, {"type": "map", "values": "bytes"}, meta)
+    out += sync
+    if records:
+        out += _zigzag_encode(len(records))
+        out += _zigzag_encode(len(body))
+        out += body
+        out += sync
+    Path(path).write_bytes(bytes(out))
+
+
+def _avro_read(path: str) -> tuple[dict, list[dict]]:
+    """Read an Avro object-container file (null or deflate codec).
+    Returns (writer schema, records)."""
+    r = _Reader(Path(path).read_bytes())
+    if r.read(4) != _MAGIC:
+        raise ValueError(f"{path}: not an avro object container file")
+    meta = _read_datum(r, {"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null")
+    sync = r.read(16)
+    records: list[dict] = []
+    while r.pos < len(r.b):
+        n = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == b"deflate":
+            block = zlib.decompress(block, -15)
+        br = _Reader(block)
+        for _ in range(n):
+            records.append(_read_datum(br, schema))
+        if r.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 schemas (field names and field-ids per the public spec tables)
+# ---------------------------------------------------------------------------
+
+def _f(name, ftype, fid, required=True):
+    t = ftype if required else ["null", ftype]
+    return {"name": name, "type": t, "field-id": fid,
+            **({} if required else {"default": None})}
+
+
+_DATA_FILE_SCHEMA = {
+    "type": "record", "name": "r2", "fields": [
+        _f("content", "int", 134),
+        _f("file_path", "string", 100),
+        _f("file_format", "string", 101),
+        {"name": "partition", "field-id": 102,
+         "type": {"type": "record", "name": "partition_data",
+                  "fields": []}},                      # unpartitioned spec
+        _f("record_count", "long", 103),
+        _f("file_size_in_bytes", "long", 104),
+    ]}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        _f("status", "int", 0),
+        _f("snapshot_id", "long", 1, required=False),
+        _f("sequence_number", "long", 3, required=False),
+        _f("file_sequence_number", "long", 4, required=False),
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ]}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("content", "int", 517),
+        _f("sequence_number", "long", 515),
+        _f("min_sequence_number", "long", 516),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_data_files_count", "int", 504),
+        _f("existing_data_files_count", "int", 505),
+        _f("deleted_data_files_count", "int", 506),
+        _f("added_rows_count", "long", 512),
+        _f("existing_rows_count", "long", 513),
+        _f("deleted_rows_count", "long", 514),
+    ]}
+
+_SPARK_TO_ICEBERG = {"string": "string", "int": "int", "integer": "int",
+                     "bigint": "long", "long": "long", "binary": "binary",
+                     "double": "double", "float": "float",
+                     "boolean": "boolean", "timestamp": "timestamptz",
+                     "date": "date"}
+
+
+def _iceberg_schema_of(df: DataFrame) -> dict:
+    fields = []
+    next_id = len(df.schema.fields)  # element-ids allocated after columns
+    for i, f in enumerate(df.schema.fields):
+        s = f.dataType.simpleString()
+        if s.startswith("array<") and s.endswith(">"):
+            elem = _SPARK_TO_ICEBERG.get(s[6:-1])
+            if elem is None:
+                raise NotImplementedError(
+                    f"no Iceberg mapping for array element "
+                    f"{s[6:-1]!r} (column {f.name!r})")
+            next_id += 1
+            t = {"type": "list", "element-id": next_id, "element": elem,
+                 "element-required": False}
+        else:
+            t = _SPARK_TO_ICEBERG.get(s)
+            if t is None:
+                raise NotImplementedError(
+                    f"no Iceberg mapping for Spark type {s!r} "
+                    f"(column {f.name!r})")
+        fields.append({"id": i + 1, "name": f.name,
+                       "required": False, "type": t})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# table protocol
+# ---------------------------------------------------------------------------
+
+def _meta_dir(table_dir: str) -> Path:
+    return Path(table_dir) / "metadata"
+
+
+def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
+    """(path, num_rows, file_size) per parquet file — footer reads run as a
+    distributed Spark job (engine._rowgroup_units discipline: the driver
+    only lists names; it never opens a data file)."""
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
+           .repartition(min(len(files), par * 4)))
+
+    def fn(it):
+        import pyarrow.parquet as pq
+        for batch in it:
+            paths = batch.column(0).to_pylist()
+            rows = [pq.ParquetFile(p).metadata.num_rows for p in paths]
+            sizes = [os.path.getsize(p) for p in paths]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(rows, type=pa.int64()),
+                 pa.array(sizes, type=pa.int64())],
+                names=["path", "rows", "bytes"])
+
+    return [(r["path"], int(r["rows"]), int(r["bytes"]))
+            for r in fdf.mapInArrow(
+                fn, "path string, rows long, bytes long").collect()]
+
+
+def _current_version(table_dir: str) -> int:
+    hint = _meta_dir(table_dir) / "version-hint.text"
+    if not hint.is_file():
+        raise FileNotFoundError(f"{table_dir}: not an Iceberg table "
+                                "(no metadata/version-hint.text)")
+    return int(hint.read_text().strip())
+
+
+def _load_metadata(table_dir: str) -> dict:
+    v = _current_version(table_dir)
+    return json.loads(
+        (_meta_dir(table_dir) / f"v{v}.metadata.json").read_text())
+
+
+def _write_snapshot(spark, table_dir: str, df: DataFrame,
+                    prev_meta: dict | None) -> dict:
+    """Write data files + manifest + manifest list + new metadata json;
+    atomically swap version-hint.text last (Iceberg's commit protocol:
+    readers only ever see fully-written versions)."""
+    table_dir = str(table_dir)
+    mdir = _meta_dir(table_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    data_dir = Path(table_dir) / "data"
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
+    now_ms = time.time_ns() // 1_000_000
+
+    # 1. data files (append into a per-snapshot subdir — no clobbering)
+    out = str(data_dir / f"snap-{snap_id}")
+    df.write.mode("error").parquet(out)
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    stats = _file_stats(spark, files)
+
+    # 2. manifest (avro)
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": None, "file_sequence_number": None,
+                "data_file": {"content": 0, "file_path": p,
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": rows,
+                              "file_size_in_bytes": size}}
+               for p, rows, size in stats]
+    manifest_path = str(mdir / f"manifest-{snap_id}.avro")
+    _avro_write(manifest_path, _MANIFEST_ENTRY_SCHEMA, entries,
+                metadata={"schema": json.dumps(
+                    prev_meta["schemas"][0] if prev_meta
+                    else _iceberg_schema_of(df)),
+                    "partition-spec": "[]", "content": "data",
+                    "format-version": "2"})
+    added_rows = sum(r for _, r, _ in stats)
+
+    # 3. manifest list = this snapshot's manifest + all previous ones
+    prev_manifests = []
+    if prev_meta:
+        prev_snap = [s for s in prev_meta["snapshots"]
+                     if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
+        if prev_snap:
+            _, prev_manifests = _avro_read(prev_snap[0]["manifest-list"])
+    mlist = prev_manifests + [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(stats),
+        "existing_data_files_count": 0, "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0}]
+    mlist_path = str(mdir / f"snap-{snap_id}.avro")
+    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
+                metadata={"format-version": "2"})
+
+    # 4. metadata json
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms, "manifest-list": mlist_path,
+                "schema-id": 0,
+                "summary": {"operation": "append",
+                            "added-data-files": str(len(stats)),
+                            "added-records": str(added_rows)}}
+    if prev_meta:
+        meta = dict(prev_meta)
+        meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
+        meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}]
+        version = _current_version(table_dir) + 1
+    else:
+        meta = {"format-version": 2, "table-uuid": str(uuid.uuid4()),
+                "location": table_dir,
+                "last-column-id": len(df.schema.fields),
+                "current-schema-id": 0,
+                "schemas": [_iceberg_schema_of(df)],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "properties": {"write.format.default": "parquet"},
+                "snapshots": [snapshot],
+                "snapshot-log": [{"snapshot-id": snap_id,
+                                  "timestamp-ms": now_ms}],
+                "metadata-log": []}
+        version = 1
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    (mdir / f"v{version}.metadata.json").write_text(json.dumps(meta))
+
+    # 5. the commit point: atomic version-hint swap
+    tmp = mdir / f".version-hint.{snap_id}.tmp"
+    tmp.write_text(str(version))
+    os.replace(tmp, mdir / "version-hint.text")
+    return meta
+
+
+def export_encoded(df: DataFrame, table_dir: str) -> dict:
+    """Publish a DataFrame (typically engine.encode output) as a NEW
+    Iceberg v2 table at ``table_dir``.  Returns the table metadata."""
+    if (_meta_dir(table_dir) / "version-hint.text").is_file():
+        raise FileExistsError(
+            f"{table_dir} is already an Iceberg table — use append()")
+    return _write_snapshot(df.sparkSession, table_dir, df, None)
+
+
+def append(df: DataFrame, table_dir: str) -> dict:
+    """Commit an append snapshot to an existing table (schema must match).
+    Readers of the previous snapshot are unaffected (snapshot isolation);
+    ``read_table(snapshot_id=...)`` time-travels to any snapshot."""
+    prev = _load_metadata(table_dir)
+    names = [f["name"] for f in prev["schemas"][0]["fields"]]
+    if [f.name for f in df.schema.fields] != names:
+        raise ValueError(f"schema mismatch: table has {names}, "
+                         f"append has {[f.name for f in df.schema.fields]}")
+    return _write_snapshot(df.sparkSession, table_dir, df, prev)
+
+
+def data_files(table_dir: str, snapshot_id: int | None = None
+               ) -> list[dict]:
+    """Live data files of a snapshot (current by default) by walking
+    metadata → manifest list → manifests, per the spec."""
+    meta = _load_metadata(table_dir)
+    sid = snapshot_id or meta["current-snapshot-id"]
+    snaps = [s for s in meta["snapshots"] if s["snapshot-id"] == sid]
+    if not snaps:
+        raise ValueError(f"snapshot {sid} not found; have "
+                         f"{[s['snapshot-id'] for s in meta['snapshots']]}")
+    _, manifests = _avro_read(snaps[0]["manifest-list"])
+    out = []
+    for m in manifests:
+        _, entries = _avro_read(m["manifest_path"])
+        out.extend(e["data_file"] for e in entries
+                   if e["status"] != 2)              # 2 = DELETED
+    return out
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Load an Iceberg table's current (or a historic) snapshot as a
+    DataFrame.  File pruning happens at the metadata layer — only the
+    snapshot's live files are handed to the parquet scan."""
+    paths = [d["file_path"] for d in data_files(table_dir, snapshot_id)]
+    if not paths:
+        return spark.createDataFrame([], _spark_ddl(table_dir))
+    return spark.read.parquet(*paths)
+
+
+def _spark_ddl(table_dir: str) -> str:
+    back = {"string": "string", "int": "int", "long": "bigint",
+            "binary": "binary", "double": "double", "float": "float",
+            "boolean": "boolean", "timestamptz": "timestamp",
+            "date": "date"}
+
+    def one(t):
+        if isinstance(t, dict) and t.get("type") == "list":
+            return f"array<{back.get(t['element'], t['element'])}>"
+        return back.get(t, t)
+
+    fields = _load_metadata(table_dir)["schemas"][0]["fields"]
+    return ", ".join(f"{f['name']} {one(f['type'])}" for f in fields)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """The snapshot log: (snapshot-id, sequence-number, timestamp-ms,
+    operation, added rows) per commit."""
+    meta = _load_metadata(table_dir)
+    return [{"snapshot-id": s["snapshot-id"],
+             "sequence-number": s.get("sequence-number"),
+             "timestamp-ms": s["timestamp-ms"],
+             "operation": s.get("summary", {}).get("operation"),
+             "added-records": s.get("summary", {}).get("added-records"),
+             "is-current": s["snapshot-id"] == meta["current-snapshot-id"]}
+            for s in meta["snapshots"]]

@@ -772,6 +772,28 @@ def _stream_tmp(sf_dir: str, name: str) -> str:
     return base
 
 
+def q_iceberg_roundtrip(spark, sf_dir):
+    """The encoded table published as an Iceberg v2 table (iceberg.py:
+    version-hint → metadata json → manifest-list avro → manifest avro →
+    data files, all written from the public spec), read back through the
+    snapshot walk, decoded and exploded — the north rule's 'Iceberg
+    tables' storage layer proven byte-preserving end-to-end against the
+    SQL oracle."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "iceberg")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    iceberg.export_encoded(enc, os.path.join(base, "table"))
+    back = iceberg.read_table(spark, os.path.join(base, "table"))
+    dec = engine.decode(back, reassemble=False)
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact dedup (applyInPandasWithState, content-hash
     keyed marker state) driven end-to-end: phase 1 streams the documents
@@ -900,6 +922,7 @@ QUERIES = {
     "minhash_verified": q_minhash_verified,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,
+    "iceberg_roundtrip": q_iceberg_roundtrip,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
     "streaming_window": q_streaming_window,
@@ -1187,6 +1210,13 @@ UNION ALL
 SELECT min('c_' || CAST(doc_id AS VARCHAR)) AS doc_id,
        text || ' v2' AS text
 FROM documents GROUP BY text
+""",
+    "iceberg_roundtrip": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
 """,
     "streaming_encode": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -1,11 +1,16 @@
 """FSST string-column compression as Spark DataFrame operators.
 
-The symbol table is learned once per partition (the FSST paper's per-block
-table, at Spark granularity) and carried on every row of that partition as a
-``fsst_table`` binary column — Parquet dictionary-encodes the repeated value
-down to one copy per row group, so the storage cost is one table per file
-chunk, exactly like the paper's per-block header.  Decode caches
-deserialized tables per distinct bytes within a batch.
+The symbol table is learned per Arrow batch (the FSST paper's per-block
+table, at Arrow-batch granularity) from a STRIDE-SAMPLE of that batch's
+rows, and carried on every row as a ``fsst_table`` binary column — Parquet
+dictionary-encodes the repeated value down to a handful of copies per row
+group, so the storage cost stays one table per file chunk, exactly like the
+paper's per-block header.  Per-batch (re)training makes the compression
+ratio drift-proof: a partition whose content shifts (e.g. rows ordered by
+source) compresses each batch with a table trained on THAT batch, instead
+of reusing a table learned from the head of the partition (the old
+first-batch-only scheme lost ratio on drift-ordered corpora).  Decode
+caches deserialized tables per distinct bytes within a partition.
 """
 
 from __future__ import annotations
@@ -17,8 +22,14 @@ from .codecs import fsst
 
 
 def fsst_encode(df: DataFrame, col: str, out_col: str | None = None,
-                sample_rows: int = 2048) -> DataFrame:
-    """Replace string column ``col`` with FSST-encoded binary + table."""
+                sample_rows: int = 256,
+                retrain_batches: int = 1) -> DataFrame:
+    """Replace string column ``col`` with FSST-encoded binary + table.
+
+    ``sample_rows`` rows are STRIDE-sampled across each training batch
+    (not taken from its head), and the table is retrained every
+    ``retrain_batches`` Arrow batches (default: every batch) so the ratio
+    tracks content drift within a partition."""
     out_col = out_col or f"{col}_fsst"
     out_fields = [f"{f.name} {f.dataType.simpleString()}"
                   for f in df.schema.fields if f.name != col]
@@ -28,11 +39,13 @@ def fsst_encode(df: DataFrame, col: str, out_col: str | None = None,
         import pandas as pd
         table = None
         tbytes = None
-        for pdf in it:
+        for bi, pdf in enumerate(it):
             raw = [s.encode("utf-8", "surrogatepass") if isinstance(s, str)
                    else (s or b"") for s in pdf[col]]
-            if table is None:
-                table = fsst.SymbolTable(fsst.train(raw[:sample_rows]))
+            if table is None or bi % retrain_batches == 0:
+                step = max(1, len(raw) // max(sample_rows, 1))
+                table = fsst.SymbolTable(
+                    fsst.train(raw[::step][:sample_rows]))
                 tbytes = table.serialize()
             # one flat batched tokenization for the whole Arrow batch
             lens = np.fromiter((len(s) for s in raw), dtype=np.int64,

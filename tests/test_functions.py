@@ -231,6 +231,155 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(bad).collect()
 
 
+def test_multimodal_default_decoders(spark):
+    """Auto-detected real decoders: PCM-WAV audio decodes end-to-end with
+    ZERO optional dependencies (stdlib wave), and kinds whose library is
+    genuinely absent still raise NotImplementedError — but only those."""
+    import io
+    import wave
+    from pyspark.errors.exceptions.captured import PythonException
+
+    def wav_bytes(n, freq):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes((np.sin(np.arange(n) * freq) * 20000)
+                          .astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    rows = [(f"m{i}", "audio", bytearray(wav_bytes(400 + 50 * i, 0.1)),
+             "audio/wav", 0, 0, 0) for i in range(6)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(df).collect()}
+    assert len(feats) == 6
+    for i in range(6):
+        assert feats[f"m{i}"]["frames"] == 400 + 50 * i   # real sample count
+    # Pillow-less environments must still fail loudly for images —
+    # NotImplementedError reachable only when the lib is truly absent
+    img_rows = [("x", "image", bytearray(b"\x89PNG"), "image/png", 0, 0, 0)]
+    img_df = spark.createDataFrame(img_rows, multimodal.MEDIA_SCHEMA)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # another test may have registered a fake image decoder globally;
+        # the contract under test is the PRISTINE registry (auto-detect
+        # found no Pillow → image must fail loudly)
+        saved = multimodal._DECODERS.pop("image", None)
+        try:
+            assert "image" not in multimodal.register_default_decoders()
+            with pytest.raises(PythonException, match="no 'image' decoder"):
+                multimodal.extract_features(img_df).collect()
+        finally:
+            if saved is not None:
+                multimodal._DECODERS["image"] = saved
+
+
+def test_streaming_soak_state_bounded_many_triggers(spark):
+    """Soak the stateful dedup over a LONG-RUNNING (non-availableNow)
+    stream: a rate source feeds ~20+ real micro-batch triggers with a
+    fixed 50-key content universe.  Bounded-state contract asserted on the
+    engine's own progress metrics: once every key has been seen, the state
+    store's row count stays EXACTLY flat (== distinct keys, never grows
+    with stream history) and numRowsUpdated is 0 on every subsequent
+    trigger (seen keys are read-only).  A very loose latency-flatness
+    check guards against per-trigger cost growing with history without
+    flaking on shared-host throttle windows."""
+    import json as _json
+    import time
+    import uuid
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from simdcomp_spark.streaming import dedup_first_fn
+
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 5000).load()
+              .selectExpr("cast(value as string) as doc_id",
+                          "concat('text_', cast(value % 50 as string)) as text"))
+    hashed = stream.select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("h"))
+    out = hashed.groupBy("h").applyInPandasWithState(
+        dedup_first_fn, outputStructType="doc_id string, text string",
+        stateStructType="seen boolean", outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    name = f"soak_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            progs = q.recentProgress
+            if len(progs) >= 24:
+                break
+            time.sleep(1.0)
+    finally:
+        q.stop()
+    progs = [p if isinstance(p, dict) else _json.loads(p.json)
+             for p in q.recentProgress]
+    with_state = [p for p in progs
+                  if p.get("stateOperators") and p["numInputRows"] > 0]
+    assert len(with_state) >= 20, len(with_state)
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in with_state]
+    updated = [p["stateOperators"][0]["numRowsUpdated"] for p in with_state]
+    # all 50 keys appear within the first trigger's thousands of rows
+    steady = [i for i, t in enumerate(totals) if t == 50]
+    assert steady, totals
+    s0 = steady[0] + 1
+    assert s0 <= 3, totals                     # warmup is immediate
+    assert all(t == 50 for t in totals[s0:]), totals      # state flat
+    assert all(u == 0 for u in updated[s0:]), updated     # no rewrites
+    durs = [p["durationMs"].get("triggerExecution", 0) for p in with_state]
+    first = sorted(durs[s0:s0 + 5])[2] if len(durs) > s0 + 5 else None
+    last = sorted(durs[-5:])[2]
+    if first:
+        assert last <= max(10 * first, first + 5000), (first, last)
+
+
+def test_fsst_drift_ordered_ratio_matches_shuffled(spark):
+    """Per-batch stride-sampled symbol-table training: a corpus whose
+    content drifts through the partition (all English-ish rows, then all
+    hex rows — the 'sorted by source' layout) must compress within ~5% of
+    the same rows shuffled.  The old first-batch-only training locked in a
+    table learned from the head and lost ratio on everything after the
+    drift point; round-trip exactness is asserted on the drift-ordered
+    corpus too."""
+    import random
+    from simdcomp_spark import strings as S
+    rng = random.Random(11)
+    words = ["the", "quick", "brown", "fox", "jumps", "energy", "system",
+             "value", "model", "train"]
+    rows_a = [(f"a_{i:05d}",
+               " ".join(rng.choice(words) for _ in range(30)))
+              for i in range(4000)]
+    rows_b = [(f"b_{i:05d}",
+               " ".join(f"{rng.getrandbits(32):08x}" for _ in range(15)))
+              for i in range(4000)]
+    ordered = rows_a + rows_b
+    shuffled = ordered[:]
+    rng.shuffle(shuffled)
+
+    def enc_bytes(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string").coalesce(1)
+        enc = S.fsst_encode(df, "text")
+        return int(enc.select(F.sum(F.length("text_fsst"))).first()[0])
+
+    b_ordered = enc_bytes(ordered)
+    b_shuffled = enc_bytes(shuffled)
+    assert b_ordered <= b_shuffled * 1.05, (b_ordered, b_shuffled)
+    # exact round-trip on the drift-ordered corpus
+    df = spark.createDataFrame(
+        ordered, "doc_id string, text string").coalesce(1)
+    dec = S.fsst_decode(S.fsst_encode(df, "text"), "text_fsst", "text")
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    assert got == dict(ordered)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """Cross-micro-batch state: a duplicate arriving in a LATER file (later
     micro-batch, maxFilesPerTrigger=1) must be suppressed by the

@@ -1,0 +1,163 @@
+"""Iceberg v2 table layout: avro codec round-trip, export/read identity,
+append + snapshot isolation + time travel, commit atomicity, and spec
+conformance of the written metadata tree."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from simdcomp_spark import engine, fixtures, iceberg
+
+
+@pytest.fixture(scope="module")
+def unit_df(spark):
+    return fixtures.unit_table(spark).cache()
+
+
+def test_avro_container_roundtrip(tmp_path):
+    """The generic Avro 1.11 codec: unions, nested records, arrays, maps,
+    bytes/strings, negative zigzag values — write then read back equal."""
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "b", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "rec", "type": {
+                "type": "record", "name": "inner", "fields": [
+                    {"name": "x", "type": "int"}]}},
+        ]}
+    records = [
+        {"s": "héllo", "n": None, "b": b"\x00\xff", "d": -1.5,
+         "flag": True, "arr": [1, -2, 3], "m": {"a": 7, "b": -9},
+         "rec": {"x": -123456789}},
+        {"s": "", "n": 2 ** 61, "b": b"", "d": 0.0, "flag": False,
+         "arr": [], "m": {}, "rec": {"x": 0}},
+    ]
+    path = str(tmp_path / "t.avro")
+    iceberg._avro_write(path, schema, records)
+    got_schema, got = iceberg._avro_read(path)
+    assert got_schema == schema
+    assert got == records
+
+
+def test_export_read_roundtrip(spark, unit_df, tmp_path):
+    """encode → export as Iceberg → read_table → decode must reproduce the
+    original tokens bit-identically (the README's 'Iceberg mapping'
+    paragraph, backed by a test)."""
+    table = str(tmp_path / "iceberg_table")
+    enc = engine.encode(unit_df, codec="auto", split_threshold=1 << 14)
+    iceberg.export_encoded(enc, table)
+    back = iceberg.read_table(spark, table)
+    dec = engine.decode(back, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_tokens_table_export(spark, unit_df, tmp_path):
+    """Raw tokens tables (array<int> column) export/read too — the north
+    star's input side: 'Iceberg tables of pre-tokenized sequences'."""
+    table = str(tmp_path / "tok_table")
+    iceberg.export_encoded(unit_df.select("doc_id", "source", "n_tok",
+                                          "tokens"), table)
+    back = iceberg.read_table(spark, table)
+    a = {r["doc_id"]: r["tokens"] for r in back.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in unit_df.collect()}
+    assert a == b
+    # list type mapped per spec
+    meta = iceberg._load_metadata(table)
+    tok_field = [f for f in meta["schemas"][0]["fields"]
+                 if f["name"] == "tokens"][0]
+    assert tok_field["type"]["type"] == "list"
+    assert tok_field["type"]["element"] == "int"
+
+
+def test_append_snapshot_isolation_and_time_travel(spark, unit_df, tmp_path):
+    table = str(tmp_path / "appendable")
+    enc1 = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                         codec="bitpack", split_threshold=None)
+    enc2 = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                         codec="d1", split_threshold=None)
+    meta1 = iceberg.export_encoded(enc1, table)
+    snap1 = meta1["current-snapshot-id"]
+    n1 = iceberg.read_table(spark, table).count()
+    assert n1 == enc1.count()
+    meta2 = iceberg.append(enc2, table)
+    snap2 = meta2["current-snapshot-id"]
+    assert snap2 != snap1
+    # current snapshot sees both commits
+    assert iceberg.read_table(spark, table).count() == \
+        enc1.count() + enc2.count()
+    # time travel to snapshot 1 sees only the first commit
+    assert iceberg.read_table(spark, table, snapshot_id=snap1).count() == n1
+    log = iceberg.snapshots(table)
+    assert [s["snapshot-id"] for s in log] == [snap1, snap2]
+    assert log[-1]["is-current"] and not log[0]["is-current"]
+    # appends must match the table schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.append(unit_df, table)
+    # double-create is refused
+    with pytest.raises(FileExistsError):
+        iceberg.export_encoded(enc1, table)
+
+
+def test_commit_protocol_survives_torn_commit(spark, unit_df, tmp_path):
+    """Iceberg's metadata-swap discipline: everything is written before
+    version-hint.text is replaced, so deleting the hint's target (simulated
+    torn commit: new metadata json never landed) must leave the PREVIOUS
+    version readable, not a broken table."""
+    table = str(tmp_path / "torn")
+    enc = engine.encode(unit_df, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    n1 = iceberg.read_table(spark, table).count()
+    iceberg.append(enc.limit(10), table)
+    # simulate the torn commit: v2 metadata exists but hint still points at
+    # it — roll the hint back the way a crashed pre-swap writer would leave
+    hint = Path(table) / "metadata" / "version-hint.text"
+    assert hint.read_text().strip() == "2"
+    hint.write_text("1")
+    assert iceberg.read_table(spark, table).count() == n1   # v1 intact
+
+
+def test_written_layout_is_spec_shaped(spark, unit_df, tmp_path):
+    """Structural conformance of the on-disk tree: version-hint, vN
+    metadata json with required v2 keys, avro manifest list with spec
+    field names/ids, avro manifests whose entries carry data_file records,
+    and file stats that match the parquet reality."""
+    table = str(tmp_path / "spec")
+    enc = engine.encode(unit_df, codec="auto", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    mdir = Path(table) / "metadata"
+    assert (mdir / "version-hint.text").read_text().strip() == "1"
+    meta = json.loads((mdir / "v1.metadata.json").read_text())
+    for key in ("format-version", "table-uuid", "location", "schemas",
+                "partition-specs", "snapshots", "current-snapshot-id",
+                "last-sequence-number", "sort-orders", "refs"):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    snap = meta["snapshots"][0]
+    mlist_schema, manifests = iceberg._avro_read(snap["manifest-list"])
+    assert mlist_schema["name"] == "manifest_file"
+    names = {f["name"] for f in mlist_schema["fields"]}
+    assert {"manifest_path", "manifest_length", "added_snapshot_id",
+            "sequence_number", "content"} <= names
+    fid = {f["name"]: f["field-id"] for f in mlist_schema["fields"]}
+    assert fid["manifest_path"] == 500 and fid["added_snapshot_id"] == 503
+    total_rows = 0
+    for m in manifests:
+        entry_schema, entries = iceberg._avro_read(m["manifest_path"])
+        assert entry_schema["name"] == "manifest_entry"
+        for e in entries:
+            df_rec = e["data_file"]
+            assert df_rec["file_format"] == "PARQUET"
+            assert Path(df_rec["file_path"]).is_file()
+            assert Path(df_rec["file_path"]).stat().st_size == \
+                df_rec["file_size_in_bytes"]
+            total_rows += df_rec["record_count"]
+    assert total_rows == enc.count()
