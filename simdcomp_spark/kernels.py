@@ -652,9 +652,13 @@ def content_hash_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     — 16 little-endian bytes per row."""
     lens = np.asarray(lens, dtype=np.int64)
     n = lens.size
-    out = np.empty((max(n, 1), 2), dtype=np.uint64)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
+    from . import native
+    fast = native.content_hash(flat, lens)
+    if fast is not None:          # C Horner loop, bit-identical, ~40x
+        return fast
+    out = np.empty((max(n, 1), 2), dtype=np.uint64)
     ends = np.cumsum(lens)
     starts = ends - lens
     v = flat[:int(ends[-1])].astype(np.uint64)

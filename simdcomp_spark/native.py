@@ -522,6 +522,53 @@ int64_t fsst_decode(const uint8_t *codes, int64_t n,
     }
     return o;
 }
+
+/* Per-row 128-bit content hash (codec-invariant dedup key): two
+ * independent 64-bit polynomial hashes via forward Horner
+ * (h = h*p + (v + c)), then a length fold + splitmix64 finalizer.
+ * Bit-identical to the numpy prefix-sum formulation in
+ * kernels.content_hash_flat (Horner of p equals sum (v_i+c)*p^(n-1-i)
+ * mod 2^64); the two Horner chains are independent so they pipeline.
+ * out receives 2 u64 words per row. */
+void content_hash(const uint32_t *flat, const int64_t *row_off,
+                  int64_t nrows, uint64_t *out)
+{
+    const uint64_t P1 = 0x9E3779B97F4A7C15ULL, C1 = 0x9AE16A3B2F90404FULL;
+    const uint64_t P2 = 0xC2B2AE3D27D4EB4FULL, C2 = 0x165667B19E3779F9ULL;
+    /* 4-way block-Horner: h = h*p^4 + a0*p^3 + a1*p^2 + a2*p + a3 is the
+     * SAME polynomial (bit-identical mod 2^64), but the four products are
+     * independent, breaking the one-imul-per-token latency chain. */
+    const uint64_t P1_2 = P1 * P1, P1_3 = P1_2 * P1, P1_4 = P1_2 * P1_2;
+    const uint64_t P2_2 = P2 * P2, P2_3 = P2_2 * P2, P2_4 = P2_2 * P2_2;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t s = row_off[r], e = row_off[r + 1];
+        uint64_t h1 = 0, h2 = 0, len = (uint64_t)(e - s);
+        int64_t k = s;
+        for (; k + 4 <= e; k += 4) {
+            uint64_t v0 = flat[k], v1 = flat[k + 1];
+            uint64_t v2 = flat[k + 2], v3 = flat[k + 3];
+            h1 = h1 * P1_4 + (v0 + C1) * P1_3 + (v1 + C1) * P1_2
+               + (v2 + C1) * P1 + (v3 + C1);
+            h2 = h2 * P2_4 + (v0 + C2) * P2_3 + (v1 + C2) * P2_2
+               + (v2 + C2) * P2 + (v3 + C2);
+        }
+        for (; k < e; k++) {
+            uint64_t v = flat[k];
+            h1 = h1 * P1 + (v + C1);
+            h2 = h2 * P2 + (v + C2);
+        }
+        h1 ^= len * P1;
+        h2 ^= len * P2;
+        h1 ^= h1 >> 30; h1 *= 0xBF58476D1CE4E5B9ULL;
+        h1 ^= h1 >> 27; h1 *= 0x94D049BB133111EBULL;
+        h1 ^= h1 >> 31;
+        h2 ^= h2 >> 30; h2 *= 0xBF58476D1CE4E5B9ULL;
+        h2 ^= h2 >> 27; h2 *= 0x94D049BB133111EBULL;
+        h2 ^= h2 >> 31;
+        out[2 * r] = h1;
+        out[2 * r + 1] = h2;
+    }
+}
 """
 
 _lock = threading.Lock()
@@ -549,9 +596,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v10.so")
+            so = os.path.join(d, "simdcomp_kernels_v11.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v10.c")
+                src = os.path.join(d, "simdcomp_kernels_v11.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -607,6 +654,8 @@ def _load() -> ctypes.CDLL | None:
             lib.dict_gather.argtypes = [u32p, u32p, i64p, i64p, i64, u32p]
             lib.rle_runs.restype = i64
             lib.rle_runs.argtypes = [u32p, i64p, i64, u32p, i64p, i64p]
+            lib.content_hash.restype = None
+            lib.content_hash.argtypes = [u32p, i64p, i64, u64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -838,3 +887,20 @@ def unpack_blocks_flat(payload: np.ndarray, src_off: np.ndarray,
                            _pi32(blk_len), _p8(widths), _pu32(inits),
                            blk_start.size, _MODE[mode], _pu32(out))
     return True
+
+
+def content_hash(flat: np.ndarray, lens: np.ndarray) -> np.ndarray | None:
+    """C per-row 128-bit content hash (see kernels.content_hash_flat for
+    the definition); returns uint8 of shape (16*nrows,), or None when the
+    C toolchain is unavailable (caller falls back to the numpy path,
+    which is bit-identical)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    row_off = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    out = np.empty(2 * max(lens.size, 1), dtype=np.uint64)
+    lib.content_hash(_pu32(flat), _p64(row_off), lens.size, _pu64(out))
+    return out[:2 * lens.size].view(np.uint8)

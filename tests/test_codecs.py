@@ -286,6 +286,39 @@ def test_dict_rle_native_numpy_identical():
         assert np.array_equal(cdec, ndec) and np.array_equal(cdec, flat), name
 
 
+def test_content_hash_native_numpy_identical():
+    """The C block-Horner content hash must be bit-identical to the numpy
+    prefix-sum formulation across empty rows, tail lengths 1-3 (the
+    unroll remainder), wide values, and long rows; distinct inputs must
+    hash apart (the dedup-key contract)."""
+    import os
+    from simdcomp_spark import kernels as K, native
+
+    if native._load() is None:
+        pytest.skip("no C toolchain: numpy fallback is the only path")
+    rng = np.random.default_rng(43)
+    rows = [np.zeros(0, np.uint32),
+            rng.integers(0, 1 << 31, 1, dtype=np.int64).astype(np.uint32),
+            rng.integers(0, 1 << 31, 2, dtype=np.int64).astype(np.uint32),
+            rng.integers(0, 1 << 31, 3, dtype=np.int64).astype(np.uint32),
+            np.full(257, 0xFFFFFFFF, np.uint32),
+            rng.integers(0, 1 << 16, 5000, dtype=np.int64).astype(np.uint32),
+            np.zeros(128, np.uint32)]
+    flat = np.concatenate(rows)
+    lens = np.fromiter((r.size for r in rows), np.int64, count=len(rows))
+    fast = np.asarray(K.content_hash_flat(flat, lens)).copy()
+    os.environ["SIMDCOMP_NO_NATIVE"] = "1"
+    native._lib, native._tried = None, False
+    try:
+        ref = np.asarray(K.content_hash_flat(flat, lens))
+    finally:
+        del os.environ["SIMDCOMP_NO_NATIVE"]
+        native._lib, native._tried = None, False
+    assert np.array_equal(fast, ref)
+    hs = {bytes(h) for h in fast.reshape(lens.size, 16)}
+    assert len(hs) == lens.size               # all-distinct rows hash apart
+
+
 def test_dict_d1_values_extreme_deltas():
     """The dict values sub-stream is delta-packed; full-range u32 deltas
     must route through the b==32 raw-block path and round-trip exactly."""
