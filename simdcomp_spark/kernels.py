@@ -480,6 +480,54 @@ def search_d1(init: int, packed: bytes, bit: int, length: int, key: int
     return idx, int(vals[idx])
 
 
+class SearchCursorD1:
+    """Progressive ``simdsearchd1`` call shape
+    (include/simdintegratedbitpacking.h:45, src/simdpackedsearch.c:16583-
+    16691, exercised by tests/unit.c:736-773): the reference API takes an
+    ``initOffset`` vector holding the last decoded values, searches ONE
+    d1-packed 128-block for the first value >= key, stores the found value
+    through ``presult``, returns the index (block length when no element
+    qualifies), and UPDATES ``initOffset`` so the next call continues
+    seamlessly on the following block.
+
+    This cursor mirrors that protocol exactly for the multi-block
+    lower-bound scan (call per block until found; on not-found the cursor
+    advances to the block's last value, the state the reference leaves for
+    the next call).  The engine's zone-map ``search_sorted`` answers the
+    same queries with ONE block probe per row (stored per-block inits) and
+    is the path used at scale — strictly better for parallel decode; the
+    cursor exists for exact call-shape parity and manifest-side tooling."""
+
+    def __init__(self, init: int = 0):
+        self.init = init & 0xFFFFFFFF
+
+    def search(self, packed: bytes, bit: int, key: int,
+               length: int = FULL_BLOCK) -> tuple[int, int]:
+        """Search one block; returns (index, value) with index == length
+        when no element >= key (value then 0).  Advances the cursor to the
+        block's last decoded value."""
+        idx, val = search_d1(self.init, packed, bit, length, key)
+        if length:
+            self.init = select_d1(self.init, packed, bit, length - 1, length)
+        return idx, val
+
+
+def scan_search_d1(blocks_: list[tuple[bytes, int, int]], key: int,
+                   init: int = 0) -> tuple[int, int]:
+    """Multi-block lower bound via the progressive cursor — the reference's
+    repeated-call usage pattern over a stream of (payload, width, length)
+    blocks.  Returns (global_index, value); index == total length when no
+    element >= key."""
+    cur = SearchCursorD1(init)
+    base = 0
+    for packed, bit, length in blocks_:
+        idx, val = cur.search(packed, bit, key, length)
+        if idx < length:
+            return base + idx, val
+        base += length
+    return base, 0
+
+
 # ---------------------------------------------------------------------------
 # In-place point updates (reference §2.2 #14, §2.3 #21, §2.4 #29).  Spark
 # tables are immutable, so these exist for API parity and for manifest-side

@@ -132,3 +132,41 @@ def test_search_sorted_flat_trailing_empty_row(mode):
         expect = np.array([np.searchsorted(r, np.uint32(key), "left")
                            for r in rows])
         assert (idx == expect).all(), key
+
+
+def test_progressive_search_cursor_matches_reference_protocol():
+    """Mirror of the reference's simdsearchd1 unit test
+    (tests/unit.c:736-773): buffer = 1..128 delta-packed at every width,
+    key k must return index k-1 with value k; key 0 returns 0; key 200
+    returns 128 (not found).  Then the PROGRESSIVE multi-block protocol:
+    1..384 across three blocks, the cursor carrying the running init
+    between calls exactly like the reference's initOffset vector."""
+    arr = np.arange(1, 129, dtype=np.uint32)
+    deltas = np.diff(arr, prepend=np.uint32(0)).astype(np.uint32)
+    for b in range(1, 33):
+        # engine wire format: b==32 blocks store RAW values, not deltas
+        # (pack_blocks_flat's b==32 fast path); narrower blocks store deltas
+        packed = K.simdpack_length(arr if b == 32 else deltas, b)
+        cur = K.SearchCursorD1(0)
+        assert cur.search(packed, b, 0)[0] == 0
+        for k in range(1, 129):
+            idx, val = K.SearchCursorD1(0).search(packed, b, k)
+            assert idx == k - 1 and val == k, (b, k)
+        assert K.SearchCursorD1(0).search(packed, b, 200)[0] == 128
+    # multi-block progressive scan: 3 blocks of 128, running cursor
+    full = np.arange(1, 385, dtype=np.uint32)
+    blocks_ = []
+    prev = np.uint32(0)
+    for blk in range(3):
+        seg = full[blk * 128:(blk + 1) * 128]
+        d = np.diff(seg, prepend=prev).astype(np.uint32)
+        blocks_.append((K.simdpack_length(d, 9), 9, 128))
+        prev = seg[-1]
+    for key in (1, 128, 129, 200, 384):
+        idx, val = K.scan_search_d1(blocks_, key)
+        assert idx == key - 1 and val == key, key
+    assert K.scan_search_d1(blocks_, 1000) == (384, 0)
+    # cursor state advances identically on found and not-found paths
+    cur = K.SearchCursorD1(0)
+    cur.search(*blocks_[0][:2], 1000, 128)        # not found in block 0
+    assert cur.init == 128
