@@ -277,22 +277,43 @@ def _split_flat(doc_ids, sources, flat, lens, threshold):
     return (doc_ids.take(idx), sources.take(idx), seg_ids, flat, new_lens)
 
 
-def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
+def _input_files(path: str, snapshot_id: int | None = None) -> list[str]:
+    """Resolve an input path to its parquet data files.
+
+    Iceberg table dirs (``metadata/version-hint.text`` present) resolve
+    through the snapshot's metadata → manifest-list → manifest tree
+    (:func:`iceberg.data_files`): only the snapshot's LIVE files are
+    returned — a plain directory walk over a multi-snapshot table would
+    also pick up files that are dead in the current snapshot and
+    double-read history.  ``snapshot_id`` time-travels.  Plain directories
+    recurse (e.g. the resumable writer's ``shard=N`` layout)."""
+    from pathlib import Path
+
+    if (Path(path) / "metadata" / "version-hint.text").is_file():
+        from . import iceberg
+        return [d["file_path"] for d in iceberg.data_files(path, snapshot_id)]
+    if snapshot_id is not None:
+        raise ValueError(
+            f"snapshot_id={snapshot_id} given but {path!r} is not an "
+            "Iceberg table (no metadata/version-hint.text)")
+    return sorted(str(p) for p in Path(path).rglob("*.parquet"))
+
+
+def _rowgroup_units(spark: SparkSession, path: str,
+                    snapshot_id: int | None = None) -> DataFrame:
     """(file, row_group) work units for the fused scan paths — one Spark
     task per parquet row group, so task size is bounded by the writer's
-    row-group size regardless of file-count skew.  Recurses into
-    partitioned layouts (e.g. the resumable writer's ``shard=N`` dirs).
+    row-group size regardless of file-count skew.  Input may be a plain
+    parquet directory or an Iceberg table dir (see :func:`_input_files`).
 
     The per-file footer reads are DISTRIBUTED: the driver only lists file
     names (one directory-metadata pass, the same listing Spark's own file
-    index performs) and collects one small (path, n_row_groups) pair per
-    file — it never opens a data file.  At 100 TB / 10^5-10^6 files the
-    old sequential driver loop serialized minutes-to-hours of small-read
-    footer I/O before any task could start; the footer reads now fan out
-    across the cluster."""
-    from pathlib import Path
-
-    files = sorted(str(p) for p in Path(path).rglob("*.parquet"))
+    index performs — or, for Iceberg, one metadata-tree read) and collects
+    one small (path, n_row_groups) pair per file — it never opens a data
+    file.  At 100 TB / 10^5-10^6 files the old sequential driver loop
+    serialized minutes-to-hours of small-read footer I/O before any task
+    could start; the footer reads now fan out across the cluster."""
+    files = _input_files(path, snapshot_id)
     if not files:  # empty input dir → empty unit table, not a crash
         return spark.createDataFrame([], "path string, rg int")
 
@@ -319,10 +340,16 @@ def _rowgroup_units(spark: SparkSession, path: str) -> DataFrame:
 
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                  split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
-                 batch_rows: int = 2048) -> DataFrame:
+                 batch_rows: int = 2048,
+                 snapshot_id: int | None = None) -> DataFrame:
     """Fused scan→encode: Spark schedules one task per parquet row-group,
     and the worker reads it with pyarrow directly — the token buffers never
     cross the JVM row format at all.
+
+    ``path`` may be a plain parquet directory OR an Iceberg table dir of
+    pre-tokenized sequences (the north-rule input shape): Iceberg inputs
+    plan work units from the snapshot's live data files only, and
+    ``snapshot_id`` encodes a historic snapshot (time travel).
 
     This is the maximum-throughput ingest path for the 100 TB job: encode
     consumes EVERY row and column of the tokens table, so Catalyst's scan
@@ -337,7 +364,7 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     8 and 32 cores on this host; 1024 regresses)."""
     import pyarrow.parquet as pq
 
-    fdf = _rowgroup_units(spark, path)
+    fdf = _rowgroup_units(spark, path, snapshot_id)
 
     def fn(it):
         from pyspark import TaskContext
@@ -398,7 +425,8 @@ def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
 
 
 def decode_files(spark: SparkSession, path: str,
-                 batch_rows: int = 2048) -> DataFrame:
+                 batch_rows: int = 2048,
+                 snapshot_id: int | None = None) -> DataFrame:
     """Fused scan→decode, symmetric to :func:`encode_files`: one task per
     parquet row group of an ENCODED table, read with pyarrow inside the
     worker — the packed binary columns never enter the JVM row format.
@@ -411,7 +439,7 @@ def decode_files(spark: SparkSession, path: str,
     with the ``decode``-style groupBy if the table was length-split."""
     import pyarrow.parquet as pq
 
-    fdf = _rowgroup_units(spark, path)
+    fdf = _rowgroup_units(spark, path, snapshot_id)
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
 

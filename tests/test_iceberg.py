@@ -161,3 +161,69 @@ def test_written_layout_is_spec_shaped(spark, unit_df, tmp_path):
                 df_rec["file_size_in_bytes"]
             total_rows += df_rec["record_count"]
     assert total_rows == enc.count()
+
+
+def test_fused_encode_reads_iceberg_input(spark, unit_df, tmp_path):
+    """The north rule's input side end-to-end: an Iceberg table of
+    pre-tokenized sequences is consumed DIRECTLY by the fused ingest —
+    work units come from the snapshot's live data files (no export step),
+    orphan data files from torn commits are invisible, and snapshot_id
+    time-travels the encode input."""
+    import shutil
+
+    table = str(tmp_path / "tok_input")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    half1 = unit_df.where(F.crc32("doc_id") % 2 == 0).select(*cols)
+    half2 = unit_df.where(F.crc32("doc_id") % 2 == 1).select(*cols)
+    meta1 = iceberg.export_encoded(half1, table)
+    snap1 = meta1["current-snapshot-id"]
+    iceberg.append(half2, table)
+
+    # torn-commit orphan: a data file that no snapshot references — a
+    # plain directory walk would double-read it, metadata planning must not
+    live = [d["file_path"] for d in iceberg.data_files(table)]
+    orphan = str(Path(table) / "data" / "orphan-not-committed.parquet")
+    shutil.copy(live[0], orphan)
+
+    enc = engine.encode_files(spark, table, codec="auto")
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+    assert enc.agg(F.sum("n_tok")).first()[0] == \
+        unit_df.agg(F.sum("n_tok")).first()[0]
+
+    # time travel: encode the first commit only
+    enc1 = engine.encode_files(spark, table, snapshot_id=snap1)
+    assert enc1.agg(F.sum("n_tok")).first()[0] == \
+        half1.agg(F.sum("n_tok")).first()[0]
+
+    # snapshot_id against a plain parquet dir is a loud error
+    plain = str(tmp_path / "plain")
+    half1.write.parquet(plain)
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        engine.encode_files(spark, plain, snapshot_id=snap1).count()
+
+
+def test_fused_decode_reads_encoded_iceberg_table(spark, unit_df, tmp_path):
+    """decode_files over an exported ENCODED Iceberg table plans from
+    metadata: appended snapshots are all read, orphans are not, and
+    time travel decodes the historic snapshot."""
+    import shutil
+
+    table = str(tmp_path / "enc_table")
+    enc1 = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                         codec="bitpack", split_threshold=None)
+    enc2 = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                         codec="d1", split_threshold=None)
+    meta1 = iceberg.export_encoded(enc1, table)
+    snap1 = meta1["current-snapshot-id"]
+    iceberg.append(enc2, table)
+    live = [d["file_path"] for d in iceberg.data_files(table)]
+    shutil.copy(live[0], str(Path(table) / "data" / "orphan.parquet"))
+
+    dec = engine.decode_files(spark, table)
+    assert dec.count() == unit_df.count()
+    a = {r["doc_id"]: r["tokens"] for r in dec.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in unit_df.collect()}
+    assert a == b
+    dec1 = engine.decode_files(spark, table, snapshot_id=snap1)
+    assert dec1.count() == enc1.count()
