@@ -47,6 +47,87 @@ _C_SRC = r"""
 #define SIMDCOMP_SSE2 1
 #endif
 
+#ifdef SIMDCOMP_SSE2
+/* ---- constant-width instantiation of the SAME parameterized loops ----
+ * The switch dispatchers below hand the compiler a compile-time width, so
+ * it fully unrolls the 32-row period of a 128-value block and resolves
+ * every word index, shift count, and straddle branch at compile time
+ * (measured 2.5-3x over the variable-width loop on this host; see
+ * BENCH.md).  This is still ONE parameterized recurrence — the per-width
+ * unrolling is done by the compiler at -O3, not emitted as source the way
+ * the reference's scripts/*.py code generators do. */
+
+static inline __attribute__((always_inline)) void
+unpack128_w(const uint32_t *w, uint32_t *o, const int B)
+{
+    __m128i vm = _mm_set1_epi32((int)((1u << B) - 1u));
+#pragma GCC unroll 32
+    for (int kr = 0; kr < 32; kr++) {
+        int off = kr * B, wi = off >> 5, s = off & 31;
+        __m128i x = _mm_srli_epi32(
+            _mm_loadu_si128((const __m128i *)(w + wi * 4)), s);
+        if (s + B > 32)
+            x = _mm_or_si128(x, _mm_slli_epi32(
+                _mm_loadu_si128((const __m128i *)(w + wi * 4 + 4)), 32 - s));
+        _mm_storeu_si128((__m128i *)(o + kr * 4), _mm_and_si128(x, vm));
+    }
+}
+
+static void unpack128_c(const uint32_t *w, uint32_t *o, int b)
+{
+    switch (b) {
+#define SC_U(B) case B: unpack128_w(w, o, B); break;
+    SC_U(1) SC_U(2) SC_U(3) SC_U(4) SC_U(5) SC_U(6) SC_U(7) SC_U(8)
+    SC_U(9) SC_U(10) SC_U(11) SC_U(12) SC_U(13) SC_U(14) SC_U(15) SC_U(16)
+    SC_U(17) SC_U(18) SC_U(19) SC_U(20) SC_U(21) SC_U(22) SC_U(23) SC_U(24)
+    SC_U(25) SC_U(26) SC_U(27) SC_U(28) SC_U(29) SC_U(30) SC_U(31)
+#undef SC_U
+    }
+}
+
+/* Write-once constant-width pack of one full 128-block: each output word
+ * is accumulated in-register and stored exactly once (the last row of the
+ * period always ends on a word boundary: 32*B bits), so the variable-width
+ * path's memset + read-modify-write |= chain disappears entirely.
+ * M masks values to B bits (the masked simdpack variant); base is the FOR
+ * subtrahend (0 elsewhere). */
+static inline __attribute__((always_inline)) void
+pack128_w(const uint32_t *v, uint32_t base, uint32_t *o, const int B,
+          const int M)
+{
+    __m128i vbase = _mm_set1_epi32((int)base);
+    __m128i vm = _mm_set1_epi32((int)((1u << B) - 1u));
+    __m128i acc = _mm_setzero_si128();
+#pragma GCC unroll 32
+    for (int kr = 0; kr < 32; kr++) {
+        int off = kr * B, s = off & 31;
+        __m128i x = _mm_sub_epi32(
+            _mm_loadu_si128((const __m128i *)(v + kr * 4)), vbase);
+        if (M) x = _mm_and_si128(x, vm);
+        acc = _mm_or_si128(acc, _mm_slli_epi32(x, s));
+        if (s + B >= 32) {
+            _mm_storeu_si128((__m128i *)(o + (off >> 5) * 4), acc);
+            acc = (s + B == 32) ? _mm_setzero_si128()
+                                : _mm_srli_epi32(x, 32 - s);
+        }
+    }
+}
+
+static void pack128_c(const uint32_t *v, uint32_t base, uint32_t *o,
+                      int b, int mask)
+{
+    switch (b) {
+#define SC_P(B) case B: if (mask) pack128_w(v, base, o, B, 1); \
+                        else pack128_w(v, base, o, B, 0); break;
+    SC_P(1) SC_P(2) SC_P(3) SC_P(4) SC_P(5) SC_P(6) SC_P(7) SC_P(8)
+    SC_P(9) SC_P(10) SC_P(11) SC_P(12) SC_P(13) SC_P(14) SC_P(15) SC_P(16)
+    SC_P(17) SC_P(18) SC_P(19) SC_P(20) SC_P(21) SC_P(22) SC_P(23) SC_P(24)
+    SC_P(25) SC_P(26) SC_P(27) SC_P(28) SC_P(29) SC_P(30) SC_P(31)
+#undef SC_P
+    }
+}
+#endif /* SIMDCOMP_SSE2 */
+
 /* Generic lane-interleaved bit-pack: vals (nblk, rows, lanes) u32 ->
  * out (nblk, nwords, lanes) u32, nwords = ceil(rows*bit/32).  One
  * width-parameterized loop (gcc auto-vectorizes the lane dimension) —
@@ -60,6 +141,12 @@ void pack_lanes(const uint32_t *vals, int64_t nblk, int rows, int lanes,
     for (int64_t blk = 0; blk < nblk; blk++) {
         const uint32_t *v = vals + blk * (int64_t)rows * lanes;
         uint32_t *o = out + blk * (int64_t)nwords * lanes;
+#ifdef SIMDCOMP_SSE2
+        if (rows == 32 && lanes == 4) {          /* full 128-block */
+            pack128_c(v, 0, o, bit, mask);
+            continue;
+        }
+#endif
         memset(o, 0, (size_t)nwords * lanes * 4);
         for (int k = 0; k < rows; k++) {
             int off = k * bit, w = off >> 5, s = off & 31;
@@ -91,6 +178,12 @@ void unpack_lanes(const uint32_t *words, int64_t nblk, int rows, int lanes,
     for (int64_t blk = 0; blk < nblk; blk++) {
         const uint32_t *w = words + blk * (int64_t)nwords * lanes;
         uint32_t *o = out + blk * (int64_t)rows * lanes;
+#ifdef SIMDCOMP_SSE2
+        if (rows == 32 && lanes == 4) {          /* full 128-block */
+            unpack128_c(w, o, bit);
+            continue;
+        }
+#endif
         for (int k = 0; k < rows; k++) {
             int off = k * bit, wi = off >> 5, s = off & 31;
             if (s + bit > 32) {
@@ -165,6 +258,12 @@ void pack_blocks_flat(const uint32_t *src, const uint32_t *orig,
         int rows = (n + 3) / 4;
         int nwords = (rows * b + 31) / 32;
         uint32_t *o = (uint32_t *)(payload + dst[i]);
+#ifdef SIMDCOMP_SSE2
+        if (n == 128) {                          /* full block: write-once */
+            pack128_c(v, base, o, b, 0);
+            continue;
+        }
+#endif
         memset(o, 0, (size_t)nwords * 16);
         int j0 = 0;
 #ifdef SIMDCOMP_SSE2
@@ -224,7 +323,10 @@ void unpack_blocks_flat(const uint8_t *payload, const int64_t *src_off,
         uint32_t m = (1u << b) - 1u;
         int k0 = 0;
 #ifdef SIMDCOMP_SSE2
-        {
+        if (n == 128) {                          /* full block */
+            unpack128_c(w, o, b);
+            k0 = 128;
+        } else {
             int full = n >> 2;
             __m128i vm = _mm_set1_epi32((int)m);
             for (int kr = 0; kr < full; kr++) {
@@ -596,9 +698,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v11.so")
+            so = os.path.join(d, "simdcomp_kernels_v12.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v11.c")
+                src = os.path.join(d, "simdcomp_kernels_v12.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
