@@ -256,6 +256,16 @@ def _f(name, ftype, fid, required=True):
             **({} if required else {"default": None})}
 
 
+# Iceberg models int-keyed maps (bounds are map<field-id, single-value
+# binary>) as Avro arrays of key/value records (spec: "Avro type: array of
+# key_value records")
+def _kv_map(name):
+    return {"type": "array", "items": {
+        "type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"}]}}
+
+
 _DATA_FILE_SCHEMA = {
     "type": "record", "name": "r2", "fields": [
         _f("content", "int", 134),
@@ -266,6 +276,8 @@ _DATA_FILE_SCHEMA = {
                   "fields": []}},                      # unpartitioned spec
         _f("record_count", "long", 103),
         _f("file_size_in_bytes", "long", 104),
+        _f("lower_bounds", _kv_map("k126_v127"), 125, required=False),
+        _f("upper_bounds", _kv_map("k129_v130"), 128, required=False),
     ]}
 
 _MANIFEST_ENTRY_SCHEMA = {
@@ -298,7 +310,7 @@ _SPARK_TO_ICEBERG = {"string": "string", "int": "int", "integer": "int",
                      "bigint": "long", "long": "long", "binary": "binary",
                      "double": "double", "float": "float",
                      "boolean": "boolean", "timestamp": "timestamptz",
-                     "date": "date"}
+                     "timestamp_ntz": "timestamp", "date": "date"}
 
 
 def _iceberg_schema_of(df: DataFrame) -> dict:
@@ -334,28 +346,89 @@ def _meta_dir(table_dir: str) -> Path:
     return Path(table_dir) / "metadata"
 
 
+def _sv_encode(t, v) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    int = 4-byte LE, long = 8-byte LE, string = UTF-8 bytes."""
+    if t == "int":
+        return struct.pack("<i", int(v))
+    if t == "long":
+        return struct.pack("<q", int(v))
+    if t == "string":
+        return str(v).encode("utf-8")
+    raise NotImplementedError(f"single-value serialization for {t!r}")
+
+
+def _sv_decode(t, b: bytes):
+    if t == "int":
+        return struct.unpack("<i", b)[0]
+    if t == "long":
+        return struct.unpack("<q", b)[0]
+    if t == "string":
+        return b.decode("utf-8")
+    raise NotImplementedError(f"single-value serialization for {t!r}")
+
+
 def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
-    """(path, num_rows, file_size) per parquet file — footer reads run as a
-    distributed Spark job (engine._rowgroup_units discipline: the driver
-    only lists names; it never opens a data file)."""
+    """(path, num_rows, file_size, col_bounds) per parquet file — footer
+    reads run as a distributed Spark job (engine._rowgroup_units
+    discipline: the driver only lists names; it never opens a data file).
+    col_bounds is {column: [min, max]} from the parquet footer statistics
+    of top-level scalar columns (nested/list columns carry no usable
+    per-file bound) — the source of the manifest's lower/upper_bounds."""
     par = max(int(spark.sparkContext.defaultParallelism), 1)
     fdf = (spark.createDataFrame([(f,) for f in files], "path string")
            .repartition(min(len(files), par * 4)))
 
     def fn(it):
+        import json as _json
+
         import pyarrow.parquet as pq
         for batch in it:
             paths = batch.column(0).to_pylist()
-            rows = [pq.ParquetFile(p).metadata.num_rows for p in paths]
-            sizes = [os.path.getsize(p) for p in paths]
+            rows, sizes, bounds = [], [], []
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                rows.append(md.num_rows)
+                sizes.append(os.path.getsize(p))
+                mins, maxs = {}, {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if "." in c.path_in_schema:      # nested/list
+                            continue
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        name = c.path_in_schema
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                continue
+                        # only int/string bounds are single-value
+                        # serializable here; skip dates/floats/etc.
+                        if not isinstance(mn, (int, str)) or \
+                                isinstance(mn, bool):
+                            continue
+                        if name not in mins or mn < mins[name]:
+                            mins[name] = mn
+                        if name not in maxs or mx > maxs[name]:
+                            maxs[name] = mx
+                bounds.append(_json.dumps(
+                    {k: [mins[k], maxs[k]] for k in mins if k in maxs}))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), pa.array(rows, type=pa.int64()),
-                 pa.array(sizes, type=pa.int64())],
-                names=["path", "rows", "bytes"])
+                 pa.array(sizes, type=pa.int64()),
+                 pa.array(bounds, type=pa.string())],
+                names=["path", "rows", "bytes", "bounds"])
 
-    return [(r["path"], int(r["rows"]), int(r["bytes"]))
+    return [(r["path"], int(r["rows"]), int(r["bytes"]),
+             json.loads(r["bounds"]))
             for r in fdf.mapInArrow(
-                fn, "path string, rows long, bytes long").collect()]
+                fn, "path string, rows long, bytes long, bounds string"
+            ).collect()]
 
 
 def _current_version(table_dir: str) -> int:
@@ -373,10 +446,15 @@ def _load_metadata(table_dir: str) -> dict:
 
 
 def _write_snapshot(spark, table_dir: str, df: DataFrame,
-                    prev_meta: dict | None) -> dict:
+                    prev_meta: dict | None,
+                    operation: str = "append") -> dict:
     """Write data files + manifest + manifest list + new metadata json;
     atomically swap version-hint.text last (Iceberg's commit protocol:
-    readers only ever see fully-written versions)."""
+    readers only ever see fully-written versions).  ``operation`` is
+    "append" (manifest list carries previous manifests forward) or
+    "overwrite" (manifest list holds ONLY the new manifest — previous
+    snapshots' files become dead in the new snapshot but remain readable
+    by time travel)."""
     table_dir = str(table_dir)
     mdir = _meta_dir(table_dir)
     mdir.mkdir(parents=True, exist_ok=True)
@@ -391,14 +469,39 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     files = sorted(str(p) for p in Path(out).glob("*.parquet"))
     stats = _file_stats(spark, files)
 
-    # 2. manifest (avro)
-    entries = [{"status": 1, "snapshot_id": snap_id,
-                "sequence_number": None, "file_sequence_number": None,
-                "data_file": {"content": 0, "file_path": p,
-                              "file_format": "PARQUET", "partition": {},
-                              "record_count": rows,
-                              "file_size_in_bytes": size}}
-               for p, rows, size in stats]
+    # 2. manifest (avro), with per-file column bounds (spec fields
+    # 125/128: map<field-id, single-value binary>) from the parquet
+    # footer statistics — the basis of metadata-level file pruning
+    schema_fields = (prev_meta["schemas"][0]["fields"] if prev_meta
+                     else _iceberg_schema_of(df)["fields"])
+    by_name = {f["name"]: f for f in schema_fields}
+
+    def _bounds_maps(col_bounds):
+        lbs, ubs = [], []
+        for name, (mn, mx) in sorted(col_bounds.items()):
+            f = by_name.get(name)
+            if f is None or not isinstance(f["type"], str):
+                continue
+            try:
+                lbs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mn)})
+                ubs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mx)})
+            except NotImplementedError:
+                continue
+        return lbs, ubs
+
+    entries = []
+    for p, rows, size, col_bounds in stats:
+        lbs, ubs = _bounds_maps(col_bounds)
+        entries.append(
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": {"content": 0, "file_path": p,
+                           "file_format": "PARQUET", "partition": {},
+                           "record_count": rows,
+                           "file_size_in_bytes": size,
+                           "lower_bounds": lbs, "upper_bounds": ubs}})
     manifest_path = str(mdir / f"manifest-{snap_id}.avro")
     _avro_write(manifest_path, _MANIFEST_ENTRY_SCHEMA, entries,
                 metadata={"schema": json.dumps(
@@ -406,11 +509,12 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                     else _iceberg_schema_of(df)),
                     "partition-spec": "[]", "content": "data",
                     "format-version": "2"})
-    added_rows = sum(r for _, r, _ in stats)
+    added_rows = sum(r for _, r, _, _ in stats)
 
-    # 3. manifest list = this snapshot's manifest + all previous ones
+    # 3. manifest list: append carries previous manifests forward;
+    # overwrite replaces the live file set with this manifest only
     prev_manifests = []
-    if prev_meta:
+    if prev_meta and operation == "append":
         prev_snap = [s for s in prev_meta["snapshots"]
                      if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
         if prev_snap:
@@ -433,7 +537,7 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
                 "schema-id": 0,
-                "summary": {"operation": "append",
+                "summary": {"operation": operation,
                             "added-data-files": str(len(stats)),
                             "added-records": str(added_rows)}}
     if prev_meta:
@@ -493,6 +597,49 @@ def append(df: DataFrame, table_dir: str) -> dict:
     return _write_snapshot(df.sparkSession, table_dir, df, prev)
 
 
+def overwrite(df: DataFrame, table_dir: str) -> dict:
+    """Commit an overwrite snapshot: the new snapshot's live file set is
+    exactly ``df``'s files (schema must match).  Previous snapshots stay
+    readable via time travel; their files are dead in the current
+    snapshot.  This is the natural sink for dedup/filter pipelines that
+    REWRITE a table (e.g. ``encoded_dedup`` output) with snapshot
+    isolation — readers of the old snapshot are never disturbed."""
+    prev = _load_metadata(table_dir)
+    names = [f["name"] for f in prev["schemas"][0]["fields"]]
+    if [f.name for f in df.schema.fields] != names:
+        raise ValueError(f"schema mismatch: table has {names}, "
+                         f"overwrite has {[f.name for f in df.schema.fields]}")
+    return _write_snapshot(df.sparkSession, table_dir, df, prev,
+                           operation="overwrite")
+
+
+def prune_files(table_dir: str, col: str, lo=None, hi=None,
+                snapshot_id: int | None = None) -> list[dict]:
+    """Data files whose manifest [lower, upper] bounds for ``col`` may
+    overlap [lo, hi] — metadata-level file pruning, no data I/O.  Files
+    lacking bounds for the column are conservatively kept.  At 100 TB
+    this is the difference between scanning the table and scanning the
+    few files a range predicate touches."""
+    meta = _load_metadata(table_dir)
+    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    if col not in fields:
+        raise KeyError(f"column {col!r} not in table schema "
+                       f"({sorted(fields)})")
+    fid, ftype = fields[col]["id"], fields[col]["type"]
+    out = []
+    for d in data_files(table_dir, snapshot_id):
+        lbs = {e["key"]: e["value"] for e in (d.get("lower_bounds") or [])}
+        ubs = {e["key"]: e["value"] for e in (d.get("upper_bounds") or [])}
+        if fid in lbs and fid in ubs:
+            fmin = _sv_decode(ftype, lbs[fid])
+            fmax = _sv_decode(ftype, ubs[fid])
+            if (hi is not None and fmin > hi) or \
+               (lo is not None and fmax < lo):
+                continue
+        out.append(d)
+    return out
+
+
 def data_files(table_dir: str, snapshot_id: int | None = None
                ) -> list[dict]:
     """Live data files of a snapshot (current by default) by walking
@@ -513,21 +660,37 @@ def data_files(table_dir: str, snapshot_id: int | None = None
 
 
 def read_table(spark: SparkSession, table_dir: str,
-               snapshot_id: int | None = None) -> DataFrame:
+               snapshot_id: int | None = None,
+               between: tuple | None = None) -> DataFrame:
     """Load an Iceberg table's current (or a historic) snapshot as a
     DataFrame.  File pruning happens at the metadata layer — only the
-    snapshot's live files are handed to the parquet scan."""
-    paths = [d["file_path"] for d in data_files(table_dir, snapshot_id)]
+    snapshot's live files are handed to the parquet scan.  ``between =
+    (col, lo, hi)`` additionally prunes files via the manifest column
+    bounds (:func:`prune_files`) and applies the exact row filter on
+    top (the pruning is a superset guarantee, the filter the truth)."""
+    if between is not None:
+        col, lo, hi = between
+        files = prune_files(table_dir, col, lo, hi, snapshot_id)
+    else:
+        files = data_files(table_dir, snapshot_id)
+    paths = [d["file_path"] for d in files]
     if not paths:
         return spark.createDataFrame([], _spark_ddl(table_dir))
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if between is not None:
+        col, lo, hi = between
+        if lo is not None:
+            df = df.where(df[col] >= lo)
+        if hi is not None:
+            df = df.where(df[col] <= hi)
+    return df
 
 
 def _spark_ddl(table_dir: str) -> str:
     back = {"string": "string", "int": "int", "long": "bigint",
             "binary": "binary", "double": "double", "float": "float",
             "boolean": "boolean", "timestamptz": "timestamp",
-            "date": "date"}
+            "timestamp": "timestamp_ntz", "date": "date"}
 
     def one(t):
         if isinstance(t, dict) and t.get("type") == "list":

@@ -794,6 +794,36 @@ def q_iceberg_roundtrip(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_prune(spark, sf_dir):
+    """Metadata-level file pruning through Iceberg manifest column bounds
+    (spec fields 125/128): orders is published range-clustered on
+    o_orderkey, then a range read plans ONLY the overlapping data files
+    from the manifest bounds (no data I/O for the rest) and applies the
+    exact filter on top.  The query raises if pruning did not actually
+    drop files, so the gate cannot pass on a full scan."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icebergprune")
+    table = os.path.join(base, "table")
+    orders = _t(spark, sf_dir, "orders") \
+        .repartitionByRange(8, "o_orderkey") \
+        .sortWithinPartitions("o_orderkey")
+    iceberg.export_encoded(orders, table)
+    # sf-independent range: [max/4, 2*max/5] in integer arithmetic,
+    # mirrored exactly in the oracle SQL
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = max_key // 4, (2 * max_key) // 5
+    live = iceberg.data_files(table)
+    pruned = iceberg.prune_files(table, "o_orderkey", lo, hi)
+    if not 0 < len(pruned) < len(live):
+        raise AssertionError(
+            f"manifest bounds pruned {len(live)}->{len(pruned)} files; "
+            "expected a strict reduction")
+    return (iceberg.read_table(spark, table,
+                               between=("o_orderkey", lo, hi))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact dedup (applyInPandasWithState, content-hash
     keyed marker state) driven end-to-end: phase 1 streams the documents
@@ -923,6 +953,7 @@ QUERIES = {
     "cosine_neardup": q_cosine_neardup,
     "multimodal_features": q_multimodal_features,
     "iceberg_roundtrip": q_iceberg_roundtrip,
+    "iceberg_prune": q_iceberg_prune,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
     "streaming_window": q_streaming_window,
@@ -1210,6 +1241,12 @@ UNION ALL
 SELECT min('c_' || CAST(doc_id AS VARCHAR)) AS doc_id,
        text || ' v2' AS text
 FROM documents GROUP BY text
+""",
+    "iceberg_prune": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey) // 4 FROM orders)
+                     AND (SELECT (2 * MAX(o_orderkey)) // 5 FROM orders)
 """,
     "iceberg_roundtrip": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -227,3 +227,95 @@ def test_fused_decode_reads_encoded_iceberg_table(spark, unit_df, tmp_path):
     assert a == b
     dec1 = engine.decode_files(spark, table, snapshot_id=snap1)
     assert dec1.count() == enc1.count()
+
+
+def test_overwrite_replaces_live_set_with_time_travel(spark, unit_df,
+                                                      tmp_path):
+    """Overwrite commits: current snapshot sees ONLY the new data; the old
+    snapshot stays readable (snapshot isolation); the fused paths plan
+    from metadata so the now-dead files are not read."""
+    table = str(tmp_path / "ow")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    full = unit_df.select(*cols)
+    meta1 = iceberg.export_encoded(full, table)
+    snap1 = meta1["current-snapshot-id"]
+    kept = full.where(F.crc32("doc_id") % 3 != 0)
+    meta2 = iceberg.overwrite(kept, table)
+    assert meta2["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    assert iceberg.read_table(spark, table).count() == kept.count()
+    assert iceberg.read_table(spark, table,
+                              snapshot_id=snap1).count() == full.count()
+    # dead files really exist on disk but the fused path never reads them
+    n_disk = len(list((Path(table) / "data").rglob("*.parquet")))
+    n_live = len(iceberg.data_files(table))
+    assert n_disk > n_live
+    enc = engine.encode_files(spark, table)
+    assert enc.agg(F.sum("n_tok")).first()[0] == \
+        kept.agg(F.sum("n_tok")).first()[0]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.overwrite(unit_df, table)
+
+
+def test_manifest_column_bounds_prune_files(spark, tmp_path):
+    """Manifest lower/upper_bounds (spec field-ids 125/128, single-value
+    binary) drive metadata-level file pruning: a range predicate on a
+    sort-clustered column touches only the overlapping files, and the
+    pruned read equals the exact filtered read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "bounded")
+    # 8 files, disjoint n_tok ranges (written pre-clustered, one per file)
+    rows = [(f"d{i:04d}", "s", i, [1, 2, 3]) for i in range(800)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int, tokens array<int>")
+    df = df.repartitionByRange(8, "n_tok").sortWithinPartitions("n_tok")
+    iceberg.export_encoded(df, table)
+
+    live = iceberg.data_files(table)
+    assert all(d.get("lower_bounds") and d.get("upper_bounds")
+               for d in live), "bounds missing from manifest entries"
+    # range that lives in one or two files
+    pruned = iceberg.prune_files(table, "n_tok", lo=250, hi=310)
+    assert 0 < len(pruned) < len(live)
+    got = iceberg.read_table(spark, table, between=("n_tok", 250, 310))
+    exact = df.where((F.col("n_tok") >= 250) & (F.col("n_tok") <= 310))
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in exact.collect())
+    # string bounds work too
+    p2 = iceberg.prune_files(table, "doc_id", lo="d0700")
+    assert 0 < len(p2) < len(live)
+
+
+def test_bounds_are_spec_shaped_and_old_tables_still_read(spark, unit_df,
+                                                          tmp_path):
+    """lower/upper_bounds round-trip through the Avro manifest as the
+    spec's array-of-key_value-records form keyed by field-id; manifests
+    written WITHOUT bounds (older layout) still load."""
+    table = str(tmp_path / "spec")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    iceberg.export_encoded(unit_df.select(*cols), table)
+    meta = iceberg._load_metadata(table)
+    fid = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    d = iceberg.data_files(table)[0]
+    lbs = {e["key"]: e["value"] for e in d["lower_bounds"]}
+    assert fid["n_tok"] in lbs and isinstance(lbs[fid["n_tok"]], bytes)
+    assert len(lbs[fid["n_tok"]]) == 4                      # int32 LE
+    # a manifest entry with no bounds fields (pre-bounds writer) parses
+    # and prunes conservatively (file kept)
+    entries = [{"status": 1, "snapshot_id": 1, "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {"content": 0, "file_path": "x.parquet",
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": 1,
+                              "file_size_in_bytes": 1}}]
+    old_schema = json.loads(json.dumps(iceberg._MANIFEST_ENTRY_SCHEMA))
+    df_fields = old_schema["fields"][-1]["type"]["fields"]
+    old_schema["fields"][-1]["type"]["fields"] = [
+        f for f in df_fields if f["name"] not in ("lower_bounds",
+                                                  "upper_bounds")]
+    p = str(tmp_path / "old_manifest.avro")
+    iceberg._avro_write(p, old_schema, entries)
+    _, got = iceberg._avro_read(p)
+    assert got[0]["data_file"].get("lower_bounds") is None
