@@ -374,10 +374,13 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
     discipline: the driver only lists names; it never opens a data file).
     col_bounds is {column: [min, max]} from the parquet footer statistics
     of top-level scalar columns (nested/list columns carry no usable
-    per-file bound) — the source of the manifest's lower/upper_bounds."""
-    par = max(int(spark.sparkContext.defaultParallelism), 1)
-    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
-           .repartition(min(len(files), par * 4)))
+    per-file bound) — the source of the manifest's lower/upper_bounds.
+
+    A column's bound is emitted ONLY when every row group of the file has
+    usable statistics for it: a partial-coverage bound would describe a
+    subset of the file and pruning on it could silently drop matching
+    rows."""
+    from . import engine
 
     def fn(it):
         import json as _json
@@ -390,7 +393,7 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
                 md = pq.ParquetFile(p).metadata
                 rows.append(md.num_rows)
                 sizes.append(os.path.getsize(p))
-                mins, maxs = {}, {}
+                mins, maxs, covered = {}, {}, {}
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
@@ -412,12 +415,14 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
                         if not isinstance(mn, (int, str)) or \
                                 isinstance(mn, bool):
                             continue
+                        covered[name] = covered.get(name, 0) + 1
                         if name not in mins or mn < mins[name]:
                             mins[name] = mn
                         if name not in maxs or mx > maxs[name]:
                             maxs[name] = mx
                 bounds.append(_json.dumps(
-                    {k: [mins[k], maxs[k]] for k in mins if k in maxs}))
+                    {k: [mins[k], maxs[k]] for k in mins
+                     if k in maxs and covered[k] == md.num_row_groups}))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), pa.array(rows, type=pa.int64()),
                  pa.array(sizes, type=pa.int64()),
@@ -426,9 +431,9 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
 
     return [(r["path"], int(r["rows"]), int(r["bytes"]),
              json.loads(r["bounds"]))
-            for r in fdf.mapInArrow(
-                fn, "path string, rows long, bytes long, bounds string"
-            ).collect()]
+            for r in engine.distributed_file_map(
+                spark, files, fn,
+                "path string, rows long, bytes long, bounds string")]
 
 
 def _current_version(table_dir: str) -> int:
@@ -472,9 +477,9 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     # 2. manifest (avro), with per-file column bounds (spec fields
     # 125/128: map<field-id, single-value binary>) from the parquet
     # footer statistics — the basis of metadata-level file pruning
-    schema_fields = (prev_meta["schemas"][0]["fields"] if prev_meta
-                     else _iceberg_schema_of(df)["fields"])
-    by_name = {f["name"]: f for f in schema_fields}
+    table_schema = (prev_meta["schemas"][0] if prev_meta
+                    else _iceberg_schema_of(df))
+    by_name = {f["name"]: f for f in table_schema["fields"]}
 
     def _bounds_maps(col_bounds):
         lbs, ubs = [], []
@@ -504,11 +509,9 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                            "lower_bounds": lbs, "upper_bounds": ubs}})
     manifest_path = str(mdir / f"manifest-{snap_id}.avro")
     _avro_write(manifest_path, _MANIFEST_ENTRY_SCHEMA, entries,
-                metadata={"schema": json.dumps(
-                    prev_meta["schemas"][0] if prev_meta
-                    else _iceberg_schema_of(df)),
-                    "partition-spec": "[]", "content": "data",
-                    "format-version": "2"})
+                metadata={"schema": json.dumps(table_schema),
+                          "partition-spec": "[]", "content": "data",
+                          "format-version": "2"})
     added_rows = sum(r for _, r, _, _ in stats)
 
     # 3. manifest list: append carries previous manifests forward;
@@ -547,11 +550,18 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
             {"snapshot-id": snap_id, "timestamp-ms": now_ms}]
         version = _current_version(table_dir) + 1
     else:
+        # last-column-id is the HIGHEST assigned field id including list
+        # element-ids (v2 spec) — excluding them invites id collisions
+        # when a real engine evolves the schema
+        last_id = max(
+            max(f["id"], f["type"].get("element-id", 0)
+                if isinstance(f["type"], dict) else 0)
+            for f in table_schema["fields"])
         meta = {"format-version": 2, "table-uuid": str(uuid.uuid4()),
                 "location": table_dir,
-                "last-column-id": len(df.schema.fields),
+                "last-column-id": last_id,
                 "current-schema-id": 0,
-                "schemas": [_iceberg_schema_of(df)],
+                "schemas": [table_schema],
                 "default-spec-id": 0,
                 "partition-specs": [{"spec-id": 0, "fields": []}],
                 "last-partition-id": 999,
@@ -567,7 +577,21 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    (mdir / f"v{version}.metadata.json").write_text(json.dumps(meta))
+    # vN.metadata.json is created with O_EXCL: two writers that both based
+    # on the same parent compute the same N, and without the exclusive
+    # create the second write_text would silently overwrite the first
+    # writer's COMMITTED snapshot (a lost commit).  The loser fails loudly
+    # instead and must re-read the table and retry its operation.
+    vpath = mdir / f"v{version}.metadata.json"
+    try:
+        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"commit conflict: {vpath.name} already exists — another "
+            "writer committed concurrently; re-read the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(json.dumps(meta))
 
     # 5. the commit point: atomic version-hint swap
     tmp = mdir / f".version-hint.{snap_id}.tmp"
@@ -590,11 +614,27 @@ def append(df: DataFrame, table_dir: str) -> dict:
     Readers of the previous snapshot are unaffected (snapshot isolation);
     ``read_table(snapshot_id=...)`` time-travels to any snapshot."""
     prev = _load_metadata(table_dir)
-    names = [f["name"] for f in prev["schemas"][0]["fields"]]
-    if [f.name for f in df.schema.fields] != names:
-        raise ValueError(f"schema mismatch: table has {names}, "
-                         f"append has {[f.name for f in df.schema.fields]}")
+    _check_same_schema(prev, df, "append")
     return _write_snapshot(df.sparkSession, table_dir, df, prev)
+
+
+def _check_same_schema(prev_meta: dict, df: DataFrame, op: str) -> None:
+    """Column NAMES AND TYPES must match the table schema — a name-only
+    check would let an append commit e.g. int64 files into an int32
+    table, leaving the Iceberg schema no longer describing its data."""
+    def norm(fields):
+        out = []
+        for f in fields:
+            t = f["type"]
+            if isinstance(t, dict):            # list type
+                t = f"list<{t['element']}>"
+            out.append((f["name"], t))
+        return out
+    want = norm(prev_meta["schemas"][0]["fields"])
+    got = norm(_iceberg_schema_of(df)["fields"])
+    if want != got:
+        raise ValueError(
+            f"schema mismatch: table has {want}, {op} has {got}")
 
 
 def overwrite(df: DataFrame, table_dir: str) -> dict:
@@ -605,10 +645,7 @@ def overwrite(df: DataFrame, table_dir: str) -> dict:
     REWRITE a table (e.g. ``encoded_dedup`` output) with snapshot
     isolation — readers of the old snapshot are never disturbed."""
     prev = _load_metadata(table_dir)
-    names = [f["name"] for f in prev["schemas"][0]["fields"]]
-    if [f.name for f in df.schema.fields] != names:
-        raise ValueError(f"schema mismatch: table has {names}, "
-                         f"overwrite has {[f.name for f in df.schema.fields]}")
+    _check_same_schema(prev, df, "overwrite")
     return _write_snapshot(df.sparkSession, table_dir, df, prev,
                            operation="overwrite")
 

@@ -709,7 +709,13 @@ def content_hash_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     out = np.empty((max(n, 1), 2), dtype=np.uint64)
     ends = np.cumsum(lens)
     starts = ends - lens
-    v = flat[:int(ends[-1])].astype(np.uint64)
+    # reinterpret in the uint32 domain FIRST (int32 tokens from Arrow may
+    # be negative): a direct astype(uint64) would sign-extend -1 to
+    # 2^64-1 while the C path sees 0xFFFFFFFF — the two "bit-identical"
+    # paths would hash apart and encoded_dedup would miss duplicates
+    # across hosts with/without a C toolchain
+    v = (flat[:int(ends[-1])].astype(np.int64, copy=False)
+         & np.int64(0xFFFFFFFF)).astype(np.uint64)
     maxlen = int(lens.max())
     g = np.arange(v.size, dtype=np.int64)
     rev = np.repeat(ends - 1, lens) - g      # row-local position from end

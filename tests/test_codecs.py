@@ -318,6 +318,22 @@ def test_content_hash_native_numpy_identical():
     hs = {bytes(h) for h in fast.reshape(lens.size, 16)}
     assert len(hs) == lens.size               # all-distinct rows hash apart
 
+    # int32 input with NEGATIVE values (Arrow tokens are int32): both
+    # paths must agree in the uint32 domain — a sign-extending numpy
+    # astype(uint64) would silently hash apart from the C path
+    neg = np.array([-1, 5, -2147483648, 7, 123, -42], dtype=np.int32)
+    nlens = np.array([3, 3], dtype=np.int64)
+    fast_neg = np.asarray(K.content_hash_flat(neg.view(np.uint32),
+                                              nlens)).copy()
+    os.environ["SIMDCOMP_NO_NATIVE"] = "1"
+    native._lib, native._tried = None, False
+    try:
+        ref_neg = np.asarray(K.content_hash_flat(neg, nlens))
+    finally:
+        del os.environ["SIMDCOMP_NO_NATIVE"]
+        native._lib, native._tried = None, False
+    assert np.array_equal(fast_neg, ref_neg)
+
 
 def test_dict_d1_values_extreme_deltas():
     """The dict values sub-stream is delta-packed; full-range u32 deltas

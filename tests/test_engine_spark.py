@@ -325,3 +325,33 @@ def test_range_count_rejects_unsorted_family(spark, unit_df):
                         codec="bitpack", split_threshold=None)
     with pytest.raises(PythonException, match="sorted-row family"):
         engine.range_count(enc, 0, 10).collect()
+
+
+def test_encoded_dedup_rejects_null_content_hash(spark, unit_df):
+    """Legacy rows unioned into a hash-stamped table carry NULL
+    content_hash; grouping them would collapse into one fake duplicate
+    group — must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+    enc = engine.encode(unit_df.limit(20), codec="bitpack",
+                        split_threshold=None)
+    legacy = enc.drop("content_hash").limit(5)
+    mixed = enc.unionByName(legacy, allowMissingColumns=True)
+    with pytest.raises(ValueError, match="content_hash contains NULL"):
+        engine.encoded_dedup(mixed).collect()
+
+
+def test_list_to_flat_handles_large_list(spark):
+    """Fused scans read user parquet whose Arrow schema may restore
+    large_list (int64 offsets); reading those as int32 corrupts every
+    row length."""
+    import numpy as np
+    import pyarrow as pa
+    arr = pa.array([[1, 2, 3], [], [4, 5]],
+                   type=pa.large_list(pa.int32()))
+    flat, lens = engine._list_to_flat(arr)
+    assert lens.tolist() == [3, 0, 2]
+    assert np.asarray(flat).tolist() == [1, 2, 3, 4, 5]
+    # sliced large_list keeps correct offsets
+    flat2, lens2 = engine._list_to_flat(arr.slice(1))
+    assert lens2.tolist() == [0, 2] and np.asarray(flat2).tolist() == [4, 5]

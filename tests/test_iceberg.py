@@ -319,3 +319,49 @@ def test_bounds_are_spec_shaped_and_old_tables_still_read(spark, unit_df,
     iceberg._avro_write(p, old_schema, entries)
     _, got = iceberg._avro_read(p)
     assert got[0]["data_file"].get("lower_bounds") is None
+
+
+def test_commit_conflict_fails_loudly(spark, unit_df, tmp_path):
+    """Two writers based on the same parent compute the same metadata
+    version; without O_EXCL the second silently overwrites the first's
+    COMMITTED snapshot.  The loser must get a loud conflict error and the
+    winner's commit must survive."""
+    table = str(tmp_path / "conflict")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    iceberg.export_encoded(unit_df.select(*cols), table)
+    # simulate the racing winner: v2.metadata.json already exists
+    winner = iceberg._load_metadata(table)
+    (Path(table) / "metadata" / "v2.metadata.json").write_text(
+        json.dumps(winner))
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        iceberg.append(unit_df.select(*cols).limit(5), table)
+    # the pre-existing v2 content is untouched
+    assert json.loads((Path(table) / "metadata" /
+                       "v2.metadata.json").read_text()) == winner
+
+
+def test_append_type_mismatch_rejected(spark, unit_df, tmp_path):
+    table = str(tmp_path / "typed")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    iceberg.export_encoded(unit_df.select(*cols), table)
+    widened = unit_df.select(
+        "doc_id", "source",
+        F.col("n_tok").cast("long").alias("n_tok"), "tokens")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.append(widened, table)
+
+
+def test_last_column_id_covers_element_ids(spark, unit_df, tmp_path):
+    """v2 spec: last-column-id is the highest ASSIGNED field id including
+    list element-ids — otherwise a real engine evolving the schema
+    allocates a colliding id."""
+    table = str(tmp_path / "lastid")
+    iceberg.export_encoded(
+        unit_df.select("doc_id", "source", "n_tok", "tokens"), table)
+    meta = iceberg._load_metadata(table)
+    ids = []
+    for f in meta["schemas"][0]["fields"]:
+        ids.append(f["id"])
+        if isinstance(f["type"], dict):
+            ids.append(f["type"]["element-id"])
+    assert meta["last-column-id"] == max(ids)
