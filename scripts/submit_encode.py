@@ -37,11 +37,20 @@ def main() -> int:
                     help="decode + compare against the input (extra pass)")
     args = ap.parse_args()
 
+    from pathlib import Path as _P
+
     from pyspark.sql import SparkSession
     from simdcomp_spark import engine, manifest
 
     spark = SparkSession.getActiveSession() or engine.get_spark("encode-job")
-    df = spark.read.parquet(args.input)
+    if (_P(args.input) / "metadata" / "version-hint.text").is_file():
+        # Iceberg table input (the north rule's input shape): read the
+        # current snapshot's live files via the metadata tree — a plain
+        # parquet read over the dir would also pick up dead/orphan files
+        from simdcomp_spark import iceberg
+        df = iceberg.read_table(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
     summary = manifest.encode_resumable(
         df, args.output, codec=args.codec, shards=args.shards,
         split_threshold=args.split_threshold)
