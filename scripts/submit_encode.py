@@ -28,8 +28,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="tokens table (parquet)")
+    ap.add_argument("--input", required=True,
+                    help="tokens table (parquet dir or Iceberg table dir)")
     ap.add_argument("--output", required=True, help="encoded table root")
+    ap.add_argument("--publish-iceberg", metavar="DIR",
+                    help="additionally publish the encoded output as an "
+                         "Iceberg v2 table at DIR (append snapshot if the "
+                         "table exists)")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--split-threshold", type=int, default=1 << 16)
@@ -58,6 +63,19 @@ def main() -> int:
         manifest.read_encoded(spark, args.output))
     metrics.write.mode("overwrite").parquet(f"{args.output}/_metrics")
     print(json.dumps(summary))
+
+    if args.publish_iceberg:
+        # Iceberg in -> Iceberg out: commit the encoded table as a
+        # snapshot (new table or append) with manifest column bounds
+        from simdcomp_spark import iceberg
+        enc_out = manifest.read_encoded(spark, args.output)
+        if (_P(args.publish_iceberg) / "metadata"
+                / "version-hint.text").is_file():
+            meta = iceberg.append(enc_out, args.publish_iceberg)
+        else:
+            meta = iceberg.export_encoded(enc_out, args.publish_iceberg)
+        print(json.dumps({"iceberg_snapshot": meta["current-snapshot-id"],
+                          "iceberg_table": args.publish_iceberg}))
 
     if args.verify:
         # no dropDuplicates: the staged-write resume protocol guarantees a
