@@ -103,26 +103,38 @@ def _kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
     x = sample / np.maximum(norms, 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_clusters, x.shape[0])
+    # incremental nearest-seed distance: O(k·n·d), not O(k²·n·d) — only
+    # the newest seed's similarities are computed per step
     seeds = [int(rng.integers(x.shape[0]))]
+    d = np.maximum(1.0 - x @ x[seeds[0]], 0.0)
     for _ in range(k - 1):
-        d = 1.0 - np.max(x @ x[seeds].T, axis=1)
-        d = np.maximum(d, 0.0)
         tot = d.sum()
         if tot <= 0:                          # all points already covered
-            seeds.append(int(rng.integers(x.shape[0])))
+            nxt = int(rng.integers(x.shape[0]))
         else:
-            seeds.append(int(rng.choice(x.shape[0], p=d / tot)))
+            nxt = int(rng.choice(x.shape[0], p=d / tot))
+        seeds.append(nxt)
+        d = np.minimum(d, np.maximum(1.0 - x @ x[nxt], 0.0))
     cent = x[seeds].copy()
     for _ in range(n_iter):
         sims = x @ cent.T
         assign = np.argmax(sims, axis=1)
+        # reseed empty clusters to DISTINCT worst-served points: handing
+        # several empties the same argmin would duplicate centroids and
+        # leave all but one of them permanently dead
+        worst_order = iter(np.argsort(np.max(sims, axis=1)))
+        taken = set()
         for c in range(cent.shape[0]):
             m = assign == c
             if m.any():
                 v = x[m].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
-            else:                             # reseed to the worst-served point
-                cent[c] = x[int(np.argmin(np.max(sims, axis=1)))]
+            else:
+                for w in worst_order:
+                    if int(w) not in taken:
+                        taken.add(int(w))
+                        cent[c] = x[int(w)]
+                        break
     return cent
 
 

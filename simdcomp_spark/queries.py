@@ -668,6 +668,10 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(df, qvec, k=10, bits=12, probe_hamming=2)
 
 
+# bump when the IVF build algorithm or the recall metric changes
+_IVF_VERSION = "v2-kmeanspp-recall16q"
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-bucketed ANN over a PREBUILT index: ivf_build writes the table
     partitioned by ivf_cell once (offline step, cached across gate runs);
@@ -696,7 +700,12 @@ def q_ann_ivf(spark, sf_dir):
             ident = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         ident = ""
-    tag = hashlib.sha1(f"{src}:{ident}".encode()).hexdigest()[:10]
+    # _IVF_VERSION keys the cache to the ALGORITHM as well as the data:
+    # without it, an index built by an older k-means (or a recall file
+    # from the older single-query metric) would be served and reported
+    # as the new algorithm's number
+    tag = hashlib.sha1(
+        f"{_IVF_VERSION}:{src}:{ident}".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"simdcomp_ivf_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         similarity.ivf_build(df, path, n_clusters=16)
