@@ -806,8 +806,12 @@ def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
     if "content_hash" in df_encoded.columns:
         # a legacy table unioned in via allowMissingColumns fills
         # content_hash with NULL; hex(NULL) is NULL and groupBy would
-        # merge ALL such rows into one giant fake duplicate group
-        if not df_encoded.where(F.col("content_hash").isNull()).isEmpty():
+        # merge ALL such rows into one giant fake duplicate group.  The
+        # probe selects ONLY the hash column (16 bytes/row) and pushes
+        # IsNull to the scan, where parquet per-chunk null counts let
+        # row groups with zero nulls be skipped from stats alone.
+        if not (df_encoded.select("content_hash")
+                .where(F.col("content_hash").isNull()).isEmpty()):
             raise ValueError(
                 "encoded_dedup: content_hash contains NULLs (legacy rows "
                 "unioned into a hash-stamped table?) — grouping would "
