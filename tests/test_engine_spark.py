@@ -355,3 +355,29 @@ def test_list_to_flat_handles_large_list(spark):
     # sliced large_list keeps correct offsets
     flat2, lens2 = engine._list_to_flat(arr.slice(1))
     assert lens2.tolist() == [0, 2] and np.asarray(flat2).tolist() == [4, 5]
+
+
+def test_encode_files_large_list_parquet(spark, tmp_path):
+    """End-to-end fused encode over a parquet file whose Arrow schema is
+    large_list<int32> (int64 offsets) — the offset-width path of
+    _list_to_flat driven through the real scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rows = [[int(x) for x in np.arange(i, i + 40)] for i in range(50)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(50)]),
+        "tokens": pa.array(rows, type=pa.large_list(pa.int32())),
+        "source": pa.array(["s"] * 50),
+    })
+    d = str(tmp_path / "ll")
+    import os
+    os.makedirs(d)
+    pq.write_table(t, f"{d}/part-0.parquet")
+    enc = engine.encode_files(spark, d, codec="bitpack")
+    assert enc.agg(F.sum("n_tok")).first()[0] == 50 * 40
+    dec = engine.decode(enc, reassemble=True)
+    got = {r["doc_id"]: r["tokens"] for r in dec.collect()}
+    assert got == {f"d{i}": rows[i] for i in range(50)}
