@@ -365,3 +365,32 @@ def test_last_column_id_covers_element_ids(spark, unit_df, tmp_path):
         if isinstance(f["type"], dict):
             ids.append(f["type"]["element-id"])
     assert meta["last-column-id"] == max(ids)
+
+
+def test_avro_deflate_codec_reads(tmp_path):
+    """Real Iceberg writers emit deflate-codec manifests by default; the
+    reader must handle them.  Build a deflate object-container by hand
+    (raw-deflate block, avro.codec=deflate) and read it back equal."""
+    import zlib
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "s", "type": "string"}, {"name": "n", "type": "long"}]}
+    records = [{"s": "a", "n": 1}, {"s": "bb", "n": -7}]
+    body = bytearray()
+    for rec in records:
+        iceberg._write_datum(body, schema, rec)
+    comp = zlib.compress(bytes(body), 6)[2:-4]       # raw deflate (-15)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"deflate"}
+    out = bytearray(iceberg._MAGIC)
+    iceberg._write_datum(out, {"type": "map", "values": "bytes"}, meta)
+    sync = bytes(16)
+    out += sync
+    out += iceberg._zigzag_encode(len(records))
+    out += iceberg._zigzag_encode(len(comp))
+    out += comp
+    out += sync
+    p = str(tmp_path / "deflate.avro")
+    Path(p).write_bytes(bytes(out))
+    got_schema, got = iceberg._avro_read(p)
+    assert got_schema == schema and got == records
