@@ -394,3 +394,37 @@ def test_avro_deflate_codec_reads(tmp_path):
     Path(p).write_bytes(bytes(out))
     got_schema, got = iceberg._avro_read(p)
     assert got_schema == schema and got == records
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.fixed_dictionaries({
+    "s": st.text(max_size=40),
+    "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "b": st.binary(max_size=40),
+    "f": st.booleans(),
+    "arr": st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                    max_size=8),
+    "opt": st.one_of(st.none(),
+                     st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+}), max_size=12))
+def test_avro_codec_property(records):
+    """Property: any record list round-trips through the self-contained
+    Avro codec — unicode strings, full-range zigzag longs, binary, arrays,
+    null unions (the value domains Iceberg manifests actually use)."""
+    import tempfile
+    schema = {"type": "record", "name": "p", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "b", "type": "bytes"},
+        {"name": "f", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+    ]}
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.avro"
+        iceberg._avro_write(p, schema, records)
+        got_schema, got = iceberg._avro_read(p)
+    assert got_schema == schema and got == records
