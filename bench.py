@@ -254,9 +254,15 @@ def run_bench() -> dict:
                 for k, v in extras.items()})
     scaling_file = Path("/root/repo/.benchdata/scaling.json")
     if scaling_file.is_file():
-        # attach the (clearly labeled) pre-measured scaling campaign so the
-        # per-round bench record carries the north-rule evidence
-        out["scaling_evidence"] = json.loads(scaling_file.read_text())
+        # Compact per-pair summary ONLY (driver contract: ONE SMALL JSON
+        # line) — raw campaigns stay in .benchdata/scaling.json + BENCH.md.
+        try:
+            camps = json.loads(scaling_file.read_text()).get("campaigns", [])
+            out["scaling_pairs"] = {
+                f"{c['from_cores']}->{c['to_cores']}": c["scaling_efficiency"]
+                for c in camps}
+        except Exception:
+            pass
     return out
 
 

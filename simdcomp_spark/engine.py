@@ -787,8 +787,46 @@ def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
                    "min_tok int, max_tok int")
 
 
-def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
-    """Exact duplicate detection WITHOUT decoding.
+def _strong_content_hash(cand: DataFrame) -> DataFrame:
+    """Decode candidate rows and stamp a CRYPTOGRAPHIC per-row content hash
+    (sha256 over the raw little-endian int32 token bytes).
+
+    Verification arm of :func:`encoded_dedup`: runs only on members of
+    multi-doc fast-hash groups, so the per-row hashlib call (the one
+    non-vectorized step — OpenSSL sha256, ~1.5 GB/s/core) is bounded by
+    the duplicate-candidate count, not the table size.  Returns
+    (seq_hash, doc_id, strong_hash binary)."""
+    import hashlib
+
+    cols = ["seq_hash", "doc_id", "n_tok", "codec", "widths", "inits",
+            "payload"]
+    src = cand.select(*cols)
+
+    def fn(it):
+        for batch in it:
+            tokens_arr = _decode_batch_columns(
+                batch.column(2), batch.column(3), batch.column(4),
+                batch.column(5), batch.column(6))
+            la = tokens_arr.combine_chunks() if isinstance(
+                tokens_arr, pa.ChunkedArray) else tokens_arr
+            offs = la.offsets.to_numpy().astype(np.int64)
+            raw = np.ascontiguousarray(
+                la.values.to_numpy(zero_copy_only=False).astype(
+                    "<i4", copy=False)).tobytes()
+            mv = memoryview(raw)
+            digs = [hashlib.sha256(mv[offs[i] * 4:offs[i + 1] * 4]).digest()
+                    for i in range(len(offs) - 1)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(digs, type=pa.binary())],
+                names=["seq_hash", "doc_id", "strong_hash"])
+
+    return src.mapInArrow(
+        fn, schema="seq_hash string, doc_id string, strong_hash binary")
+
+
+def encoded_dedup(df_encoded: DataFrame, verify: bool = True) -> DataFrame:
+    """Exact duplicate detection WITHOUT decoding the full table.
 
     Primary path: group on the ``content_hash`` column the encoder stamps
     on every row — a 128-bit hash of the RAW token stream computed in-UDF
@@ -798,31 +836,58 @@ def encoded_dedup(df_encoded: DataFrame) -> DataFrame:
     At 100 TB this shuffles 16 bytes + doc_id per row — far below even the
     compressed token bytes.
 
+    ``verify=True`` (default) guards against ADVERSARIAL collisions: the
+    stamped hash is a fast polynomial hash — 128-bit and statistically
+    sound, but linearly malleable, so on untrusted web data an attacker
+    could forge a document that hash-collides with a target.  Equality
+    inside every multi-doc hash group is therefore CONFIRMED on the
+    decoded tokens (sha256 over the raw little-endian token bytes).  Only
+    CANDIDATE rows (members of hash groups with ≥2 docs) are decoded;
+    singleton groups — the overwhelming majority at web scale — never
+    leave the 16-bytes-per-row fast path.  ``verify=False`` skips the
+    confirm pass (one narrow scan total) and is safe only when the input
+    is not adversarial.
+
+    NULL content_hash (legacy rows unioned in via allowMissingColumns)
+    would collapse into one fake duplicate group; the guard is folded into
+    the grouping expression itself (``raise_error`` inside the single
+    aggregation scan), so validation adds no extra job.
+
     Fallback (tables encoded before content_hash existed): hash the
     compressed representation, which is a per-row bijection only for a
     FIXED codec — enforced by raising when the table mixes codecs (the old
     silent false-negative mode).  Returns one row per distinct token
-    sequence: (seq_hash string, n_docs, first_doc)."""
+    sequence: (seq_hash string, n_docs, first_doc); the seq_hash value is
+    a unique group label (verified groups carry a ``:<sha256>`` suffix),
+    not a stable cross-run identifier."""
     if "content_hash" in df_encoded.columns:
-        # a legacy table unioned in via allowMissingColumns fills
-        # content_hash with NULL; hex(NULL) is NULL and groupBy would
-        # merge ALL such rows into one giant fake duplicate group.  The
-        # probe selects ONLY the hash column (16 bytes/row) and pushes
-        # IsNull to the scan, where parquet per-chunk null counts let
-        # row groups with zero nulls be skipped from stats alone.
-        if not (df_encoded.select("content_hash")
-                .where(F.col("content_hash").isNull()).isEmpty()):
-            raise ValueError(
+        guarded = F.when(
+            F.col("content_hash").isNull(),
+            F.raise_error(F.lit(
                 "encoded_dedup: content_hash contains NULLs (legacy rows "
                 "unioned into a hash-stamped table?) — grouping would "
                 "collapse them into one fake duplicate group. Re-encode "
-                "the legacy rows to stamp content_hash.")
-        return (df_encoded
-                .select(F.hex(F.col("content_hash")).alias("seq_hash"),
-                        "doc_id")
+                "the legacy rows to stamp content_hash."))
+        ).otherwise(F.col("content_hash"))
+        hashed = df_encoded.withColumn("seq_hash", F.hex(guarded))
+        fast = (hashed.select("seq_hash", "doc_id")
                 .groupBy("seq_hash")
                 .agg(F.count("*").alias("n_docs"),
                      F.min("doc_id").alias("first_doc")))
+        if not verify:
+            return fast
+        singles = fast.where(F.col("n_docs") == 1)
+        dup_hashes = fast.where(F.col("n_docs") >= 2).select("seq_hash")
+        cand = hashed.join(dup_hashes, "seq_hash", "leftsemi")
+        verified = (_strong_content_hash(cand)
+                    .groupBy("seq_hash", "strong_hash")
+                    .agg(F.count("*").alias("n_docs"),
+                         F.min("doc_id").alias("first_doc"))
+                    .select(F.concat_ws(":", "seq_hash",
+                                        F.hex("strong_hash")
+                                        ).alias("seq_hash"),
+                            "n_docs", "first_doc"))
+        return singles.unionByName(verified)
     codecs_present = [r["codec"] for r in
                       df_encoded.select("codec").distinct().collect()]
     if len(codecs_present) > 1:

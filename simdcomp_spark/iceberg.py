@@ -230,6 +230,13 @@ def _avro_read(path: str) -> tuple[dict, list[dict]]:
     meta = _read_datum(r, {"type": "map", "values": "bytes"})
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        # a real Iceberg writer may declare snappy/zstd; feeding those
+        # blocks to the datum reader would produce garbage records, not
+        # an error — refuse up front
+        raise ValueError(
+            f"{path}: unsupported avro codec {codec!r} (this reader "
+            "handles null and deflate)")
     sync = r.read(16)
     records: list[dict] = []
     while r.pos < len(r.b):
@@ -437,17 +444,44 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
 
 
 def _current_version(table_dir: str) -> int:
-    hint = _meta_dir(table_dir) / "version-hint.text"
+    """Resolve the current metadata version.
+
+    HadoopTableOperations semantics: the atomic no-overwrite publish of
+    ``vN.metadata.json`` is the COMMIT POINT; ``version-hint.text`` is an
+    advisory fast-path.  A writer that crashed after publishing vN but
+    before updating the hint has still committed — so readers start at the
+    hint and probe upward while a complete (JSON-parseable) next version
+    exists.  This also heals a regressed hint (two writers finishing out
+    of order) and restores commit liveness: a later writer always computes
+    version N+1, never re-collides with an already-published vN."""
+    mdir = _meta_dir(table_dir)
+    hint = mdir / "version-hint.text"
     if not hint.is_file():
         raise FileNotFoundError(f"{table_dir}: not an Iceberg table "
                                 "(no metadata/version-hint.text)")
-    return int(hint.read_text().strip())
+    v = int(hint.read_text().strip())
+    while True:
+        nxt = mdir / f"v{v + 1}.metadata.json"
+        if not nxt.is_file():
+            return v
+        try:  # legacy pre-publish-protocol tables may hold a torn vN
+            json.loads(nxt.read_text())
+        except (OSError, ValueError):
+            return v
+        v += 1
 
 
 def _load_metadata(table_dir: str) -> dict:
     v = _current_version(table_dir)
-    return json.loads(
+    meta = json.loads(
         (_meta_dir(table_dir) / f"v{v}.metadata.json").read_text())
+    # remember which version this metadata was loaded AS (in-memory only,
+    # stripped before write): a committing writer must publish parent+1,
+    # not current+1 — re-reading the directory at commit time would let a
+    # STALE writer skip past a concurrent winner and silently drop its
+    # snapshot instead of failing the optimistic-concurrency check
+    meta["__loaded_version"] = v
+    return meta
 
 
 def _write_snapshot(spark, table_dir: str, df: DataFrame,
@@ -545,10 +579,12 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                             "added-records": str(added_rows)}}
     if prev_meta:
         meta = dict(prev_meta)
+        meta.pop("__loaded_version", None)
         meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
         meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
             {"snapshot-id": snap_id, "timestamp-ms": now_ms}]
-        version = _current_version(table_dir) + 1
+        version = prev_meta.get("__loaded_version",
+                                _current_version(table_dir)) + 1
     else:
         # last-column-id is the HIGHEST assigned field id including list
         # element-ids (v2 spec) — excluding them invites id collisions
@@ -577,23 +613,31 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    # vN.metadata.json is created with O_EXCL: two writers that both based
-    # on the same parent compute the same N, and without the exclusive
-    # create the second write_text would silently overwrite the first
-    # writer's COMMITTED snapshot (a lost commit).  The loser fails loudly
-    # instead and must re-read the table and retry its operation.
+    # 5. THE COMMIT POINT: publish vN.metadata.json atomically with
+    # NO-OVERWRITE semantics (write complete content to a tmp file, then
+    # os.link — link fails with EEXIST instead of clobbering).  Two
+    # writers based on the same parent compute the same N; exactly one
+    # link succeeds, the loser fails loudly and must re-read + retry —
+    # and the retry CAN succeed, because _current_version probes past the
+    # hint and sees the winner's vN (no permanent wedge if the winner
+    # crashes before updating the hint).  Readers never see a torn vN:
+    # the file appears only with complete content.
     vpath = mdir / f"v{version}.metadata.json"
+    vtmp = mdir / f".v{version}.{snap_id}.tmp"
+    vtmp.write_text(json.dumps(meta))
     try:
-        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(vtmp, vpath)
     except FileExistsError:
         raise RuntimeError(
             f"commit conflict: {vpath.name} already exists — another "
             "writer committed concurrently; re-read the table and retry"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        fh.write(json.dumps(meta))
+    finally:
+        vtmp.unlink(missing_ok=True)
 
-    # 5. the commit point: atomic version-hint swap
+    # 6. advisory hint update (fast-path only; a crash here, or an
+    # out-of-order update by a slower earlier writer, is healed by the
+    # reader-side upward probe in _current_version)
     tmp = mdir / f".version-hint.{snap_id}.tmp"
     tmp.write_text(str(version))
     os.replace(tmp, mdir / "version-hint.text")

@@ -330,15 +330,36 @@ def test_range_count_rejects_unsorted_family(spark, unit_df):
 def test_encoded_dedup_rejects_null_content_hash(spark, unit_df):
     """Legacy rows unioned into a hash-stamped table carry NULL
     content_hash; grouping them would collapse into one fake duplicate
-    group — must raise instead."""
+    group — must raise.  The guard is folded into the single aggregation
+    scan (raise_error in-plan, no separate probe job), so it surfaces at
+    execution time as a Spark exception."""
     import pytest
-    from pyspark.sql import functions as F
     enc = engine.encode(unit_df.limit(20), codec="bitpack",
                         split_threshold=None)
     legacy = enc.drop("content_hash").limit(5)
     mixed = enc.unionByName(legacy, allowMissingColumns=True)
-    with pytest.raises(ValueError, match="content_hash contains NULL"):
+    with pytest.raises(Exception, match="content_hash contains NULL"):
         engine.encoded_dedup(mixed).collect()
+
+
+def test_encoded_dedup_verify_splits_forged_collision(spark):
+    """The stamped content_hash is a fast polynomial hash — adversarially
+    malleable.  Simulate a forged collision by forcing DIFFERENT token
+    rows to share a content_hash: verify=True (default) must split them
+    via the sha256 confirm pass; verify=False shows the fast path alone
+    would have silently merged them."""
+    df = spark.createDataFrame(
+        [("a", "t", 4, [1, 2, 3, 4]), ("b", "t", 4, [9, 9, 9, 9]),
+         ("c", "t", 4, [1, 2, 3, 4])],
+        "doc_id string, source string, n_tok int, tokens array<int>")
+    enc = engine.encode(df, codec="bitpack", split_threshold=None)
+    forged = enc.withColumn("content_hash", F.lit(b"\x00" * 16))
+    groups = engine.encoded_dedup(forged).collect()
+    assert sorted(g["n_docs"] for g in groups) == [1, 2]
+    dup = next(g for g in groups if g["n_docs"] == 2)
+    assert dup["first_doc"] == "a" and ":" in dup["seq_hash"]
+    unverified = engine.encoded_dedup(forged, verify=False).collect()
+    assert [g["n_docs"] for g in unverified] == [3]
 
 
 def test_list_to_flat_handles_large_list(spark):

@@ -108,21 +108,34 @@ def test_append_snapshot_isolation_and_time_travel(spark, unit_df, tmp_path):
 
 
 def test_commit_protocol_survives_torn_commit(spark, unit_df, tmp_path):
-    """Iceberg's metadata-swap discipline: everything is written before
-    version-hint.text is replaced, so deleting the hint's target (simulated
-    torn commit: new metadata json never landed) must leave the PREVIOUS
-    version readable, not a broken table."""
+    """HadoopTableOperations-style commit discipline: publishing
+    vN.metadata.json (atomic no-overwrite link of complete content) IS the
+    commit; version-hint.text is advisory.  A writer that crashes after
+    publishing vN but before the hint update leaves a COMMITTED snapshot
+    that readers heal to by probing past the hint — and commit liveness
+    survives (the next append computes N+1 instead of wedging on vN
+    forever).  A genuinely torn vN (partial JSON, legacy direct-write
+    crash) stops the probe and leaves the previous version readable."""
     table = str(tmp_path / "torn")
     enc = engine.encode(unit_df, codec="bitpack", split_threshold=None)
     iceberg.export_encoded(enc, table)
     n1 = iceberg.read_table(spark, table).count()
     iceberg.append(enc.limit(10), table)
-    # simulate the torn commit: v2 metadata exists but hint still points at
-    # it — roll the hint back the way a crashed pre-swap writer would leave
-    hint = Path(table) / "metadata" / "version-hint.text"
+    n2 = iceberg.read_table(spark, table).count()
+    assert n2 == n1 + 10
+    # crash-after-publish-before-hint: v2 exists (complete), hint says 1
+    mdir = Path(table) / "metadata"
+    hint = mdir / "version-hint.text"
     assert hint.read_text().strip() == "2"
     hint.write_text("1")
-    assert iceberg.read_table(spark, table).count() == n1   # v1 intact
+    assert iceberg.read_table(spark, table).count() == n2   # healed to v2
+    # liveness: a follow-up commit lands as v3, not a v2 conflict
+    iceberg.append(enc.limit(5), table)
+    assert hint.read_text().strip() == "3"
+    assert iceberg.read_table(spark, table).count() == n2 + 5
+    # genuinely torn NEXT version (legacy partial write) is ignored
+    (mdir / "v4.metadata.json").write_text('{"truncated')
+    assert iceberg.read_table(spark, table).count() == n2 + 5
 
 
 def test_written_layout_is_spec_shaped(spark, unit_df, tmp_path):
@@ -322,22 +335,25 @@ def test_bounds_are_spec_shaped_and_old_tables_still_read(spark, unit_df,
 
 
 def test_commit_conflict_fails_loudly(spark, unit_df, tmp_path):
-    """Two writers based on the same parent compute the same metadata
-    version; without O_EXCL the second silently overwrites the first's
-    COMMITTED snapshot.  The loser must get a loud conflict error and the
-    winner's commit must survive."""
+    """Two writers based on the SAME loaded parent compute the same
+    metadata version; the atomic no-overwrite publish lets exactly one
+    win.  The stale loser must get a loud conflict error (not silently
+    skip to N+1, which would drop the winner's snapshot from the lineage)
+    and the winner's committed content must survive byte-identical."""
     table = str(tmp_path / "conflict")
     cols = ["doc_id", "source", "n_tok", "tokens"]
     iceberg.export_encoded(unit_df.select(*cols), table)
-    # simulate the racing winner: v2.metadata.json already exists
-    winner = iceberg._load_metadata(table)
-    (Path(table) / "metadata" / "v2.metadata.json").write_text(
-        json.dumps(winner))
+    stale = iceberg._load_metadata(table)           # writer B loads v1
+    iceberg.append(unit_df.select(*cols).limit(5), table)  # A commits v2
+    v2 = Path(table) / "metadata" / "v2.metadata.json"
+    winner = v2.read_text()
     with pytest.raises(RuntimeError, match="commit conflict"):
-        iceberg.append(unit_df.select(*cols).limit(5), table)
-    # the pre-existing v2 content is untouched
-    assert json.loads((Path(table) / "metadata" /
-                       "v2.metadata.json").read_text()) == winner
+        iceberg._write_snapshot(spark, table,
+                                unit_df.select(*cols).limit(3), stale)
+    assert v2.read_text() == winner
+    # after re-reading the table, the loser's retry lands as v3
+    iceberg.append(unit_df.select(*cols).limit(3), table)
+    assert iceberg._current_version(table) == 3
 
 
 def test_append_type_mismatch_rejected(spark, unit_df, tmp_path):
@@ -394,6 +410,28 @@ def test_avro_deflate_codec_reads(tmp_path):
     Path(p).write_bytes(bytes(out))
     got_schema, got = iceberg._avro_read(p)
     assert got_schema == schema and got == records
+
+
+def test_avro_unsupported_codec_rejected(tmp_path):
+    """A codec this reader can't decode (snappy/zstd from a real writer)
+    must be a loud error, not garbage records or a confusing EOF."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "n", "type": "long"}]}
+    body = bytearray()
+    iceberg._write_datum(body, schema, {"n": 1})
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"snappy"}
+    out = bytearray(iceberg._MAGIC)
+    iceberg._write_datum(out, {"type": "map", "values": "bytes"}, meta)
+    sync = bytes(16)
+    out += sync
+    out += iceberg._zigzag_encode(1)
+    out += iceberg._zigzag_encode(len(body))
+    out += bytes(body) + sync
+    p = str(tmp_path / "snappy.avro")
+    Path(p).write_bytes(bytes(out))
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        iceberg._avro_read(p)
 
 
 from hypothesis import given, settings, strategies as st
