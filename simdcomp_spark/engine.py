@@ -334,14 +334,22 @@ def _rowgroup_units(spark: SparkSession, path: str,
     row-group size regardless of file-count skew.  Input may be a plain
     parquet directory or an Iceberg table dir (see :func:`_input_files`).
 
-    The per-file footer reads are DISTRIBUTED: the driver only lists file
-    names (one directory-metadata pass, the same listing Spark's own file
-    index performs — or, for Iceberg, one metadata-tree read) and collects
-    one small (path, n_row_groups) pair per file — it never opens a data
-    file.  At 100 TB / 10^5-10^6 files the old sequential driver loop
-    serialized minutes-to-hours of small-read footer I/O before any task
-    could start; the footer reads now fan out across the cluster."""
+    Both the footer reads AND the (path, row_group) expansion are
+    DISTRIBUTED: the driver only lists file names (one directory-metadata
+    pass, the same listing Spark's own file index performs — or, for
+    Iceberg, one metadata-tree read); it never opens a data file and
+    never materializes the unit list.  At 100 TB ≈ 10^5-10^6 row groups
+    the old code collected the per-file counts and built a Python list of
+    every unit plus one Spark partition per row group (10^6 tasks); now
+    the counts stay in the plan, ``explode(sequence(...))`` expands them
+    executor-side, and partitions are capped at 4× default parallelism
+    (multiple units per task, round-robin balanced)."""
     files = _input_files(path, snapshot_id)
+    if not files:
+        return spark.createDataFrame([], "path string, rg int")
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
+           .repartition(min(len(files), par * 4)))
 
     def footer_counts(it):
         import pyarrow.parquet as pq
@@ -352,13 +360,12 @@ def _rowgroup_units(spark: SparkSession, path: str,
                 [batch.column(0), pa.array(ns, type=pa.int32())],
                 names=["path", "n"])
 
-    counts = distributed_file_map(spark, files, footer_counts,
-                                  "path string, n int")
-    units = [(r["path"], rg) for r in counts for rg in range(r["n"])]
-    if not units:
-        return spark.createDataFrame([], "path string, rg int")
-    return spark.createDataFrame(units, "path string, rg int") \
-        .repartition(len(units))
+    counts = fdf.mapInArrow(footer_counts, "path string, n int")
+    units = (counts.where(F.col("n") > 0)   # sequence(0,-1) would descend
+             .select("path",
+                     F.explode(F.sequence(F.lit(0), F.col("n") - 1)
+                               ).alias("rg")))
+    return units.repartition(par * 4)
 
 
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",

@@ -190,6 +190,39 @@ def test_rowgroup_units_many_small_files_no_driver_io(spark, unit_df,
     assert engine.verify_roundtrip(unit_df, dec) == 0
 
 
+def test_rowgroup_units_exceed_partitions(spark, tmp_path):
+    """The (path, rg) expansion happens IN THE PLAN with partitions capped
+    at 4x default parallelism: with units >> partitions every row group is
+    still covered exactly once (multiple units per task) and the driver
+    never materializes an O(units) list or one-partition-per-unit plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "manyrg"
+    src.mkdir()
+    n_rows, rg_rows = 8000, 50          # 160 row groups > 32*4 partitions
+    tokens = [[(7 * i + j) % 1000 for j in range(8)] for i in range(n_rows)]
+    tbl = pa.table({
+        "doc_id": [f"d{i:05d}" for i in range(n_rows)],
+        "source": ["t"] * n_rows,
+        "n_tok": pa.array([8] * n_rows, pa.int32()),
+        "tokens": pa.array(tokens, pa.list_(pa.int32()))})
+    pq.write_table(tbl, src / "part-0.parquet", row_group_size=rg_rows)
+
+    units = engine._rowgroup_units(spark, str(src))
+    cap = 4 * spark.sparkContext.defaultParallelism
+    assert units.rdd.getNumPartitions() <= cap
+    got = units.collect()
+    assert len(got) == n_rows // rg_rows
+    assert sorted(r["rg"] for r in got) == list(range(n_rows // rg_rows))
+
+    enc = engine.encode_files(spark, str(src), codec="bitpack")
+    assert enc.agg(F.sum("n_tok")).first()[0] == n_rows * 8
+    dec = engine.decode(enc, reassemble=False)
+    assert dec.where(F.col("doc_id") == "d00042").first()["tokens"] == \
+        tokens[42]
+
+
 def test_point_lookup_all_codecs(spark, unit_df):
     """Compressed-domain point lookup agrees with the raw arrays for every
     codec, including multi-block rows and the 70k-token skew row."""
