@@ -162,3 +162,49 @@ def tokenish_table(spark, n_docs: int, seed: int = 42, vocab: int = 50257,
             })
 
     return base.mapInPandas(gen, schema=TOKENS_SCHEMA)
+
+
+def clustered_embeddings(spark, n_vecs: int = 4096, dim: int = 32,
+                         n_clusters: int = 16, sigma: float = 0.1,
+                         seed: int = 7, parts: int | None = None):
+    """Embeddings with PLANTED cluster structure: ``n_clusters`` Gaussian
+    clusters on the unit sphere (cluster of row i = i % n_clusters), each
+    vector = normalize(center + sigma * noise).
+
+    The near-isotropic driver fixture can't reward a working IVF — its
+    recall@nprobe ≈ fraction of rows scanned no matter how cells are
+    assigned.  On this fixture, true cosine neighbors are overwhelmingly
+    within-cluster (noise norm ≈ sigma*sqrt(dim) ≪ 1, inter-center cosine
+    ≈ 0 at dim 32), so a correct IVF reaches recall ≈ 1 at nprobe ≪ K
+    while a shuffled cell assignment stays ≈ nprobe/K — the metric now
+    separates working from broken.  Row-deterministic for any partitioning
+    (vector i depends only on (seed, i))."""
+    parts = parts or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_vecs, 1, parts)
+    centers = np.random.default_rng(seed).normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if ids.size == 0:
+                continue
+            # per-row counter-based rng → identical vectors under any
+            # partitioning (Philox keyed by seed, counter-offset by row id)
+            vecs = np.empty((ids.size, dim), dtype=np.float64)
+            for k, i in enumerate(ids):
+                rng = np.random.Generator(
+                    np.random.Philox(key=seed, counter=int(i)))
+                vecs[k] = rng.normal(size=dim)
+            cl = ids % n_clusters
+            vecs = centers[cl] + sigma * vecs
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": [row.astype(np.float32) for row in vecs],
+                "cluster": cl.astype(np.int32),
+            })
+
+    return base.mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, cluster int")

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import engine, kernels as K, oracles_xxh, strings
+from . import engine, fixtures, kernels as K, oracles_xxh, strings
 from .functions import dedup, similarity, text as textfn
 
 
@@ -669,7 +669,7 @@ def q_ann_lsh(spark, sf_dir):
 
 
 # bump when the IVF build algorithm or the recall metric changes
-_IVF_VERSION = "v2-kmeanspp-recall16q"
+_IVF_VERSION = "v3-clustered-recall"
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -729,8 +729,30 @@ def q_ann_ivf(spark, sf_dir):
         with open(rec_file, "w") as fh:
             fh.write(str(round(float(rec), 4)))
     rec = float(open(rec_file).read())
+    # the fixture's embeddings are near-isotropic, so the number above is
+    # honest but weakly informative (recall ≈ scanned fraction however
+    # cells are assigned).  A second recall on PLANTED cluster structure
+    # (fixtures.clustered_embeddings) rides along: ≥0.9 probing 2/16
+    # cells for a working IVF, ≈ nprobe/K for a shuffled cell assignment
+    # — this one would FAIL if the quantizer broke.  Also measured once
+    # per build and cached (offline step, not the timed probe path).
+    crec_file = os.path.join(path, "_recall10_clustered_nprobe2")
+    if not os.path.exists(crec_file):
+        cemb = fixtures.clustered_embeddings(
+            spark, 4096, n_clusters=16).drop("cluster")
+        cpath = path + "_clustered"
+        if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+            similarity.ivf_build(cemb, cpath, n_clusters=16)
+        cqs = [[float(x) for x in r["embedding"]] for r in
+               cemb.orderBy("vec_id").limit(16).collect()]
+        crec = similarity.ivf_recall_at_k(spark, cemb, cpath, cqs,
+                                          k=10, nprobe=2)
+        with open(crec_file, "w") as fh:
+            fh.write(str(round(float(crec), 4)))
+    crec = float(open(crec_file).read())
     res = similarity.ann_topk_ivf_indexed(spark, path, qvec, k=10, nprobe=6)
-    return res.withColumn("recall_at_10", F.lit(rec))
+    return (res.withColumn("recall_at_10", F.lit(rec))
+            .withColumn("recall_clustered_nprobe2", F.lit(crec)))
 
 
 def q_ann_ivf_exhaustive(spark, sf_dir):

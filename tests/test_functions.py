@@ -507,6 +507,35 @@ def test_ivf_recall_at_nprobe_is_measured(spark, tmp_path):
     assert r6 >= 0.6, r6
 
 
+def test_ivf_recall_separates_on_clustered_fixture(spark, tmp_path):
+    """On PLANTED cluster structure the recall metric must distinguish a
+    working IVF from a broken one: correct cell assignment reaches ≥0.9
+    recall@10 probing 2 of 16 cells, while the SAME data with shuffled
+    cells stays near nprobe/K.  (The near-isotropic driver fixture cannot
+    make this separation — there recall ≈ scanned fraction regardless.)"""
+    emb = fixtures.clustered_embeddings(spark, 4096, n_clusters=16) \
+        .drop("cluster").cache()
+    path = str(tmp_path / "civf")
+    similarity.ivf_build(emb, path, n_clusters=16)
+    qs = [[float(x) for x in r["embedding"]] for r in
+          emb.where(F.col("vec_id") % 511 == 3).limit(8).collect()]
+    r2 = similarity.ivf_recall_at_k(spark, emb, path, qs, k=10, nprobe=2)
+    assert r2 >= 0.9, r2
+    # control: identical rows and centroids, cells assigned by hash — a
+    # broken quantizer the old fixture would have graded the same
+    shuf_path = str(tmp_path / "civf_shuffled")
+    idx = spark.read.parquet(path)
+    (idx.withColumn("ivf_cell",
+                    F.pmod(F.xxhash64("vec_id"), F.lit(16)).cast("int"))
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(shuf_path))
+    (spark.read.parquet(f"{path}/_ivf_meta")
+        .write.parquet(f"{shuf_path}/_ivf_meta"))
+    r2_shuf = similarity.ivf_recall_at_k(spark, emb, shuf_path, qs,
+                                         k=10, nprobe=2)
+    assert r2_shuf <= 0.5, r2_shuf
+    assert r2 - r2_shuf >= 0.4, (r2, r2_shuf)
+
+
 def test_streaming_dedup_state_io_is_flat():
     """An already-seen key must be read-only on the state store (no
     state.update), so per-trigger state I/O stays O(batch) however long
