@@ -405,7 +405,7 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
         for batch in it:
             for path_, rg in zip(batch.column(0).to_pylist(),
                                  batch.column(1).to_pylist()):
-                pf = pq.ParquetFile(path_)
+                pf = pq.ParquetFile(path_, pre_buffer=True)
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg],
                                           columns=["doc_id", "tokens",
@@ -477,7 +477,7 @@ def decode_files(spark: SparkSession, path: str,
         for batch in it:
             for path_, rg in zip(batch.column(0).to_pylist(),
                                  batch.column(1).to_pylist()):
-                pf = pq.ParquetFile(path_)
+                pf = pq.ParquetFile(path_, pre_buffer=True)
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg], columns=cols):
                     rb = rb.select(cols)  # parquet yields file order
