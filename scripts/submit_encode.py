@@ -11,9 +11,19 @@ Package and launch:
         --codec auto --shards 4096 --split-threshold 65536
 
 The job is resumable: re-submitting after a failure encodes only shards
-whose manifest is missing (see simdcomp_spark/manifest.py).  On a cluster
-the session comes from spark-submit's conf; local fallback uses
-engine.get_spark().
+not yet recorded as complete.  Two output modes share one resume model:
+
+* plain layout (``--output``): per-shard JSON manifests under _manifest/
+  (simdcomp_spark/manifest.encode_resumable);
+* Iceberg table (``--publish-iceberg DIR``): the table IS the output and
+  the resume state — each batch of ``--batch-shards`` shards commits as
+  one append snapshot whose summary records its shard ids
+  (manifest.encode_resumable_iceberg).  A crashed run commits nothing
+  (orphan data files are invisible to metadata-planned readers) and the
+  re-run encodes exactly the missing shards; no full-table re-export.
+
+On a cluster the session comes from spark-submit's conf; local fallback
+uses engine.get_spark().
 """
 
 from __future__ import annotations
@@ -38,24 +48,34 @@ def main() -> int:
     ap.add_argument("--input", required=True,
                     help="tokens table (parquet dir or local Iceberg "
                          "table dir)")
-    ap.add_argument("--output", required=True, help="encoded table root")
+    ap.add_argument("--output",
+                    help="encoded table root (plain layout with JSON "
+                         "shard manifests); optional when "
+                         "--publish-iceberg is the sink")
     ap.add_argument("--publish-iceberg", metavar="DIR",
-                    help="additionally publish the encoded output as an "
-                         "Iceberg v2 table at DIR (overwrite snapshot if "
-                         "the table exists — this job publishes the FULL "
-                         "table, so re-runs replace rather than duplicate)")
+                    help="encode INTO an Iceberg v2 table at DIR: "
+                         "incremental append snapshots (one per shard "
+                         "batch, shard ids in the snapshot summary), "
+                         "resumable from the snapshot log itself")
+    ap.add_argument("--batch-shards", type=int, default=None,
+                    help="shards per Iceberg commit (default: all missing "
+                         "shards in one snapshot)")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--split-threshold", type=int, default=1 << 16)
     ap.add_argument("--verify", action="store_true",
-                    help="decode + compare against the input (extra pass); "
-                         "with --publish-iceberg, the publish happens only "
-                         "after verification passes")
+                    help="decode + compare against the input (extra "
+                         "pass); mismatches exit 1.  With "
+                         "--publish-iceberg the snapshots are already "
+                         "committed — back out via time travel / "
+                         "overwrite if verification fails")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from simdcomp_spark import engine, iceberg, manifest
 
+    if not args.output and not args.publish_iceberg:
+        raise ValueError("need --output and/or --publish-iceberg")
     if args.publish_iceberg and not _is_local(args.publish_iceberg):
         raise ValueError(
             "--publish-iceberg requires a local path: the self-contained "
@@ -70,40 +90,46 @@ def main() -> int:
         df = iceberg.read_table(spark, args.input)
     else:
         df = spark.read.parquet(args.input)
-    summary = manifest.encode_resumable(
-        df, args.output, codec=args.codec, shards=args.shards,
-        split_threshold=args.split_threshold)
-    metrics = engine.partition_metrics(
-        manifest.read_encoded(spark, args.output))
-    metrics.write.mode("overwrite").parquet(f"{args.output}/_metrics")
-    print(json.dumps(summary))
 
     rc = 0
-    if args.verify:
-        # no dropDuplicates: the staged-write resume protocol guarantees a
-        # duplicate-free table, and verification must DETECT a violation of
-        # that guarantee (decode reassembly would concatenate duplicated
-        # segments and mismatch), not mask it
-        enc = manifest.read_encoded(spark, args.output)
-        bad = engine.verify_roundtrip(df, engine.decode(enc))
-        print(json.dumps({"roundtrip_mismatches": bad}))
-        rc = 1 if bad else 0
+    if args.publish_iceberg:
+        summary = manifest.encode_resumable_iceberg(
+            df, args.publish_iceberg, codec=args.codec, shards=args.shards,
+            split_threshold=args.split_threshold,
+            batch_shards=args.batch_shards)
+        enc = iceberg.read_table(spark, args.publish_iceberg)
+        metrics = engine.partition_metrics(enc)
+        metrics.write.mode("overwrite").parquet(
+            f"{args.publish_iceberg}/_metrics")
+        print(json.dumps(summary))
+        meta = iceberg._load_metadata(args.publish_iceberg)
+        print(json.dumps({
+            "iceberg_snapshot": meta["current-snapshot-id"],
+            "iceberg_table": args.publish_iceberg,
+            "snapshots_committed_this_run": summary["snapshots"]}))
+        if args.verify:
+            bad = engine.verify_roundtrip(df, engine.decode(enc))
+            print(json.dumps({"roundtrip_mismatches": bad}))
+            rc = 1 if bad else rc
 
-    if args.publish_iceberg and rc == 0:
-        # Iceberg in -> Iceberg out, gated on verification when requested:
-        # a snapshot must never become current for data that just failed
-        # its round-trip check.  This job publishes the FULL encoded
-        # table, so an existing table gets an OVERWRITE snapshot (append
-        # would duplicate every row on a re-run); previous snapshots stay
-        # readable via time travel.
-        enc_out = manifest.read_encoded(spark, args.output)
-        if (Path(args.publish_iceberg) / "metadata"
-                / "version-hint.text").is_file():
-            meta = iceberg.overwrite(enc_out, args.publish_iceberg)
-        else:
-            meta = iceberg.export_encoded(enc_out, args.publish_iceberg)
-        print(json.dumps({"iceberg_snapshot": meta["current-snapshot-id"],
-                          "iceberg_table": args.publish_iceberg}))
+    if args.output:
+        summary = manifest.encode_resumable(
+            df, args.output, codec=args.codec, shards=args.shards,
+            split_threshold=args.split_threshold)
+        metrics = engine.partition_metrics(
+            manifest.read_encoded(spark, args.output))
+        metrics.write.mode("overwrite").parquet(f"{args.output}/_metrics")
+        print(json.dumps(summary))
+        if args.verify:
+            # no dropDuplicates: the staged-write resume protocol
+            # guarantees a duplicate-free table, and verification must
+            # DETECT a violation of that guarantee (decode reassembly
+            # would concatenate duplicated segments and mismatch), not
+            # mask it
+            enc = manifest.read_encoded(spark, args.output)
+            bad = engine.verify_roundtrip(df, engine.decode(enc))
+            print(json.dumps({"roundtrip_mismatches": bad}))
+            rc = 1 if bad else rc
 
     return rc
 

@@ -535,7 +535,8 @@ def _part_values_of(path: str, part_cols: list[str],
 def _write_snapshot(spark, table_dir: str, df: DataFrame,
                     prev_meta: dict | None,
                     operation: str = "append",
-                    partition_by: str | None = None) -> dict:
+                    partition_by: str | None = None,
+                    extra_summary: dict[str, str] | None = None) -> dict:
     """Write data files + manifest + manifest list, then COMMIT by
     atomically publishing the new metadata json (see module docstring for
     the protocol).  ``operation`` is "append" (manifest list carries
@@ -674,7 +675,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                 "schema-id": 0,
                 "summary": {"operation": operation,
                             "added-data-files": str(len(stats)),
-                            "added-records": str(added_rows)}}
+                            "added-records": str(added_rows),
+                            **(extra_summary or {})}}
     if prev_meta:
         meta = dict(prev_meta)
         meta.pop("__loaded_version", None)
@@ -744,7 +746,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
 
 
 def export_encoded(df: DataFrame, table_dir: str,
-                   partition_by: str | None = None) -> dict:
+                   partition_by: str | None = None,
+                   extra_summary: dict[str, str] | None = None) -> dict:
     """Publish a DataFrame (typically engine.encode output) as a NEW
     Iceberg v2 table at ``table_dir``.  ``partition_by`` writes an
     identity partition spec on that column (e.g. ``source`` for the
@@ -754,16 +757,22 @@ def export_encoded(df: DataFrame, table_dir: str,
         raise FileExistsError(
             f"{table_dir} is already an Iceberg table — use append()")
     return _write_snapshot(df.sparkSession, table_dir, df, None,
-                           partition_by=partition_by)
+                           partition_by=partition_by,
+                           extra_summary=extra_summary)
 
 
-def append(df: DataFrame, table_dir: str) -> dict:
+def append(df: DataFrame, table_dir: str,
+           extra_summary: dict[str, str] | None = None) -> dict:
     """Commit an append snapshot to an existing table (schema must match).
     Readers of the previous snapshot are unaffected (snapshot isolation);
-    ``read_table(snapshot_id=...)`` time-travels to any snapshot."""
+    ``read_table(snapshot_id=...)`` time-travels to any snapshot.
+    ``extra_summary`` adds application keys to the snapshot summary (the
+    spec's summary map is string->string; e.g. the resumable encoder's
+    shard lineage)."""
     prev = _load_metadata(table_dir)
     _check_same_schema(prev, df, "append")
-    return _write_snapshot(df.sparkSession, table_dir, df, prev)
+    return _write_snapshot(df.sparkSession, table_dir, df, prev,
+                           extra_summary=extra_summary)
 
 
 def _check_same_schema(prev_meta: dict, df: DataFrame, op: str) -> None:

@@ -162,6 +162,64 @@ def test_decode_files_fused_path(spark, unit_df, tmp_path):
     assert got == want
 
 
+def test_encode_resumable_iceberg_crash_resume(spark, unit_df, tmp_path,
+                                               monkeypatch):
+    """Resume state and table state as ONE mechanism: each shard batch is
+    an Iceberg append snapshot carrying its shard ids in the summary.  A
+    run that crashes AFTER writing data files but BEFORE its metadata
+    publish commits nothing — the re-run encodes exactly the missing
+    shards and the final table round-trips with no duplicate rows (the
+    crashed attempt's files are orphans no manifest references)."""
+    from pathlib import Path
+
+    from simdcomp_spark import iceberg
+    table = str(tmp_path / "enc_iceberg")
+
+    # first commit (shards 0,1) succeeds: 2 avro writes (manifest +
+    # manifest list); the SECOND batch dies mid-publish on write 3
+    orig = iceberg._avro_write
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated crash before commit")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(iceberg, "_avro_write", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        manifest.encode_resumable_iceberg(unit_df, table, codec="bitpack",
+                                          shards=4, batch_shards=2)
+    monkeypatch.setattr(iceberg, "_avro_write", orig)
+
+    assert manifest.completed_shards_iceberg(table) == {0, 1}
+    # orphan data of the crashed batch exists on disk but is invisible
+    n_live = iceberg.read_table(spark, table).count()
+    snap_dirs = list((Path(table) / "data").glob("snap-*"))
+    assert len(snap_dirs) == 2           # one committed + one orphan
+
+    s2 = manifest.encode_resumable_iceberg(unit_df, table, codec="bitpack",
+                                           shards=4, batch_shards=2)
+    assert s2["skipped"] == 2 and s2["encoded"] == 2
+    assert len(s2["snapshots"]) == 1
+    assert manifest.completed_shards_iceberg(table) == {0, 1, 2, 3}
+    assert iceberg.read_table(spark, table).count() > n_live
+
+    # idempotent: nothing left to do
+    s3 = manifest.encode_resumable_iceberg(unit_df, table, codec="bitpack",
+                                           shards=4)
+    assert s3["encoded"] == 0 and s3["skipped"] == 4
+
+    enc = iceberg.read_table(spark, table)
+    assert enc.groupBy("doc_id", "seg_id").count() \
+        .where(F.col("count") > 1).count() == 0
+    dec = engine.decode(enc.drop("shard"), reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+    # a different shard count against the same table is a loud error
+    with pytest.raises(ValueError, match="different shard count"):
+        manifest.encode_resumable_iceberg(unit_df, table, shards=2)
+
+
 def test_rowgroup_units_many_small_files_no_driver_io(spark, unit_df,
                                                       tmp_path, monkeypatch):
     """At 100 TB the fused paths face 10^5-10^6 files; work-unit discovery
