@@ -261,6 +261,11 @@ def run_bench() -> dict:
             out["scaling_pairs"] = {
                 f"{c['from_cores']}->{c['to_cores']}": c["scaling_efficiency"]
                 for c in camps}
+            hc = {f"{c['from_cores']}->{c['to_cores']}":
+                  c["host_capacity_efficiency"] for c in camps
+                  if "host_capacity_efficiency" in c}
+            if hc:  # same-window pure-compute control (see BENCH.md)
+                out["scaling_host_capacity"] = hc
         except Exception:
             pass
     return out

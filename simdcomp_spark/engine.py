@@ -365,7 +365,8 @@ def _rowgroup_units(spark: SparkSession, path: str,
              .select("path",
                      F.explode(F.sequence(F.lit(0), F.col("n") - 1)
                                ).alias("rg")))
-    return units.repartition(par * 4)
+    factor = int(os.environ.get("SIMDCOMP_UNIT_FACTOR", "4"))
+    return units.repartition(par * factor)
 
 
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
