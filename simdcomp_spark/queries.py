@@ -869,6 +869,40 @@ def q_iceberg_prune(spark, sf_dir):
             .select("o_orderkey", "o_custkey", "o_totalprice"))
 
 
+def q_iceberg_partition_prune(spark, sf_dir):
+    """Identity partition spec end-to-end: customer published PARTITIONED
+    BY c_mktsegment (iceberg.export_encoded(partition_by=...)), manifests
+    carry the partition value per file and — asserted here — NO column
+    bounds for the partition column, so the file pruning for the segment
+    filter can only come from the partition SPEC.  Raises unless files
+    were actually dropped, so the gate cannot pass on a full scan."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icebergpart")
+    table = os.path.join(base, "table")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    meta = iceberg.export_encoded(cust, table, partition_by="c_mktsegment")
+    seg_fid = next(f["id"] for f in meta["schemas"][0]["fields"]
+                   if f["name"] == "c_mktsegment")
+    live = iceberg.data_files(table)
+    for d in live:
+        if seg_fid in {e["key"] for e in (d.get("lower_bounds") or [])}:
+            raise AssertionError(
+                "partition column carries manifest bounds — the prune "
+                "below would not prove spec-level pruning")
+    pruned = iceberg.prune_files(table, "c_mktsegment",
+                                 "BUILDING", "BUILDING")
+    if not 0 < len(pruned) < len(live):
+        raise AssertionError(
+            f"partition spec pruned {len(live)}->{len(pruned)} files; "
+            "expected a strict reduction")
+    return (iceberg.read_table(
+                spark, table,
+                between=("c_mktsegment", "BUILDING", "BUILDING"))
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact dedup (applyInPandasWithState, content-hash
     keyed marker state) driven end-to-end: phase 1 streams the documents
@@ -999,6 +1033,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "iceberg_roundtrip": q_iceberg_roundtrip,
     "iceberg_prune": q_iceberg_prune,
+    "iceberg_partition_prune": q_iceberg_partition_prune,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
     "streaming_window": q_streaming_window,
@@ -1292,6 +1327,10 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey) // 4 FROM orders)
                      AND (SELECT (2 * MAX(o_orderkey)) // 5 FROM orders)
+""",
+    "iceberg_partition_prune": """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
 """,
     "iceberg_roundtrip": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
