@@ -53,13 +53,14 @@ def main() -> int:
                          "shard manifests); optional when "
                          "--publish-iceberg is the sink")
     ap.add_argument("--publish-iceberg", metavar="DIR",
-                    help="encode INTO an Iceberg v2 table at DIR: "
-                         "incremental append snapshots (one per shard "
-                         "batch, shard ids in the snapshot summary), "
-                         "resumable from the snapshot log itself")
-    ap.add_argument("--batch-shards", type=int, default=None,
-                    help="shards per Iceberg commit (default: all missing "
-                         "shards in one snapshot)")
+                    help="encode INTO an Iceberg v2 table at DIR via the "
+                         "FUSED ingest: incremental append snapshots (one "
+                         "per input-file batch, the batch's input files "
+                         "recorded in the snapshot summary), resumable "
+                         "from the snapshot log itself")
+    ap.add_argument("--batch-files", type=int, default=None,
+                    help="input files per Iceberg commit (default: all "
+                         "missing files in one snapshot)")
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--split-threshold", type=int, default=1 << 16)
@@ -93,10 +94,10 @@ def main() -> int:
 
     rc = 0
     if args.publish_iceberg:
-        summary = manifest.encode_resumable_iceberg(
-            df, args.publish_iceberg, codec=args.codec, shards=args.shards,
+        summary = manifest.encode_files_resumable_iceberg(
+            spark, args.input, args.publish_iceberg, codec=args.codec,
             split_threshold=args.split_threshold,
-            batch_shards=args.batch_shards)
+            batch_files=args.batch_files)
         enc = iceberg.read_table(spark, args.publish_iceberg)
         metrics = engine.partition_metrics(enc)
         metrics.write.mode("overwrite").parquet(

@@ -328,7 +328,8 @@ def distributed_file_map(spark: SparkSession, files: list[str], fn,
 
 
 def _rowgroup_units(spark: SparkSession, path: str,
-                    snapshot_id: int | None = None) -> DataFrame:
+                    snapshot_id: int | None = None,
+                    files: list[str] | None = None) -> DataFrame:
     """(file, row_group) work units for the fused scan paths — one Spark
     task per parquet row group, so task size is bounded by the writer's
     row-group size regardless of file-count skew.  Input may be a plain
@@ -343,8 +344,10 @@ def _rowgroup_units(spark: SparkSession, path: str,
     every unit plus one Spark partition per row group (10^6 tasks); now
     the counts stay in the plan, ``explode(sequence(...))`` expands them
     executor-side, and partitions are capped at 4× default parallelism
-    (multiple units per task, round-robin balanced)."""
-    files = _input_files(path, snapshot_id)
+    (multiple units per task, round-robin balanced).  ``files`` restricts
+    the scan to an explicit subset (the resumable ingest's batch unit)."""
+    if files is None:
+        files = _input_files(path, snapshot_id)
     if not files:
         return spark.createDataFrame([], "path string, rg int")
     par = max(int(spark.sparkContext.defaultParallelism), 1)
@@ -372,7 +375,8 @@ def _rowgroup_units(spark: SparkSession, path: str,
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                  split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
                  batch_rows: int = 2048,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 files: list[str] | None = None) -> DataFrame:
     """Fused scan→encode: Spark schedules one task per parquet row-group,
     and the worker reads it with pyarrow directly — the token buffers never
     cross the JVM row format at all.
@@ -395,7 +399,7 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     8 and 32 cores on this host; 1024 regresses)."""
     import pyarrow.parquet as pq
 
-    fdf = _rowgroup_units(spark, path, snapshot_id)
+    fdf = _rowgroup_units(spark, path, snapshot_id, files)
 
     def fn(it):
         from pyspark import TaskContext

@@ -227,3 +227,83 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
     summary["tokens"] = int(agg["t"] or 0)
     summary["payload_bytes"] = int(agg["p"] or 0)
     return summary
+
+
+def completed_input_files_iceberg(table_dir: str) -> set[str]:
+    """Input files (relative paths) already ingested into the Iceberg
+    table, read from the ``simdcomp-input-files`` snapshot-summary keys."""
+    import json as _json
+
+    from . import iceberg
+    try:
+        meta = iceberg._load_metadata(table_dir)
+    except FileNotFoundError:
+        return set()
+    done: set[str] = set()
+    for s in meta["snapshots"]:
+        done |= set(_json.loads(
+            s.get("summary", {}).get("simdcomp-input-files", "[]")))
+    return done
+
+
+def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
+                                   codec: str = "auto",
+                                   split_threshold: int =
+                                   engine.DEFAULT_SPLIT_THRESHOLD,
+                                   batch_files: int | None = None,
+                                   snapshot_id: int | None = None) -> dict:
+    """FUSED resumable ingest (the 100 TB path): INPUT FILES are the
+    resume unit, and the Iceberg snapshot log is the resume state.
+
+    Each batch of ``batch_files`` input parquet files is encoded via the
+    fused :func:`engine.encode_files` (pyarrow in-worker, no JVM row
+    format) and committed as ONE append snapshot whose summary records
+    the batch's input files (paths relative to ``input_path``, so the
+    summary stays bounded by the batch size — size the batch, not the
+    table).  A crashed run commits nothing; the re-run ingests exactly
+    the unrecorded input files.  This is the natural resume unit for
+    ingest: the input's file listing is already the planning primitive,
+    and no doc-hash shuffle is needed at all (the whole pipeline stays
+    scan-aligned and narrow).  Compared with
+    :func:`encode_resumable_iceberg` (doc-hash shards, scan-based
+    encode), this path measured ~5-10x the throughput and is the one to
+    use when the input is static files; use the shard variant when the
+    input is a DataFrame with no stable file identity."""
+    import json as _json
+
+    from . import iceberg
+    all_files = engine._input_files(input_path, snapshot_id)
+    rel = {f: os.path.relpath(f, input_path) for f in all_files}
+    done = completed_input_files_iceberg(table_dir)
+    stale = done - set(rel.values())
+    if stale:
+        raise ValueError(
+            f"table {table_dir} records {len(stale)} ingested input "
+            f"files absent from {input_path} (e.g. {sorted(stale)[:3]}) — "
+            "wrong input path, or the input was rewritten under the "
+            "table; refusing to mix lineages")
+    todo = [f for f in all_files if rel[f] not in done]
+    summary = {"input_files": len(all_files), "skipped": len(done),
+               "encoded_files": 0, "rows": 0, "snapshots": []}
+    if not todo:
+        return summary
+
+    step = batch_files or len(todo)
+    for i in range(0, len(todo), step):
+        batch = todo[i:i + step]
+        enc = engine.encode_files(spark, input_path, codec=codec,
+                                  split_threshold=split_threshold,
+                                  files=batch)
+        extra = {"simdcomp-input-files":
+                 _json.dumps([rel[f] for f in batch]),
+                 "simdcomp-input-path": str(input_path)}
+        if (Path(table_dir) / "metadata" / "version-hint.text").is_file():
+            meta = iceberg.append(enc, table_dir, extra_summary=extra)
+        else:
+            meta = iceberg.export_encoded(enc, table_dir,
+                                          extra_summary=extra)
+        snap = meta["snapshots"][-1]
+        summary["encoded_files"] += len(batch)
+        summary["rows"] += int(snap["summary"]["added-records"])
+        summary["snapshots"].append(snap["snapshot-id"])
+    return summary

@@ -220,6 +220,56 @@ def test_encode_resumable_iceberg_crash_resume(spark, unit_df, tmp_path,
         manifest.encode_resumable_iceberg(unit_df, table, shards=2)
 
 
+def test_encode_files_resumable_iceberg_crash_resume(spark, unit_df,
+                                                     tmp_path, monkeypatch):
+    """Fused resumable ingest: INPUT FILES are the resume unit.  First
+    batch commits; the second dies mid-publish; the re-run ingests
+    exactly the unrecorded files and the table round-trips clean."""
+    from pathlib import Path
+
+    from simdcomp_spark import iceberg
+    src = str(tmp_path / "tok")
+    unit_df.repartition(6).write.parquet(src)
+    n_files = len(list(Path(src).glob("*.parquet")))
+    assert n_files == 6
+    table = str(tmp_path / "tbl")
+
+    orig = iceberg._avro_write
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated crash before commit")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(iceberg, "_avro_write", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        manifest.encode_files_resumable_iceberg(
+            spark, src, table, codec="bitpack", batch_files=3)
+    monkeypatch.setattr(iceberg, "_avro_write", orig)
+
+    assert len(manifest.completed_input_files_iceberg(table)) == 3
+    s2 = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack", batch_files=3)
+    assert s2["skipped"] == 3 and s2["encoded_files"] == 3
+    s3 = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack")
+    assert s3["encoded_files"] == 0 and s3["skipped"] == 6
+
+    enc = iceberg.read_table(spark, table)
+    assert enc.groupBy("doc_id", "seg_id").count() \
+        .where(F.col("count") > 1).count() == 0
+    dec = engine.decode(enc, reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
+
+    # pointing the table at a different input is a loud lineage error
+    other = str(tmp_path / "tok2")
+    unit_df.limit(5).repartition(1).write.parquet(other)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        manifest.encode_files_resumable_iceberg(spark, other, table)
+
+
 def test_rowgroup_units_many_small_files_no_driver_io(spark, unit_df,
                                                       tmp_path, monkeypatch):
     """At 100 TB the fused paths face 10^5-10^6 files; work-unit discovery
