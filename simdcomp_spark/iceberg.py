@@ -499,6 +499,14 @@ def _current_version(table_dir: str) -> int:
         v += 1
 
 
+
+def _current_schema(meta: dict) -> dict:
+    """The table's CURRENT schema (schema evolution appends to `schemas`
+    and moves `current-schema-id`; index 0 is only the original)."""
+    sid = meta.get("current-schema-id", 0)
+    return next(s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+
+
 def _load_metadata(table_dir: str) -> dict:
     v = _current_version(table_dir)
     meta = json.loads(
@@ -559,7 +567,7 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     seq = (prev_meta.get("last-sequence-number", 0) + 1) if prev_meta else 1
     now_ms = time.time_ns() // 1_000_000
 
-    table_schema = (prev_meta["schemas"][0] if prev_meta
+    table_schema = (_current_schema(prev_meta) if prev_meta
                     else _iceberg_schema_of(df))
     by_name = {f["name"]: f for f in table_schema["fields"]}
 
@@ -714,17 +722,26 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    # 5. THE COMMIT POINT: publish vN.metadata.json atomically with
-    # NO-OVERWRITE semantics (write complete content to a tmp file, then
-    # os.link — link fails with EEXIST instead of clobbering).  Two
-    # writers based on the same parent compute the same N; exactly one
-    # link succeeds, the loser fails loudly and must re-read + retry —
-    # and the retry CAN succeed, because _current_version probes past the
-    # hint and sees the winner's vN (no permanent wedge if the winner
-    # crashes before updating the hint).  Readers never see a torn vN:
-    # the file appears only with complete content.
+    # 5. the commit point (see _publish_metadata)
+    _publish_metadata(mdir, meta, version, snap_id)
+    return meta
+
+
+def _publish_metadata(mdir: Path, meta: dict, version: int,
+                      uniquifier) -> None:
+    """THE COMMIT POINT: publish vN.metadata.json atomically with
+    NO-OVERWRITE semantics (write complete content to a tmp file, then
+    os.link — link fails with EEXIST instead of clobbering).  Two
+    writers based on the same parent compute the same N; exactly one
+    link succeeds, the loser fails loudly and must re-read + retry —
+    and the retry CAN succeed, because _current_version probes past the
+    hint and sees the winner's vN (no permanent wedge if the winner
+    crashes before updating the hint).  Readers never see a torn vN:
+    the file appears only with complete content.  The hint update after
+    is advisory only (a crash there, or an out-of-order update by a
+    slower earlier writer, is healed by the reader-side upward probe)."""
     vpath = mdir / f"v{version}.metadata.json"
-    vtmp = mdir / f".v{version}.{snap_id}.tmp"
+    vtmp = mdir / f".v{version}.{uniquifier}.tmp"
     vtmp.write_text(json.dumps(meta))
     try:
         os.link(vtmp, vpath)
@@ -735,14 +752,9 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
         ) from None
     finally:
         vtmp.unlink(missing_ok=True)
-
-    # 6. advisory hint update (fast-path only; a crash here, or an
-    # out-of-order update by a slower earlier writer, is healed by the
-    # reader-side upward probe in _current_version)
-    tmp = mdir / f".version-hint.{snap_id}.tmp"
+    tmp = mdir / f".version-hint.{uniquifier}.tmp"
     tmp.write_text(str(version))
     os.replace(tmp, mdir / "version-hint.text")
-    return meta
 
 
 def export_encoded(df: DataFrame, table_dir: str,
@@ -775,6 +787,44 @@ def append(df: DataFrame, table_dir: str,
                            extra_summary=extra_summary)
 
 
+def add_column(table_dir: str, name: str, ftype: str) -> dict:
+    """Schema evolution: ADD an optional column (metadata-only commit).
+
+    Appends a new schema (schema-id = max+1) with the column assigned the
+    next field id, moves current-schema-id, and publishes through the
+    same atomic no-overwrite vN protocol as data commits — concurrent
+    writers conflict loudly, readers see old-or-new.  Existing data files
+    are untouched: read_table projects the CURRENT schema by name, so old
+    files surface the new column as NULL (Iceberg's add-column
+    semantics).  Scalar types only; dropping/renaming/retyping columns is
+    intentionally unsupported (those need field-id-based projection to be
+    safe, which this name-based reader does not do — and it REFUSES
+    rather than misreads: only additions are possible here)."""
+    if ftype not in ("string", "int", "long", "double", "float",
+                     "boolean", "binary"):
+        raise NotImplementedError(
+            f"add_column supports scalar types, not {ftype!r}")
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    cur = _current_schema(meta)
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    new_id = meta["last-column-id"] + 1
+    new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    new_schema = {"type": "struct", "schema-id": new_sid,
+                  "fields": cur["fields"] + [
+                      {"id": new_id, "name": name, "required": False,
+                       "type": ftype}]}
+    meta = dict(meta)
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = new_id
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"addcol-{new_sid}")
+    return meta
+
+
 def _check_same_schema(prev_meta: dict, df: DataFrame, op: str) -> None:
     """Column NAMES AND TYPES must match the table schema — a name-only
     check would let an append commit e.g. int64 files into an int32
@@ -787,7 +837,7 @@ def _check_same_schema(prev_meta: dict, df: DataFrame, op: str) -> None:
                 t = f"list<{t['element']}>"
             out.append((f["name"], t))
         return out
-    want = norm(prev_meta["schemas"][0]["fields"])
+    want = norm(_current_schema(prev_meta)["fields"])
     got = norm(_iceberg_schema_of(df)["fields"])
     if want != got:
         raise ValueError(
@@ -815,7 +865,7 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
     this is the difference between scanning the table and scanning the
     few files a range predicate touches."""
     meta = _load_metadata(table_dir)
-    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    fields = {f["name"]: f for f in _current_schema(meta)["fields"]}
     if col not in fields:
         raise KeyError(f"column {col!r} not in table schema "
                        f"({sorted(fields)})")
@@ -899,7 +949,10 @@ def read_table(spark: SparkSession, table_dir: str,
     paths = [d["file_path"] for d in files]
     if not paths:
         return spark.createDataFrame([], _spark_ddl(table_dir))
-    df = spark.read.parquet(*paths)
+    # explicit CURRENT schema: files written before an add_column lack
+    # the new column and must surface it as NULL (name-based projection),
+    # not fail or silently drop it on schema inference order
+    df = spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
     if between is not None:
         col, lo, hi = between
         if lo is not None:
@@ -920,7 +973,7 @@ def _spark_ddl(table_dir: str) -> str:
             return f"array<{back.get(t['element'], t['element'])}>"
         return back.get(t, t)
 
-    fields = _load_metadata(table_dir)["schemas"][0]["fields"]
+    fields = _current_schema(_load_metadata(table_dir))["fields"]
     return ", ".join(f"{f['name']} {one(f['type'])}" for f in fields)
 
 

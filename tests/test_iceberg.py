@@ -466,6 +466,44 @@ def test_partition_spec_identity_on_source(spark, tmp_path):
         iceberg._write_snapshot(spark, table, df, meta2)
 
 
+def test_schema_evolution_add_column(spark, unit_df, tmp_path):
+    """add_column is a metadata-only commit: a new schema-id becomes
+    current, old data files surface the column as NULL (name-based
+    projection against the CURRENT schema), appends must carry the new
+    schema, and the commit goes through the same atomic vN protocol."""
+    table = str(tmp_path / "evo")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    iceberg.export_encoded(unit_df.select(*cols), table)
+    n1 = iceberg.read_table(spark, table).count()
+    v_before = iceberg._current_version(table)
+
+    meta = iceberg.add_column(table, "lang", "string")
+    assert meta["current-schema-id"] == 1
+    assert iceberg._current_version(table) == v_before + 1
+    df = iceberg.read_table(spark, table)
+    assert "lang" in df.columns
+    assert df.where(F.col("lang").isNull()).count() == n1   # old files
+
+    wide = unit_df.select(*cols).limit(7).withColumn("lang", F.lit("en"))
+    iceberg.append(wide, table)
+    df2 = iceberg.read_table(spark, table)
+    assert df2.where(F.col("lang") == "en").count() == 7
+    assert df2.count() == n1 + 7
+    # an old-schema append is refused (the table schema is the new one)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.append(unit_df.select(*cols).limit(3), table)
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg.add_column(table, "lang", "string")
+    with pytest.raises(NotImplementedError, match="scalar"):
+        iceberg.add_column(table, "emb", "list<float>")
+    # pruning on the evolved column: new files have bounds, old files
+    # lack them and are conservatively kept
+    pruned = iceberg.prune_files(table, "lang", "en", "en")
+    assert len(pruned) == len(iceberg.data_files(table))
+    zz = iceberg.prune_files(table, "lang", "zz", "zz")
+    assert len(zz) < len(iceberg.data_files(table))
+
+
 def test_delete_manifest_rejected_loudly(spark, unit_df, tmp_path):
     """A v2 table holding row-level deletes (delete manifest, content=1)
     must be REFUSED: silently ignoring it would resurrect deleted rows."""
