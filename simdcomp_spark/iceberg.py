@@ -988,3 +988,100 @@ def snapshots(table_dir: str) -> list[dict]:
              "added-records": s.get("summary", {}).get("added-records"),
              "is-current": s["snapshot-id"] == meta["current-snapshot-id"]}
             for s in meta["snapshots"]]
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: snapshot expiry + orphan-file cleanup
+# ---------------------------------------------------------------------------
+
+_LINEAGE_KEYS = ("simdcomp-shards", "simdcomp-input-files")
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Metadata commit that drops all but the last ``keep_last`` snapshots
+    from the log (standard Iceberg expire semantics: time travel to the
+    expired snapshots ends; readers of the CURRENT snapshot are
+    unaffected; physical bytes are reclaimed separately by
+    :func:`remove_orphan_files`).
+
+    The resumable encoders record their lineage (shard ids / input files)
+    in snapshot summaries — expiring those snapshots must NOT forget the
+    work: expired summaries' lineage keys are folded into the table
+    ``properties`` first, and the completed_* readers in manifest.py union
+    properties with the live summaries, so a resume after expiry is still
+    a no-op."""
+    import json as _json
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot "
+                         "can never be expired)")
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "retained": len(snaps)}
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    if meta["current-snapshot-id"] not in {s["snapshot-id"] for s in kept}:
+        raise ValueError("refusing to expire the current snapshot")
+    meta = dict(meta)
+    props = dict(meta.get("properties", {}))
+    for key in _LINEAGE_KEYS:
+        merged = set(_json.loads(props.get(f"{key}-expired", "[]")))
+        for s in expired:
+            v = s.get("summary", {}).get(key, "")
+            if key == "simdcomp-shards":
+                merged |= {x for x in v.split(",") if x}
+            elif v:
+                merged |= set(_json.loads(v))
+        if merged:
+            props[f"{key}-expired"] = _json.dumps(sorted(merged))
+    meta["properties"] = props
+    meta["snapshots"] = kept
+    keep_ids = {s["snapshot-id"] for s in kept}
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] in keep_ids]
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"expire-{len(expired)}")
+    return {"expired": len(expired), "retained": len(kept)}
+
+
+def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
+                        dry_run: bool = False) -> list[str]:
+    """Delete data files no snapshot references (crashed-run leftovers,
+    files of expired snapshots).  Walks every RETAINED snapshot's
+    manifests directly — including DELETED-status entries, which still
+    pin their files for time travel — and removes the complement.
+
+    ``older_than_s`` guards the race with an in-flight writer: a
+    concurrent commit's data files exist before its metadata does and
+    must not be swept; the default only removes files older than a day
+    (set 0 only when no writer can be active).  Returns the removed (or,
+    with dry_run, would-be-removed) paths."""
+    meta = _load_metadata(table_dir)
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        _, manifests = _avro_read(s["manifest-list"])
+        for m in manifests:
+            _, entries = _avro_read(m["manifest_path"])
+            referenced |= {e["data_file"]["file_path"] for e in entries}
+    now = time.time()
+    out = []
+    for p in sorted((Path(table_dir) / "data").rglob("*.parquet")):
+        sp = str(p)
+        if sp in referenced:
+            continue
+        try:
+            if now - p.stat().st_mtime < older_than_s:
+                continue
+            if not dry_run:
+                p.unlink()
+            out.append(sp)
+        except OSError:
+            continue
+    if not dry_run:  # drop now-empty per-snapshot dirs (+ _SUCCESS marks)
+        for d in sorted((Path(table_dir) / "data").glob("snap-*"),
+                        reverse=True):
+            if not any(d.rglob("*.parquet")):
+                import shutil
+                shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -161,6 +161,11 @@ def completed_shards_iceberg(table_dir: str) -> set[int]:
     for s in meta["snapshots"]:
         ids = s.get("summary", {}).get("simdcomp-shards", "")
         done |= {int(x) for x in ids.split(",") if x}
+    # lineage of EXPIRED snapshots survives in table properties
+    # (iceberg.expire_snapshots folds it there before dropping them)
+    expired = meta.get("properties", {}).get("simdcomp-shards-expired")
+    if expired:
+        done |= {int(x) for x in json.loads(expired)}
     return done
 
 
@@ -243,6 +248,9 @@ def completed_input_files_iceberg(table_dir: str) -> set[str]:
     for s in meta["snapshots"]:
         done |= set(_json.loads(
             s.get("summary", {}).get("simdcomp-input-files", "[]")))
+    # lineage of EXPIRED snapshots survives in table properties
+    done |= set(_json.loads(meta.get("properties", {}).get(
+        "simdcomp-input-files-expired", "[]")))
     return done
 
 

@@ -270,6 +270,62 @@ def test_encode_files_resumable_iceberg_crash_resume(spark, unit_df,
         manifest.encode_files_resumable_iceberg(spark, other, table)
 
 
+def test_expire_snapshots_and_orphan_cleanup_preserve_resume(
+        spark, unit_df, tmp_path):
+    """Maintenance must not corrupt either the data or the resume state:
+    expiring snapshots keeps the current table intact (append manifest
+    lists carry prior manifests forward), folds the expired snapshots'
+    ingest lineage into table properties so a resume is STILL a no-op,
+    and remove_orphan_files sweeps only unreferenced bytes."""
+    import shutil
+    from pathlib import Path
+
+    from simdcomp_spark import iceberg
+    src = str(tmp_path / "tok")
+    unit_df.repartition(6).write.parquet(src)
+    table = str(tmp_path / "tbl")
+    s = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack", batch_files=2)
+    assert len(s["snapshots"]) == 3
+    n = iceberg.read_table(spark, table).count()
+    old_snap = s["snapshots"][0]
+
+    r = iceberg.expire_snapshots(table, keep_last=1)
+    assert r == {"expired": 2, "retained": 1}
+    assert iceberg.read_table(spark, table).count() == n      # data intact
+    with pytest.raises(ValueError, match="not found"):        # travel ends
+        iceberg.read_table(spark, table, snapshot_id=old_snap)
+    # resume after expiry is still a no-op (lineage moved to properties)
+    s2 = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack")
+    assert s2["encoded_files"] == 0 and s2["skipped"] == 6
+
+    # orphan sweep: plant a crashed-run leftover, keep live files
+    live = [d["file_path"] for d in iceberg.data_files(table)]
+    orphan_dir = Path(table) / "data" / "snap-9999"
+    orphan_dir.mkdir()
+    orphan = str(orphan_dir / "leftover.parquet")
+    shutil.copy(live[0], orphan)
+    assert iceberg.remove_orphan_files(table, older_than_s=0,
+                                       dry_run=True) == [orphan]
+    assert Path(orphan).exists()                               # dry run
+    # age guard: a fresh file survives the default threshold
+    assert iceberg.remove_orphan_files(table) == []
+    assert iceberg.remove_orphan_files(table, older_than_s=0) == [orphan]
+    assert not orphan_dir.exists()
+    assert iceberg.read_table(spark, table).count() == n
+    assert all(Path(f).exists() for f in live)
+
+    # the shard-variant lineage survives expiry the same way
+    table2 = str(tmp_path / "tbl2")
+    manifest.encode_resumable_iceberg(unit_df, table2, codec="bitpack",
+                                      shards=4, batch_shards=2)
+    iceberg.expire_snapshots(table2, keep_last=1)
+    assert manifest.completed_shards_iceberg(table2) == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="keep_last"):
+        iceberg.expire_snapshots(table2, keep_last=0)
+
+
 def test_rowgroup_units_many_small_files_no_driver_io(spark, unit_df,
                                                       tmp_path, monkeypatch):
     """At 100 TB the fused paths face 10^5-10^6 files; work-unit discovery
