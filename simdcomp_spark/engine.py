@@ -461,7 +461,8 @@ def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
 
 def decode_files(spark: SparkSession, path: str,
                  batch_rows: int = 2048,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 files: list[str] | None = None) -> DataFrame:
     """Fused scan→decode, symmetric to :func:`encode_files`: one task per
     parquet row group of an ENCODED table, read with pyarrow inside the
     worker — the packed binary columns never enter the JVM row format.
@@ -471,10 +472,13 @@ def decode_files(spark: SparkSession, path: str,
     columnar→Arrow conversion removes the decode side's dominant fixed cost
     (the encode side's measurement in BENCH.md applies symmetrically).
     Returns (doc_id, source, seg_id, tokens) segments; reassemble split rows
-    with the ``decode``-style groupBy if the table was length-split."""
+    with the ``decode``-style groupBy if the table was length-split.
+    ``files`` restricts the decode to an explicit subset — e.g. the
+    output of ``iceberg.prune_files`` for a metadata-planned range
+    decode that never touches the other files."""
     import pyarrow.parquet as pq
 
-    fdf = _rowgroup_units(spark, path, snapshot_id)
+    fdf = _rowgroup_units(spark, path, snapshot_id, files)
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
 

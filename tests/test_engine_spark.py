@@ -270,6 +270,25 @@ def test_encode_files_resumable_iceberg_crash_resume(spark, unit_df,
         manifest.encode_files_resumable_iceberg(spark, other, table)
 
 
+def test_decode_files_pruned_subset(spark, unit_df, tmp_path):
+    """prune_files → decode_files(files=...): a metadata-planned range
+    decode touches ONLY the pruned files and round-trips their rows."""
+    from simdcomp_spark import iceberg
+    table = str(tmp_path / "tbl")
+    enc = engine.encode(unit_df.orderBy("doc_id").repartitionByRange(
+        4, "doc_id"), codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    files = iceberg.data_files(table)
+    subset = [d["file_path"] for d in files[:2]]
+    dec = engine.decode_files(spark, table, files=subset)
+    import pyarrow.parquet as pq
+    want = sum(pq.ParquetFile(f).metadata.num_rows for f in subset)
+    assert dec.count() == want
+    got = {r["doc_id"]: r["tokens"] for r in dec.collect()}
+    truth = {r["doc_id"]: r["tokens"] for r in unit_df.collect()}
+    assert got and all(truth[k] == v for k, v in got.items())
+
+
 def test_expire_snapshots_and_orphan_cleanup_preserve_resume(
         spark, unit_df, tmp_path):
     """Maintenance must not corrupt either the data or the resume state:
