@@ -16,11 +16,14 @@ not yet recorded as complete.  Two output modes share one resume model:
 * plain layout (``--output``): per-shard JSON manifests under _manifest/
   (simdcomp_spark/manifest.encode_resumable);
 * Iceberg table (``--publish-iceberg DIR``): the table IS the output and
-  the resume state — each batch of ``--batch-shards`` shards commits as
-  one append snapshot whose summary records its shard ids
-  (manifest.encode_resumable_iceberg).  A crashed run commits nothing
-  (orphan data files are invisible to metadata-planned readers) and the
-  re-run encodes exactly the missing shards; no full-table re-export.
+  the resume state — each batch of ``--batch-files`` INPUT FILES commits
+  as one append snapshot whose summary records those files
+  (manifest.encode_files_resumable_iceberg, the fused ingest).  A
+  crashed run commits nothing (orphan data files are invisible to
+  metadata-planned readers) and the re-run encodes exactly the missing
+  files; no full-table re-export.  With ``--verify``, each batch is
+  round-tripped right after its commit and ROLLED BACK on mismatch, so
+  corrupt data never stays current.
 
 On a cluster the session comes from spark-submit's conf; local fallback
 uses engine.get_spark().
@@ -67,9 +70,9 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="decode + compare against the input (extra "
                          "pass); mismatches exit 1.  With "
-                         "--publish-iceberg the snapshots are already "
-                         "committed — back out via time travel / "
-                         "overwrite if verification fails")
+                         "--publish-iceberg each batch is verified right "
+                         "after its commit and ROLLED BACK on mismatch "
+                         "(the corrupt snapshot never stays current)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -94,10 +97,17 @@ def main() -> int:
 
     rc = 0
     if args.publish_iceberg:
-        summary = manifest.encode_files_resumable_iceberg(
-            spark, args.input, args.publish_iceberg, codec=args.codec,
-            split_threshold=args.split_threshold,
-            batch_files=args.batch_files)
+        try:
+            summary = manifest.encode_files_resumable_iceberg(
+                spark, args.input, args.publish_iceberg, codec=args.codec,
+                split_threshold=args.split_threshold,
+                batch_files=args.batch_files, verify=args.verify)
+        except RuntimeError as e:
+            if "rolled back" not in str(e):
+                raise
+            print(json.dumps({"verify_failed": str(e),
+                              "rolled_back": True}))
+            return 1
         enc = iceberg.read_table(spark, args.publish_iceberg)
         metrics = engine.partition_metrics(enc)
         metrics.write.mode("overwrite").parquet(
@@ -107,11 +117,8 @@ def main() -> int:
         print(json.dumps({
             "iceberg_snapshot": meta["current-snapshot-id"],
             "iceberg_table": args.publish_iceberg,
+            "verified_per_batch": bool(args.verify),
             "snapshots_committed_this_run": summary["snapshots"]}))
-        if args.verify:
-            bad = engine.verify_roundtrip(df, engine.decode(enc))
-            print(json.dumps({"roundtrip_mismatches": bad}))
-            rc = 1 if bad else rc
 
     if args.output:
         summary = manifest.encode_resumable(

@@ -190,12 +190,15 @@ def clustered_embeddings(spark, n_vecs: int = 4096, dim: int = 32,
             ids = pdf["id"].to_numpy()
             if ids.size == 0:
                 continue
-            # per-row counter-based rng → identical vectors under any
-            # partitioning (Philox keyed by seed, counter-offset by row id)
+            # per-row KEYED rng → identical vectors under any partitioning
+            # AND independent streams: Philox keyed by (seed, row id).  A
+            # counter offset of +1 per row would make adjacent rows share
+            # most of their stream (the counter advances ~1 block per 4
+            # draws), i.e. shifted copies of the same noise
             vecs = np.empty((ids.size, dim), dtype=np.float64)
             for k, i in enumerate(ids):
                 rng = np.random.Generator(
-                    np.random.Philox(key=seed, counter=int(i)))
+                    np.random.Philox(key=[seed, int(i)]))
                 vecs[k] = rng.normal(size=dim)
             cl = ids % n_clusters
             vecs = centers[cl] + sigma * vecs

@@ -741,7 +741,11 @@ def _publish_metadata(mdir: Path, meta: dict, version: int,
     is advisory only (a crash there, or an out-of-order update by a
     slower earlier writer, is healed by the reader-side upward probe)."""
     vpath = mdir / f"v{version}.metadata.json"
-    vtmp = mdir / f".v{version}.{uniquifier}.tmp"
+    # the tmp name carries a fresh random token: a caller-supplied
+    # uniquifier can be deterministic (two concurrent add_column commits
+    # compute the same schema-id), and a SHARED tmp inode would let one
+    # writer publish the other's content as its own (lost commit)
+    vtmp = mdir / f".v{version}.{uniquifier}.{uuid.uuid4().hex[:8]}.tmp"
     vtmp.write_text(json.dumps(meta))
     try:
         os.link(vtmp, vpath)
@@ -904,6 +908,8 @@ def data_files(table_dir: str, snapshot_id: int | None = None
     metadata → manifest list → manifests, per the spec."""
     meta = _load_metadata(table_dir)
     sid = snapshot_id or meta["current-snapshot-id"]
+    if snapshot_id is None and (sid == -1 or not meta["snapshots"]):
+        return []        # empty table (all snapshots rolled back/expired)
     snaps = [s for s in meta["snapshots"] if s["snapshot-id"] == sid]
     if not snaps:
         raise ValueError(f"snapshot {sid} not found; have "
@@ -1034,6 +1040,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
                 merged |= set(_json.loads(v))
         if merged:
             props[f"{key}-expired"] = _json.dumps(sorted(merged))
+    for s in expired:  # the shard modulus must survive expiry too
+        tot = s.get("summary", {}).get("simdcomp-total-shards")
+        if tot:
+            props["simdcomp-total-shards"] = tot
     meta["properties"] = props
     meta["snapshots"] = kept
     keep_ids = {s["snapshot-id"] for s in kept}
@@ -1081,7 +1091,48 @@ def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
     if not dry_run:  # drop now-empty per-snapshot dirs (+ _SUCCESS marks)
         for d in sorted((Path(table_dir) / "data").glob("snap-*"),
                         reverse=True):
+            try:
+                # the dir sweep needs the SAME age guard as the files: an
+                # in-flight writer's freshly created snap dir has no
+                # *.parquet yet and must not be rmtree'd from under it
+                if now - d.stat().st_mtime < older_than_s:
+                    continue
+            except OSError:
+                continue
             if not any(d.rglob("*.parquet")):
                 import shutil
                 shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def rollback_last_snapshot(table_dir: str) -> dict:
+    """Metadata commit that DROPS the most recent snapshot, restoring the
+    previous one as current (or an empty table if it was the first).
+
+    The verification arm of the resumable ingest uses this: a batch whose
+    round-trip check fails must not stay current, and dropping it from
+    the log also un-records its resume lineage, so the re-run (with the
+    fixed encoder) re-encodes exactly that batch.  The dropped snapshot's
+    data files become orphans (remove_orphan_files reclaims them);
+    sequence numbers stay monotonic (the dropped one is not reused)."""
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    if not meta["snapshots"]:
+        raise ValueError(f"{table_dir}: no snapshot to roll back")
+    dropped = meta["snapshots"][-1]
+    meta = dict(meta)
+    meta["snapshots"] = meta["snapshots"][:-1]
+    keep_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] in keep_ids]
+    if meta["snapshots"]:
+        cur = meta["snapshots"][-1]["snapshot-id"]
+        meta["current-snapshot-id"] = cur
+        meta["refs"] = {"main": {"snapshot-id": cur, "type": "branch"}}
+    else:
+        meta["current-snapshot-id"] = -1      # spec: no current snapshot
+        meta["refs"] = {}
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"rollback-{dropped['snapshot-id']}")
+    return meta

@@ -169,6 +169,40 @@ def completed_shards_iceberg(table_dir: str) -> set[int]:
     return done
 
 
+def _recorded_total_shards(meta: dict) -> set[int]:
+    """Every ``simdcomp-total-shards`` value recorded across snapshots
+    (plus the table property expire_snapshots folds it into)."""
+    out = {int(s["summary"]["simdcomp-total-shards"])
+           for s in meta["snapshots"]
+           if "simdcomp-total-shards" in s.get("summary", {})}
+    prop = meta.get("properties", {}).get("simdcomp-total-shards")
+    if prop:
+        out.add(int(prop))
+    return out
+
+
+def _require_resumable_lineage(meta: dict | None, table_dir: str,
+                               kind: str) -> None:
+    """Refuse to resume into a NON-EMPTY table that carries no resumable
+    lineage: with an empty done-set, every row would be re-encoded and
+    APPENDED — a silent full duplication of a table that was published by
+    a non-resumable path (export_encoded / overwrite)."""
+    if meta is None or not meta["snapshots"]:
+        return
+    keys = ("simdcomp-shards", "simdcomp-input-files")
+    in_summaries = any(k in s.get("summary", {})
+                       for s in meta["snapshots"] for k in keys)
+    in_props = any(f"{k}-expired" in meta.get("properties", {})
+                   for k in keys)
+    if not (in_summaries or in_props):
+        raise ValueError(
+            f"{table_dir} is a non-empty Iceberg table with no resumable "
+            f"lineage in any snapshot summary — it was not written by "
+            f"{kind}; appending would silently duplicate every row. "
+            "Use iceberg.append/overwrite explicitly, or target a fresh "
+            "table dir")
+
+
 def encode_resumable_iceberg(df: DataFrame, table_dir: str,
                              codec: str = "auto", shards: int = 32,
                              split_threshold: int =
@@ -184,7 +218,22 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
     not duplicate rows), and `iceberg.read_table` never sees them.
     Returns the same summary shape as :func:`encode_resumable`."""
     from . import iceberg
+    try:
+        meta0 = iceberg._load_metadata(table_dir)
+    except FileNotFoundError:
+        meta0 = None
+    _require_resumable_lineage(meta0, table_dir, "encode_resumable_iceberg")
     done = completed_shards_iceberg(table_dir)
+    # the recorded total is authoritative: a LARGER new count would pass a
+    # range check vacuously and re-append rows already committed under the
+    # old modulus (hash%new and hash%old partition the rows differently)
+    totals = _recorded_total_shards(meta0) if meta0 else set()
+    if totals and totals != {shards}:
+        raise ValueError(
+            f"table {table_dir} was encoded with shards={sorted(totals)}, "
+            f"got shards={shards} — resuming under a different modulus "
+            "would silently duplicate committed rows; pass the original "
+            "shard count")
     stale = done - set(range(shards))
     if stale:
         raise ValueError(
@@ -197,6 +246,8 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
                "snapshots": []}
     if not todo:
         return summary
+
+    from pyspark.sql import Observation
 
     base = engine.split_long_rows(df, split_threshold)
     base = base.withColumn(
@@ -212,6 +263,11 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
         enc = enc.withColumn(
             "shard", F.pmod(F.xxhash64("doc_id", "seg_id"),
                             F.lit(shards)).cast("int"))
+        # token/byte totals ride on the write itself (Observation) —
+        # no second pass over the just-written payload bytes
+        obs = Observation(f"enc_batch_{i}")
+        enc = enc.observe(obs, F.sum("n_tok").alias("t"),
+                          F.sum(F.length("payload")).alias("p"))
         extra = {"simdcomp-shards": ",".join(str(s) for s in batch),
                  "simdcomp-total-shards": str(shards)}
         if (Path(table_dir) / "metadata" / "version-hint.text").is_file():
@@ -222,15 +278,9 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
         snap = meta["snapshots"][-1]
         summary["encoded"] += len(batch)
         summary["rows"] += int(snap["summary"]["added-records"])
+        summary["tokens"] += int(obs.get["t"] or 0)
+        summary["payload_bytes"] += int(obs.get["p"] or 0)
         summary["snapshots"].append(snap["snapshot-id"])
-
-    spark = df.sparkSession
-    agg = (iceberg.read_table(spark, table_dir)
-           .where(F.col("shard").isin(todo))
-           .agg(F.sum("n_tok").alias("t"),
-                F.sum(F.length("payload")).alias("p")).first())
-    summary["tokens"] = int(agg["t"] or 0)
-    summary["payload_bytes"] = int(agg["p"] or 0)
     return summary
 
 
@@ -259,7 +309,8 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
                                    split_threshold: int =
                                    engine.DEFAULT_SPLIT_THRESHOLD,
                                    batch_files: int | None = None,
-                                   snapshot_id: int | None = None) -> dict:
+                                   snapshot_id: int | None = None,
+                                   verify: bool = False) -> dict:
     """FUSED resumable ingest (the 100 TB path): INPUT FILES are the
     resume unit, and the Iceberg snapshot log is the resume state.
 
@@ -276,10 +327,23 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
     :func:`encode_resumable_iceberg` (doc-hash shards, scan-based
     encode), this path measured ~5-10x the throughput and is the one to
     use when the input is static files; use the shard variant when the
-    input is a DataFrame with no stable file identity."""
+    input is a DataFrame with no stable file identity.
+
+    ``verify=True`` round-trips EACH batch right after its commit
+    (decode of the batch's data files vs the batch's input files) and on
+    mismatch ROLLS BACK that snapshot (iceberg.rollback_last_snapshot)
+    before raising — corrupt data never stays current, and the dropped
+    snapshot's lineage vanishes with it, so the re-run (with the fixed
+    encoder) re-encodes exactly the failed batch."""
     import json as _json
 
     from . import iceberg
+    try:
+        meta0 = iceberg._load_metadata(table_dir)
+    except FileNotFoundError:
+        meta0 = None
+    _require_resumable_lineage(meta0, table_dir,
+                               "encode_files_resumable_iceberg")
     all_files = engine._input_files(input_path, snapshot_id)
     rel = {f: os.path.relpath(f, input_path) for f in all_files}
     done = completed_input_files_iceberg(table_dir)
@@ -311,6 +375,20 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
             meta = iceberg.export_encoded(enc, table_dir,
                                           extra_summary=extra)
         snap = meta["snapshots"][-1]
+        if verify:
+            new_files = [d["file_path"] for d in iceberg.data_files(
+                table_dir) if f"snap-{snap['snapshot-id']}" in d["file_path"]]
+            dec = engine.decode(spark.read.parquet(*new_files),
+                                reassemble=True)
+            bad = engine.verify_roundtrip(
+                spark.read.parquet(*batch), dec)
+            if bad:
+                iceberg.rollback_last_snapshot(table_dir)
+                raise RuntimeError(
+                    f"round-trip verification failed for {bad} rows in "
+                    f"batch {i // step} — snapshot "
+                    f"{snap['snapshot-id']} rolled back; the table's "
+                    "current state excludes the corrupt batch")
         summary["encoded_files"] += len(batch)
         summary["rows"] += int(snap["summary"]["added-records"])
         summary["snapshots"].append(snap["snapshot-id"])

@@ -669,7 +669,7 @@ def q_ann_lsh(spark, sf_dir):
 
 
 # bump when the IVF build algorithm or the recall metric changes
-_IVF_VERSION = "v3-clustered-recall"
+_IVF_VERSION = "v4-philox-keyed"
 
 
 def q_ann_ivf(spark, sf_dir):

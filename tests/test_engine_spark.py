@@ -216,7 +216,7 @@ def test_encode_resumable_iceberg_crash_resume(spark, unit_df, tmp_path,
     dec = engine.decode(enc.drop("shard"), reassemble=True)
     assert engine.verify_roundtrip(unit_df, dec) == 0
     # a different shard count against the same table is a loud error
-    with pytest.raises(ValueError, match="different shard count"):
+    with pytest.raises(ValueError, match="shard count"):
         manifest.encode_resumable_iceberg(unit_df, table, shards=2)
 
 
@@ -618,3 +618,85 @@ def test_encode_files_large_list_parquet(spark, tmp_path):
     dec = engine.decode(enc, reassemble=True)
     got = {r["doc_id"]: r["tokens"] for r in dec.collect()}
     assert got == {f"d{i}": rows[i] for i in range(50)}
+
+
+def test_resumable_iceberg_duplication_guards(spark, unit_df, tmp_path):
+    """The two silent-duplication paths are refused loudly: resuming a
+    shard-encoded table under a DIFFERENT modulus (hash%new and hash%old
+    partition rows differently), and resuming into a non-empty table that
+    carries no resumable lineage at all (published by export_encoded —
+    every row would be re-appended)."""
+    from simdcomp_spark import iceberg
+    t1 = str(tmp_path / "shards4")
+    manifest.encode_resumable_iceberg(unit_df, t1, codec="bitpack",
+                                      shards=4)
+    with pytest.raises(ValueError, match="shard count"):
+        manifest.encode_resumable_iceberg(unit_df, t1, codec="bitpack",
+                                          shards=8)
+    # lineage survives expiry, and so does the modulus guard
+    iceberg.expire_snapshots(t1, keep_last=1)
+    with pytest.raises(ValueError, match="shard count"):
+        manifest.encode_resumable_iceberg(unit_df, t1, codec="bitpack",
+                                          shards=8)
+
+    t2 = str(tmp_path / "nolineage")
+    iceberg.export_encoded(
+        engine.encode(unit_df, codec="bitpack", split_threshold=None), t2)
+    with pytest.raises(ValueError, match="no resumable lineage"):
+        manifest.encode_resumable_iceberg(unit_df, t2, shards=4)
+    src = str(tmp_path / "tok")
+    unit_df.repartition(2).write.parquet(src)
+    with pytest.raises(ValueError, match="no resumable lineage"):
+        manifest.encode_files_resumable_iceberg(spark, src, t2)
+
+
+def test_verify_rolls_back_corrupt_batch(spark, unit_df, tmp_path,
+                                         monkeypatch):
+    """verify=True gates each batch: a failing round-trip rolls back that
+    snapshot (corrupt data never stays current), its lineage vanishes
+    with it, and the fixed re-run re-encodes exactly the failed batch."""
+    from simdcomp_spark import iceberg
+    src = str(tmp_path / "tok")
+    unit_df.repartition(4).write.parquet(src)
+    table = str(tmp_path / "tbl")
+
+    real = engine.verify_roundtrip
+    calls = {"n": 0}
+
+    def flaky(a, b):
+        calls["n"] += 1
+        return 7 if calls["n"] == 2 else real(a, b)
+
+    monkeypatch.setattr(engine, "verify_roundtrip", flaky)
+    with pytest.raises(RuntimeError, match="rolled back"):
+        manifest.encode_files_resumable_iceberg(
+            spark, src, table, codec="bitpack", batch_files=2, verify=True)
+    monkeypatch.setattr(engine, "verify_roundtrip", real)
+
+    # batch 1 committed and verified; batch 2 rolled back with its lineage
+    assert len(manifest.completed_input_files_iceberg(table)) == 2
+    n_after_rollback = iceberg.read_table(spark, table).count()
+    s = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack", verify=True)
+    assert s["skipped"] == 2 and s["encoded_files"] == 2
+    enc = iceberg.read_table(spark, table)
+    assert enc.count() > n_after_rollback
+    assert engine.verify_roundtrip(
+        unit_df, engine.decode(enc, reassemble=True)) == 0
+
+
+def test_rollback_last_snapshot_to_empty(spark, unit_df, tmp_path):
+    """Rolling back the only snapshot leaves a valid EMPTY table (spec:
+    current-snapshot-id -1), not a broken one."""
+    from simdcomp_spark import iceberg
+    table = str(tmp_path / "tbl")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    iceberg.export_encoded(unit_df.select(*cols), table)
+    iceberg.rollback_last_snapshot(table)
+    assert iceberg.data_files(table) == []
+    assert iceberg.read_table(spark, table).count() == 0
+    with pytest.raises(ValueError, match="no snapshot"):
+        iceberg.rollback_last_snapshot(table)
+    # the table is still appendable afterwards
+    iceberg.append(unit_df.select(*cols).limit(5), table)
+    assert iceberg.read_table(spark, table).count() == 5
