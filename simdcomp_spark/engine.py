@@ -562,6 +562,14 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     dec = src.mapInArrow(decode_fn, schema=DECODED_SCHEMA)
     if not reassemble:
         return dec.withColumn("n_tok", F.size("tokens"))
+    return reassemble_segments(dec)
+
+
+def reassemble_segments(dec: DataFrame) -> DataFrame:
+    """(doc_id, seg_id, tokens) segments → whole-document rows, segments
+    concatenated in seg_id order — the groupBy half of :func:`decode`,
+    public for :func:`decode_files` consumers (the fused path returns
+    segments so the shuffle is opt-in)."""
     return (
         dec.groupBy("doc_id")
         .agg(F.first("source").alias("source"),
@@ -919,6 +927,91 @@ def encoded_dedup(df_encoded: DataFrame, verify: bool = True) -> DataFrame:
             .groupBy("seq_hash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("first_doc")))
+
+
+def _doc_signature(rows: DataFrame, hash_col: str) -> DataFrame:
+    """(doc_id, sig): a per-DOCUMENT identity from per-segment content
+    hashes — sha256 over the sorted ``seg_id:hash`` list, so a document
+    split into segments (split_long_rows) compares as a whole and
+    segment count/order differences cannot collide."""
+    return rows.groupBy("doc_id").agg(
+        F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seg_id").cast("string"),
+                        F.col(hash_col))))), 256).alias("sig"))
+
+
+def dedup_delete_iceberg(spark: SparkSession, table_dir: str,
+                         verify: bool = True) -> dict | None:
+    """Drop exact-duplicate DOCUMENTS from an encoded Iceberg table IN
+    PLACE via v2 position-delete files — the 100 TB shape of 'dedup the
+    corpus': no data file is rewritten, the commit is coordinates only
+    (iceberg.write_position_deletes), and the keeper per duplicate group
+    is the minimum doc_id (deterministic).
+
+    Duplicate detection is :func:`encoded_dedup`'s compressed-domain
+    machinery lifted to document granularity: group on the per-segment
+    ``content_hash`` the encoder stamps (16 bytes/row shuffled, no
+    decode), fold segments into a per-doc signature, and — with
+    ``verify=True`` (default) — CONFIRM candidate groups on a sha256 of
+    the decoded tokens before anything is deleted, so an adversarial
+    collision against the fast polynomial hash cannot delete an innocent
+    document.  Candidates only are decoded; at web scale that is the
+    duplicate fraction, not the table.
+
+    Returns the new table metadata, or None when the table has no
+    duplicate documents (no commit).  Reference analog: this is the
+    deletion-side complement of simdcomp-style immutable packed columns
+    (reference/README.md — codecs never update in place); row removal
+    happens in table metadata, never in payload bytes."""
+    from . import iceberg
+    enc = iceberg.read_table_with_pos(spark, table_dir)
+    if "content_hash" not in enc.columns:
+        raise ValueError(
+            f"{table_dir} has no content_hash column (pre-hash legacy "
+            "encode?) — dedup_delete_iceberg needs the stamped hash; "
+            "re-encode the table")
+    guarded = F.when(
+        F.col("content_hash").isNull(),
+        F.raise_error(F.lit(
+            "dedup_delete_iceberg: content_hash contains NULLs — "
+            "re-encode the legacy rows before deleting on hash equality"))
+    ).otherwise(F.col("content_hash"))
+    rows = enc.select("doc_id", "seg_id", F.hex(guarded).alias("h"),
+                      "_file", "_pos")
+    sig = _doc_signature(rows, "h")
+    groups = sig.groupBy("sig").agg(F.min("doc_id").alias("keep"),
+                                    F.count("*").alias("n_docs"))
+    dup_groups = groups.where(F.col("n_docs") >= 2)
+    if verify:
+        # decode ONLY candidate docs and re-derive the signature from a
+        # cryptographic per-segment hash; losers come from the strong
+        # signature, so fast-hash forgeries cannot merge distinct docs
+        cand = (sig.join(dup_groups.select("sig"), "sig", "leftsemi")
+                .select("doc_id"))
+        cand_rows = (enc.join(cand, "doc_id", "leftsemi")
+                     .withColumn("seq_hash",
+                                 F.col("seg_id").cast("string")))
+        strong = _strong_content_hash(cand_rows)  # seq_hash carries seg_id
+        ssig = _doc_signature(
+            strong.select("doc_id",
+                          F.col("seq_hash").cast("int").alias("seg_id"),
+                          F.hex("strong_hash").alias("h")), "h")
+        sgroups = ssig.groupBy("sig").agg(F.min("doc_id").alias("keep"),
+                                          F.count("*").alias("n_docs"))
+        losers = (ssig.join(sgroups.where(F.col("n_docs") >= 2), "sig")
+                  .where(F.col("doc_id") != F.col("keep"))
+                  .select("doc_id"))
+    else:
+        losers = (sig.join(dup_groups, "sig")
+                  .where(F.col("doc_id") != F.col("keep"))
+                  .select("doc_id"))
+    pos = (enc.join(losers, "doc_id", "leftsemi")
+           .select(F.col("_file").alias("file_path"),
+                   F.col("_pos").alias("pos")))
+    return iceberg.write_position_deletes(
+        spark, table_dir, pos,
+        extra_summary={"simdcomp-dedup-delete":
+                       "exact-doc" + ("-verified" if verify else "")})
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,10 @@ Two self-contained layers:
 * the **Iceberg table protocol**: ``export_encoded`` publishes an encoded
   DataFrame as a new Iceberg table, ``append`` commits another snapshot,
   ``read_table`` loads the current (or any historic) snapshot by walking
-  version-hint → metadata → manifest list → manifests → data files, and
-  ``snapshots`` lists the log.  Commits follow Iceberg's
+  version-hint → metadata → manifest list → manifests → data files —
+  applying v2 POSITION DELETES (``delete_where`` /
+  ``write_position_deletes`` commit them, ``compact_files`` folds them
+  into the dirtied data files only) — and ``snapshots`` lists the log.  Commits follow Iceberg's
   HadoopTableOperations discipline: data + manifests are written first,
   then the COMMIT POINT is an atomic no-overwrite publish of the complete
   vN.metadata.json (os.link from a tmp file — exactly one concurrent
@@ -686,13 +688,7 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                             "added-records": str(added_rows),
                             **(extra_summary or {})}}
     if prev_meta:
-        meta = dict(prev_meta)
-        meta.pop("__loaded_version", None)
-        meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
-        meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
-            {"snapshot-id": snap_id, "timestamp-ms": now_ms}]
-        version = prev_meta.get("__loaded_version",
-                                _current_version(table_dir)) + 1
+        return _attach_snapshot(table_dir, prev_meta, snapshot)
     else:
         # last-column-id is the HIGHEST assigned field id including list
         # element-ids (v2 spec) — excluding them invites id collisions
@@ -724,6 +720,30 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
     # 5. the commit point (see _publish_metadata)
     _publish_metadata(mdir, meta, version, snap_id)
+    return meta
+
+
+def _attach_snapshot(table_dir: str, prev_meta: dict, snapshot: dict
+                     ) -> dict:
+    """Shared commit tail for every snapshot-producing operation on an
+    EXISTING table (append/overwrite/delete/replace): attach ``snapshot``
+    (whose manifest-list avro is already on disk) to ``prev_meta``,
+    advance the current pointer / refs / sequence counters, and publish
+    the next metadata version atomically (:func:`_publish_metadata`)."""
+    snap_id = snapshot["snapshot-id"]
+    meta = dict(prev_meta)
+    meta.pop("__loaded_version", None)
+    meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
+    meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id,
+         "timestamp-ms": snapshot["timestamp-ms"]}]
+    version = prev_meta.get("__loaded_version",
+                            _current_version(table_dir)) + 1
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = snapshot["sequence-number"]
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    _publish_metadata(_meta_dir(table_dir), meta, version, snap_id)
     return meta
 
 
@@ -862,12 +882,17 @@ def overwrite(df: DataFrame, table_dir: str) -> dict:
 
 
 def prune_files(table_dir: str, col: str, lo=None, hi=None,
-                snapshot_id: int | None = None) -> list[dict]:
+                snapshot_id: int | None = None,
+                ignore_deletes: bool = False) -> list[dict]:
     """Data files whose manifest [lower, upper] bounds for ``col`` may
     overlap [lo, hi] — metadata-level file pruning, no data I/O.  Files
     lacking bounds for the column are conservatively kept.  At 100 TB
     this is the difference between scanning the table and scanning the
-    few files a range predicate touches."""
+    few files a range predicate touches.
+
+    ``ignore_deletes`` has :func:`data_files` semantics: pruned paths
+    handed to a raw scan must not come from a delete-bearing snapshot
+    (read_table prunes AND applies the deletes; it passes True here)."""
     meta = _load_metadata(table_dir)
     fields = {f["name"]: f for f in _current_schema(meta)["fields"]}
     if col not in fields:
@@ -879,7 +904,7 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
                        if pf["source-id"] == fid
                        and pf["transform"] == "identity"), None)
     out = []
-    for d in data_files(table_dir, snapshot_id):
+    for d in data_files(table_dir, snapshot_id, ignore_deletes):
         if part_field is not None:
             # identity-partitioned column: the partition struct holds the
             # file's exact value — prune from the SPEC, no bounds read
@@ -902,40 +927,141 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
     return out
 
 
-def data_files(table_dir: str, snapshot_id: int | None = None
-               ) -> list[dict]:
-    """Live data files of a snapshot (current by default) by walking
-    metadata → manifest list → manifests, per the spec."""
+def _snapshot_entries(table_dir: str, snapshot_id: int | None = None
+                      ) -> tuple[dict, list[dict], list[dict]]:
+    """Walk metadata → manifest list → manifests for a snapshot (current
+    by default) and return ``(meta, data_entries, delete_entries)``.
+
+    Each entry is the spec's ``data_file`` struct augmented with
+    ``_snapshot_id`` / ``_sequence_number`` resolved per the v2
+    inheritance rule (an ADDED entry with null sequence number inherits
+    the manifest-list entry's; EXISTING entries carry explicit values) —
+    compaction needs them to carry untouched files forward as EXISTING
+    entries without rewriting a byte.  ``delete_entries`` are POSITION
+    delete files (content=1); equality deletes are refused loudly."""
     meta = _load_metadata(table_dir)
     sid = snapshot_id or meta["current-snapshot-id"]
     if snapshot_id is None and (sid == -1 or not meta["snapshots"]):
-        return []        # empty table (all snapshots rolled back/expired)
+        return meta, [], []  # empty table (all snapshots rolled back)
     snaps = [s for s in meta["snapshots"] if s["snapshot-id"] == sid]
     if not snaps:
         raise ValueError(f"snapshot {sid} not found; have "
                          f"{[s['snapshot-id'] for s in meta['snapshots']]}")
     _, manifests = _avro_read(snaps[0]["manifest-list"])
-    out = []
+    data, dels = [], []
     for m in manifests:
-        if m.get("content") == 1:
-            # v2 row-level deletes: silently ignoring a delete manifest
-            # would resurrect deleted rows — refuse loudly instead
-            raise NotImplementedError(
-                f"{table_dir}: snapshot {sid} carries a DELETE manifest "
-                f"({m['manifest_path']}); this reader does not apply "
-                "row-level deletes — compact the table with an engine "
-                "that does, or read an earlier snapshot")
+        m_content = m.get("content", 0)
         _, entries = _avro_read(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:                     # 2 = DELETED entry
                 continue
-            if e["data_file"].get("content", 0) != 0:
+            d = dict(e["data_file"])
+            d["_snapshot_id"] = (e.get("snapshot_id")
+                                 if e.get("snapshot_id") is not None
+                                 else m["added_snapshot_id"])
+            d["_sequence_number"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else m["sequence_number"])
+            content = d.get("content", 0)
+            if content == 2:
                 raise NotImplementedError(
-                    f"{table_dir}: {e['data_file']['file_path']} is a "
-                    "position/equality delete file; this reader does not "
-                    "apply row-level deletes")
-            out.append(e["data_file"])
-    return out
+                    f"{table_dir}: {d['file_path']} is an EQUALITY delete "
+                    "file (content=2); this reader applies position "
+                    "deletes only — compact the table with the engine "
+                    "that wrote it, or read an earlier snapshot")
+            # spec: a manifest's content must agree with its entries; a
+            # mismatch means a corrupt/hand-edited metadata tree, and
+            # guessing either way silently loses or resurrects rows
+            if content != m_content:
+                kind = ("data file entry in a DELETE manifest"
+                        if m_content == 1 else
+                        "delete file entry in a DATA manifest")
+                raise ValueError(
+                    f"{table_dir}: corrupt manifest "
+                    f"{m['manifest_path']}: {kind} "
+                    f"({d['file_path']}, content={content})")
+            (data if content == 0 else dels).append(d)
+    return meta, data, dels
+
+
+def data_files(table_dir: str, snapshot_id: int | None = None,
+               ignore_deletes: bool = False) -> list[dict]:
+    """Live data files of a snapshot (current by default) by walking
+    metadata → manifest list → manifests, per the spec.
+
+    If the snapshot carries POSITION DELETE files this raises unless
+    ``ignore_deletes=True``: callers that hand the returned paths straight
+    to a parquet scan (the fused encode/decode paths) would silently
+    resurrect deleted rows.  Row-aware readers go through
+    :func:`read_table` (which applies the deletes) or
+    :func:`compact_files` (which rewrites them away)."""
+    _, data, dels = _snapshot_entries(table_dir, snapshot_id)
+    if dels and not ignore_deletes:
+        raise NotImplementedError(
+            f"{table_dir}: the snapshot carries {len(dels)} position-"
+            "delete file(s); a raw file-level scan would resurrect "
+            "deleted rows. Read via iceberg.read_table (applies the "
+            "deletes), or run iceberg.compact_files first for file-level "
+            "consumers (fused encode/decode).")
+    return data
+
+
+def delete_files(table_dir: str, snapshot_id: int | None = None
+                 ) -> list[dict]:
+    """Live POSITION DELETE files of a snapshot (empty when none)."""
+    return _snapshot_entries(table_dir, snapshot_id)[2]
+
+
+_BROADCAST_DELETE_BYTES = 64 << 20
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame,
+                            dels: list[dict]) -> DataFrame:
+    """Anti-join ``df`` (must carry ``_file``/``_pos``) against the
+    snapshot's position-delete files.  A delete set under 64 MB — the
+    overwhelmingly common case; deletes are (path, pos) pairs, not rows —
+    is broadcast, so the scan stays shuffle-free; larger sets fall back
+    to a shuffled anti-join (AQE plans it)."""
+    pos = spark.read.schema("file_path string, pos bigint").parquet(
+        *[d["file_path"] for d in dels])
+    if sum(int(d.get("file_size_in_bytes") or 0)
+           for d in dels) < _BROADCAST_DELETE_BYTES:
+        pos = F.broadcast(pos)
+    cond = (df["_file"] == pos["file_path"]) & (df["_pos"] == pos["pos"])
+    return df.join(pos, cond, "left_anti")
+
+
+def _read_with_pos(spark: SparkSession, table_dir: str, paths: list[str],
+                   dels: list[dict]) -> DataFrame:
+    """Scan ``paths`` under the table's CURRENT schema with two extra
+    columns — ``_file`` (normalized data-file path) and ``_pos`` (row
+    ordinal within its file, Spark's ``_metadata.row_index``) — and the
+    snapshot's position deletes applied.  (file, pos) is exactly the
+    coordinate system v2 position-delete files speak."""
+    df = (spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
+          .withColumn("_file", F.regexp_replace(
+              F.col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("_pos", F.col("_metadata.row_index")))
+    if dels:
+        df = _apply_position_deletes(spark, df, dels)
+    return df
+
+
+def read_table_with_pos(spark: SparkSession, table_dir: str,
+                        snapshot_id: int | None = None) -> DataFrame:
+    """:func:`read_table` plus the ``_file``/``_pos`` row coordinates —
+    the input every position-delete WRITER needs (``delete_where``,
+    ``engine.dedup_delete_iceberg``): select the rows to drop, emit
+    their (_file, _pos) pairs, commit via
+    :func:`write_position_deletes`.  Existing deletes are applied, so
+    already-deleted rows can never be selected again."""
+    _, data, dels = _snapshot_entries(table_dir, snapshot_id)
+    paths = [d["file_path"] for d in data]
+    if not paths:
+        return spark.createDataFrame(
+            [], _spark_ddl(table_dir) + ", _file string, _pos bigint")
+    return _read_with_pos(spark, table_dir, paths, dels)
 
 
 def read_table(spark: SparkSession, table_dir: str,
@@ -946,19 +1072,27 @@ def read_table(spark: SparkSession, table_dir: str,
     snapshot's live files are handed to the parquet scan.  ``between =
     (col, lo, hi)`` additionally prunes files via the manifest column
     bounds (:func:`prune_files`) and applies the exact row filter on
-    top (the pruning is a superset guarantee, the filter the truth)."""
+    top (the pruning is a superset guarantee, the filter the truth).
+    POSITION DELETE files in the snapshot are applied (anti-join on the
+    (file, row-ordinal) coordinates; broadcast when small)."""
+    _, data, dels = _snapshot_entries(table_dir, snapshot_id)
     if between is not None:
         col, lo, hi = between
-        files = prune_files(table_dir, col, lo, hi, snapshot_id)
+        files = prune_files(table_dir, col, lo, hi, snapshot_id,
+                            ignore_deletes=True)
     else:
-        files = data_files(table_dir, snapshot_id)
+        files = data
     paths = [d["file_path"] for d in files]
     if not paths:
         return spark.createDataFrame([], _spark_ddl(table_dir))
-    # explicit CURRENT schema: files written before an add_column lack
-    # the new column and must surface it as NULL (name-based projection),
-    # not fail or silently drop it on schema inference order
-    df = spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
+    if dels:
+        df = _read_with_pos(spark, table_dir, paths, dels) \
+            .drop("_file", "_pos")
+    else:
+        # explicit CURRENT schema: files written before an add_column
+        # lack the new column and must surface it as NULL (name-based
+        # projection), not fail or silently drop it on inference order
+        df = spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
     if between is not None:
         col, lo, hi = between
         if lo is not None:
@@ -994,6 +1128,271 @@ def snapshots(table_dir: str) -> list[dict]:
              "added-records": s.get("summary", {}).get("added-records"),
              "is-current": s["snapshot-id"] == meta["current-snapshot-id"]}
             for s in meta["snapshots"]]
+
+
+# ---------------------------------------------------------------------------
+# v2 row-level deletes: position-delete files (write + apply + compact)
+# ---------------------------------------------------------------------------
+
+# the spec's reserved field ids for position-delete file columns
+_FP_FID, _POS_FID = 2147483546, 2147483545
+_DELETE_ROWS_PER_FILE = 2_000_000
+
+
+def _spec_part_fields(meta: dict) -> tuple[dict, list[tuple]]:
+    """(partition spec, [(name, iceberg_type, partition_field_id)]) of the
+    table's default spec — the manifest-entry partition-struct schema."""
+    spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
+    by_id = {f["id"]: f for f in _current_schema(meta)["fields"]}
+    return spec, [(pf["name"], by_id[pf["source-id"]]["type"],
+                   pf["field-id"]) for pf in spec["fields"]]
+
+
+def _prev_manifest_records(prev_meta: dict) -> list[dict]:
+    """The current snapshot's manifest-list records (data AND delete
+    manifests), for carry-forward commits."""
+    cur = [s for s in prev_meta["snapshots"]
+           if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
+    if not cur:
+        return []
+    _, records = _avro_read(cur[0]["manifest-list"])
+    return records
+
+
+def write_position_deletes(spark: SparkSession, table_dir: str,
+                           pos_df: DataFrame,
+                           extra_summary: dict[str, str] | None = None
+                           ) -> dict | None:
+    """Commit a DELETE snapshot from a DataFrame of row coordinates
+    ``(file_path string, pos long)`` — the v2 position-delete format
+    (spec: 'a position delete file identifies deleted rows by file path
+    and row ordinal').  No data file is touched: the coordinates are
+    written as parquet delete files (sorted by (file_path, pos) as the
+    spec requires, ~2M coordinates per file), recorded in a delete
+    manifest (content=1), and the manifest list carries every previous
+    manifest forward.  At 100 TB this is the only sane shape for
+    sub-percent row removal — dedup losers, takedowns, PII scrubs —
+    because the alternative rewrites every dirtied data file for rows
+    that are 16 bytes of coordinates each.
+
+    Readers: :func:`read_table` applies the deletes; raw file-level
+    consumers are refused by :func:`data_files` until
+    :func:`compact_files` rewrites the dirtied files.  Returns the new
+    table metadata, or None (no commit) when ``pos_df`` is empty."""
+    prev_meta = _load_metadata(table_dir)
+    spec, part_fields = _spec_part_fields(prev_meta)
+    n_pos = pos_df.count()
+    if n_pos == 0:
+        return None
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    now_ms = time.time_ns() // 1_000_000
+    out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
+    nfiles = (n_pos + _DELETE_ROWS_PER_FILE - 1) // _DELETE_ROWS_PER_FILE
+    (pos_df.select(F.col("file_path").cast("string"),
+                   F.col("pos").cast("long"))
+     .repartitionByRange(nfiles, "file_path", "pos")
+     .sortWithinPartitions("file_path", "pos")
+     .write.mode("error").parquet(out))
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    stats = _file_stats(spark, files)
+
+    entries = []
+    for p, rows, size, col_bounds in stats:
+        lbs, ubs = [], []
+        # file_path/pos bounds under the spec's RESERVED field ids let a
+        # reader skip delete files irrelevant to the data file it scans
+        for name, fid, t in (("file_path", _FP_FID, "string"),
+                             ("pos", _POS_FID, "long")):
+            if name in col_bounds:
+                mn, mx = col_bounds[name]
+                lbs.append({"key": fid, "value": _sv_encode(t, mn)})
+                ubs.append({"key": fid, "value": _sv_encode(t, mx)})
+        entries.append(
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": {"content": 1, "file_path": p,
+                           "file_format": "PARQUET",
+                           "partition": {n: None for n, _, _ in
+                                         part_fields},
+                           "record_count": rows,
+                           "file_size_in_bytes": size,
+                           "lower_bounds": lbs, "upper_bounds": ubs}})
+    mdir = _meta_dir(table_dir)
+    manifest_path = str(mdir / f"manifest-del-{snap_id}.avro")
+    _avro_write(manifest_path, _manifest_entry_schema(part_fields), entries,
+                metadata={"schema": json.dumps(_current_schema(prev_meta)),
+                          "partition-spec": json.dumps(spec["fields"]),
+                          "content": "deletes",
+                          "format-version": "2"})
+    mlist = _prev_manifest_records(prev_meta) + [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec["spec-id"], "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(stats),
+        "existing_data_files_count": 0, "deleted_data_files_count": 0,
+        "added_rows_count": n_pos,
+        "existing_rows_count": 0, "deleted_rows_count": 0}]
+    mlist_path = str(mdir / f"snap-{snap_id}.avro")
+    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
+                metadata={"format-version": "2"})
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms, "manifest-list": mlist_path,
+                "schema-id": 0,
+                "summary": {"operation": "delete",
+                            "added-position-delete-files": str(len(stats)),
+                            "added-position-deletes": str(n_pos),
+                            **(extra_summary or {})}}
+    return _attach_snapshot(table_dir, prev_meta, snapshot)
+
+
+def delete_where(spark: SparkSession, table_dir: str, predicate
+                 ) -> dict | None:
+    """Row-level DELETE by predicate (a SQL string or a Column) committed
+    as position-delete files — no data-file rewrite.  Rows already
+    deleted by earlier snapshots are never re-matched (the scan applies
+    them).  Returns the new metadata, or None when nothing matched."""
+    df = read_table_with_pos(spark, table_dir)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pos = df.where(cond).select(F.col("_file").alias("file_path"),
+                                F.col("_pos").alias("pos"))
+    return write_position_deletes(
+        spark, table_dir, pos,
+        extra_summary={"delete-predicate": str(predicate)})
+
+
+def compact_files(spark: SparkSession, table_dir: str) -> dict:
+    """REPLACE commit that folds the snapshot's position deletes into the
+    data files they dirty — and ONLY those: untouched files are carried
+    forward as EXISTING manifest entries (status=0, explicit snapshot /
+    sequence numbers per the spec), so compaction cost scales with the
+    dirtied fraction, not the table.  At 100 TB with 0.1% of rows
+    deleted across 1% of files, 99% of the table is a metadata-only
+    carry-forward.
+
+    After compaction the current snapshot has no delete files, so the
+    fused file-level paths (engine.encode_files / decode_files) accept
+    the table again.  Earlier snapshots still time-travel (their delete
+    files stay referenced until expire_snapshots + remove_orphan_files
+    reclaim them).  Returns ``{"meta", "rewritten_files", "kept_files",
+    "removed_delete_files"}``; no commit when the table has no
+    deletes."""
+    prev_meta, data, dels = _snapshot_entries(table_dir)
+    if not dels:
+        return {"meta": None, "rewritten_files": 0,
+                "kept_files": len(data), "removed_delete_files": 0}
+    del_paths = [d["file_path"] for d in dels]
+    # distinct dirtied paths: bounded by the data-file count, the same
+    # order of driver memory as the manifest listing itself
+    dirty = {r["file_path"] for r in
+             spark.read.schema("file_path string, pos bigint")
+             .parquet(*del_paths).select("file_path").distinct().collect()}
+    clean = [d for d in data if d["file_path"] not in dirty]
+    dirty_entries = [d for d in data if d["file_path"] in dirty]
+
+    spec, part_fields = _spec_part_fields(prev_meta)
+    part_cols = [n for n, _, _ in part_fields]
+    part_types = {n: t for n, t, _ in part_fields}
+    schema = _current_schema(prev_meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    now_ms = time.time_ns() // 1_000_000
+
+    # rewrite ONLY the dirtied files, deletes applied
+    df = _read_with_pos(spark, table_dir,
+                        [d["file_path"] for d in dirty_entries], dels) \
+        .drop("_file", "_pos")
+    out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
+    if part_cols:
+        dup = df
+        for c in part_cols:
+            dup = dup.withColumn(f"_p_{c}", F.col(c))
+        dup.write.mode("error").partitionBy(
+            *[f"_p_{c}" for c in part_cols]).parquet(out)
+        files = sorted(str(p) for p in Path(out).rglob("*.parquet"))
+    else:
+        df.write.mode("error").parquet(out)
+        files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    stats = _file_stats(spark, files)
+
+    def _bounds_maps(col_bounds):
+        lbs, ubs = [], []
+        for name, (mn, mx) in sorted(col_bounds.items()):
+            f = by_name.get(name)
+            if f is None or not isinstance(f["type"], str) \
+                    or name in part_cols:
+                continue
+            try:
+                lbs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mn)})
+                ubs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mx)})
+            except NotImplementedError:
+                continue
+        return lbs, ubs
+
+    entries = []
+    for p, rows, size, col_bounds in stats:
+        lbs, ubs = _bounds_maps(col_bounds)
+        entries.append(
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": {"content": 0, "file_path": p,
+                           "file_format": "PARQUET",
+                           "partition": _part_values_of(p, part_cols,
+                                                        part_types),
+                           "record_count": rows,
+                           "file_size_in_bytes": size,
+                           "lower_bounds": lbs, "upper_bounds": ubs}})
+    added_rows = sum(r for _, r, _, _ in stats)
+    kept_rows = 0
+    for d in clean:  # carry untouched files forward: metadata only
+        kept_rows += int(d.get("record_count") or 0)
+        dd = {k: v for k, v in d.items() if not k.startswith("_")}
+        entries.append(
+            {"status": 0, "snapshot_id": d["_snapshot_id"],
+             "sequence_number": d["_sequence_number"],
+             "file_sequence_number": d["_sequence_number"],
+             "data_file": dd})
+    mdir = _meta_dir(table_dir)
+    manifest_path = str(mdir / f"manifest-{snap_id}.avro")
+    _avro_write(manifest_path, _manifest_entry_schema(part_fields), entries,
+                metadata={"schema": json.dumps(schema),
+                          "partition-spec": json.dumps(spec["fields"]),
+                          "content": "data",
+                          "format-version": "2"})
+    min_seq = min([seq] + [d["_sequence_number"] for d in clean])
+    mlist = [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec["spec-id"], "content": 0,
+        "sequence_number": seq, "min_sequence_number": min_seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(stats),
+        "existing_data_files_count": len(clean),
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": kept_rows, "deleted_rows_count": 0}]
+    mlist_path = str(mdir / f"snap-{snap_id}.avro")
+    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
+                metadata={"format-version": "2"})
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms, "manifest-list": mlist_path,
+                "schema-id": 0,
+                "summary": {"operation": "replace",
+                            "added-data-files": str(len(stats)),
+                            "added-records": str(added_rows),
+                            "rewritten-data-files": str(len(dirty_entries)),
+                            "kept-data-files": str(len(clean)),
+                            "removed-position-delete-files":
+                                str(len(dels))}}
+    meta = _attach_snapshot(table_dir, prev_meta, snapshot)
+    return {"meta": meta, "rewritten_files": len(dirty_entries),
+            "kept_files": len(clean), "removed_delete_files": len(dels)}
 
 
 # ---------------------------------------------------------------------------

@@ -903,6 +903,80 @@ def q_iceberg_partition_prune(spark, sf_dir):
             .select("c_custkey", "c_mktsegment", "c_acctbal"))
 
 
+def q_iceberg_pos_delete(spark, sf_dir):
+    """v2 POSITION DELETES end-to-end: orders tokens encoded into an
+    Iceberg table, then every doc with custkey % 5 == 2 is deleted via
+    iceberg.delete_where — committed as (file, row-ordinal) delete files
+    with NO data-file rewrite (asserted: the live data-file set is
+    byte-for-byte the pre-delete set), applied by the read-path
+    anti-join, while time travel to the pre-delete snapshot still sees
+    every row (asserted).  Decode + explode matches the SQL oracle with
+    the complementary predicate."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icedel")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    enc = engine.encode(tok, codec="auto", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    meta = iceberg.delete_where(
+        spark, table, "cast(doc_id as bigint) % 5 = 2")
+    if meta is None:
+        raise AssertionError("delete predicate matched nothing")
+    after = {d["file_path"]
+             for d in iceberg.data_files(table, ignore_deletes=True)}
+    if after != before:
+        raise AssertionError("position delete rewrote data files")
+    pre = meta["snapshots"][-2]["snapshot-id"]
+    if not (iceberg.read_table(spark, table).count()
+            < iceberg.read_table(spark, table, snapshot_id=pre).count()):
+        raise AssertionError("time travel does not predate the delete")
+    dec = engine.decode(iceberg.read_table(spark, table),
+                        reassemble=False)
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
+def q_iceberg_dedup_delete(spark, sf_dir):
+    """Delete-driven document dedup at table granularity
+    (engine.dedup_delete_iceberg): the orders tokens table plus a full
+    duplicate copy (doc_ids prefixed 'z') is encoded (length-split, so
+    docs span multiple segments) and published; dedup groups docs on the
+    stamped per-segment content_hash, CONFIRMS candidates on a sha256 of
+    the decoded tokens, and deletes every loser via position-delete
+    files — no data-file rewrite (asserted).  The surviving table is
+    exactly the original corpus (min doc_id wins), proven against the
+    SQL oracle over orders alone."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icededup")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    dups = tok.withColumn("doc_id", F.concat(F.lit("z"), "doc_id"))
+    enc = engine.encode(tok.unionByName(dups), codec="auto",
+                        split_threshold=8)
+    iceberg.export_encoded(enc, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    meta = engine.dedup_delete_iceberg(spark, table, verify=True)
+    if meta is None:
+        raise AssertionError("planted duplicate docs not found")
+    if {d["file_path"]
+            for d in iceberg.data_files(table, ignore_deletes=True)} \
+            != before:
+        raise AssertionError("dedup delete rewrote data files")
+    dec = engine.decode(iceberg.read_table(spark, table),
+                        reassemble=True)
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact dedup (applyInPandasWithState, content-hash
     keyed marker state) driven end-to-end: phase 1 streams the documents
@@ -1034,6 +1108,8 @@ QUERIES = {
     "iceberg_roundtrip": q_iceberg_roundtrip,
     "iceberg_prune": q_iceberg_prune,
     "iceberg_partition_prune": q_iceberg_partition_prune,
+    "iceberg_pos_delete": q_iceberg_pos_delete,
+    "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
     "streaming_window": q_streaming_window,
@@ -1333,6 +1409,21 @@ SELECT c_custkey, c_mktsegment, c_acctbal
 FROM customer WHERE c_mktsegment = 'BUILDING'
 """,
     "iceberg_roundtrip": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+""",
+    "iceberg_pos_delete": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+WHERE CAST(o_custkey AS BIGINT) % 5 <> 2
+""",
+    "iceberg_dedup_delete": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(row_number() OVER (PARTITION BY o_custkey
                                ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,

@@ -504,9 +504,12 @@ def test_schema_evolution_add_column(spark, unit_df, tmp_path):
     assert len(zz) < len(iceberg.data_files(table))
 
 
-def test_delete_manifest_rejected_loudly(spark, unit_df, tmp_path):
-    """A v2 table holding row-level deletes (delete manifest, content=1)
-    must be REFUSED: silently ignoring it would resurrect deleted rows."""
+def test_inconsistent_delete_manifest_rejected(spark, unit_df, tmp_path):
+    """A manifest whose content flag disagrees with its entries (here: a
+    'deletes' manifest holding DATA entries — the shape a hand-edited or
+    corrupt tree produces) is refused loudly: guessing either way would
+    silently duplicate or resurrect rows.  (Consistent position-delete
+    manifests are APPLIED, not refused — tests/test_iceberg_deletes.py.)"""
     table = str(tmp_path / "withdel")
     cols = ["doc_id", "source", "n_tok", "tokens"]
     iceberg.export_encoded(unit_df.select(*cols), table)
@@ -514,18 +517,19 @@ def test_delete_manifest_rejected_loudly(spark, unit_df, tmp_path):
     snap = meta["snapshots"][-1]
     _, manifests = iceberg._avro_read(snap["manifest-list"])
     dm = dict(manifests[0])
-    dm["content"] = 1                      # a deletes manifest
+    dm["content"] = 1                      # claims deletes, entries = data
     iceberg._avro_write(snap["manifest-list"],
                         iceberg._MANIFEST_FILE_SCHEMA, manifests + [dm])
-    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="DELETE manifest"):
         iceberg.data_files(table)
-    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="DELETE manifest"):
         iceberg.read_table(spark, table)
 
 
-def test_delete_data_file_entry_rejected(spark, unit_df, tmp_path):
-    """A manifest ENTRY whose data_file.content is 1/2 (position/equality
-    delete file) is likewise refused loudly."""
+def test_delete_entry_in_data_manifest_rejected(spark, unit_df, tmp_path):
+    """The mirror corruption — a delete-file ENTRY inside a content=0 data
+    manifest — and an equality-delete entry (content=2, unsupported) are
+    both refused loudly."""
     table = str(tmp_path / "withdel2")
     cols = ["doc_id", "source", "n_tok", "tokens"]
     iceberg.export_encoded(unit_df.select(*cols), table)
@@ -536,7 +540,11 @@ def test_delete_data_file_entry_rejected(spark, unit_df, tmp_path):
     schema, entries = iceberg._avro_read(mpath)
     entries[0]["data_file"]["content"] = 1
     iceberg._avro_write(mpath, schema, entries)
-    with pytest.raises(NotImplementedError, match="delete file"):
+    with pytest.raises(ValueError, match="DATA manifest"):
+        iceberg.data_files(table)
+    entries[0]["data_file"]["content"] = 2     # equality delete
+    iceberg._avro_write(mpath, schema, entries)
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         iceberg.data_files(table)
 
 

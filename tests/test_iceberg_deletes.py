@@ -1,0 +1,225 @@
+"""Iceberg v2 position deletes: write (delete_where /
+write_position_deletes), read-path application (read_table anti-join on
+(file, row-ordinal)), compaction that rewrites ONLY dirtied files, and
+the delete-driven document dedup (engine.dedup_delete_iceberg)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simdcomp_spark import engine, iceberg
+
+
+def _tok_df(spark, n_docs=24, seg_len=50):
+    rows = [(f"d{i:02d}", list(range(i, i + seg_len * (1 + i % 3))),
+             seg_len * (1 + i % 3), "unit")
+            for i in range(n_docs)]
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+@pytest.fixture(scope="module")
+def deltable(spark, tmp_path_factory):
+    """An encoded Iceberg table (multi-file, multi-segment docs) with
+    every doc_id ending in 3 deleted via delete_where."""
+    table = str(tmp_path_factory.mktemp("icedel") / "table")
+    tok = _tok_df(spark)
+    enc = engine.encode(tok.repartition(4), codec="auto",
+                        split_threshold=64)
+    iceberg.export_encoded(enc, table)
+    meta = iceberg.delete_where(
+        spark, table, "doc_id like '%3'")
+    assert meta is not None
+    return table, tok
+
+
+def test_delete_where_applies_on_read(spark, deltable):
+    table, tok = deltable
+    back = iceberg.read_table(spark, table)
+    docs = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert docs == {f"d{i:02d}" for i in range(24) if i % 10 != 3}
+    # deleted docs decode away; survivors stay bit-identical
+    dec = engine.decode(back, reassemble=True)
+    keep = tok.where(~F.col("doc_id").like("%3"))
+    assert engine.verify_roundtrip(keep, dec) == 0
+
+
+def test_delete_is_metadata_only(spark, deltable):
+    """No data file is rewritten: the delete commit adds coordinate files
+    + a delete manifest and leaves every data file path in place."""
+    table, _ = deltable
+    meta = iceberg._load_metadata(table)
+    pre_delete = meta["snapshots"][-2]["snapshot-id"]
+    before = {d["file_path"]
+              for d in iceberg.data_files(table, snapshot_id=pre_delete)}
+    after = {d["file_path"]
+             for d in iceberg.data_files(table, ignore_deletes=True)}
+    assert before == after
+    dels = iceberg.delete_files(table)
+    assert dels and all(d["content"] == 1 for d in dels)
+    s = iceberg.snapshots(table)[-1]
+    assert s["operation"] == "delete"
+
+
+def test_time_travel_predates_delete(spark, deltable):
+    table, tok = deltable
+    meta = iceberg._load_metadata(table)
+    pre_delete = meta["snapshots"][-2]["snapshot-id"]
+    full = iceberg.read_table(spark, table, snapshot_id=pre_delete)
+    assert full.select("doc_id").distinct().count() == 24
+
+
+def test_raw_file_consumers_refuse_deleted_table(spark, deltable):
+    """data_files (and through it the fused decode path) refuses a
+    delete-bearing snapshot instead of resurrecting deleted rows."""
+    table, _ = deltable
+    with pytest.raises(NotImplementedError, match="position-delete"):
+        iceberg.data_files(table)
+    with pytest.raises(NotImplementedError, match="position-delete"):
+        engine.decode_files(spark, table)
+
+
+def test_deletes_compose_and_never_rematch(spark, deltable):
+    """A second delete_where commits only NEW coordinates (already-deleted
+    rows are invisible to the matching scan) and both apply together."""
+    table, _ = deltable
+    n_before = sum(int(d["record_count"])
+                   for d in iceberg.delete_files(table))
+    meta = iceberg.delete_where(spark, table, "doc_id = 'd07'")
+    assert meta is not None
+    back = iceberg.read_table(spark, table)
+    docs = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert "d07" not in docs and "d13" not in docs
+    # repeating the first predicate matches nothing → no commit
+    assert iceberg.delete_where(spark, table, "doc_id like '%3'") is None
+    n_after = sum(int(d["record_count"])
+                  for d in iceberg.delete_files(table))
+    assert n_after > n_before
+    iceberg.rollback_last_snapshot(table)   # back out the d07 delete
+    docs = {r["doc_id"] for r in
+            iceberg.read_table(spark, table)
+            .select("doc_id").distinct().collect()}
+    assert "d07" in docs and "d13" not in docs
+
+
+def test_append_after_delete(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=8)
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    iceberg.delete_where(spark, table, "doc_id = 'd01'")
+    more = engine.encode(
+        _tok_df(spark, n_docs=12).where("doc_id >= 'd08'"),
+        codec="bitpack", split_threshold=None)
+    iceberg.append(more, table)
+    docs = {r["doc_id"] for r in iceberg.read_table(spark, table)
+            .select("doc_id").distinct().collect()}
+    assert docs == {f"d{i:02d}" for i in range(12) if i != 1}
+
+
+def test_compact_rewrites_only_dirty_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark)
+    # range-cluster so the delete dirties a strict subset of files
+    enc = engine.encode(tok.repartitionByRange(6, "doc_id"),
+                        codec="auto", split_threshold=64)
+    iceberg.export_encoded(enc, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    iceberg.delete_where(spark, table, "doc_id = 'd00'")
+    res = iceberg.compact_files(spark, table)
+    assert res["removed_delete_files"] >= 1
+    assert 0 < res["rewritten_files"] < len(before)
+    assert res["kept_files"] == len(before) - res["rewritten_files"]
+    after = {d["file_path"] for d in iceberg.data_files(table)}
+    # untouched files carried forward by identical path (metadata only)
+    assert len(after & before) == res["kept_files"]
+    assert iceberg.delete_files(table) == []
+    # fused file-level decode accepts the table again, bit-identically
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    keep = tok.where("doc_id <> 'd00'")
+    assert engine.verify_roundtrip(keep, dec) == 0
+    # compacting a clean table is a no-op (no commit)
+    v = iceberg._current_version(table)
+    assert iceberg.compact_files(spark, table)["meta"] is None
+    assert iceberg._current_version(table) == v
+
+
+def test_compact_partitioned_keeps_spec_pruning(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _tok_df(spark).withColumn(
+        "source", F.when(F.col("doc_id") < "d12", "a").otherwise("b"))
+    enc = engine.encode(df, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table, partition_by="source")
+    iceberg.delete_where(spark, table, "doc_id = 'd02'")
+    iceberg.compact_files(spark, table)
+    live = iceberg.data_files(table)
+    pruned = iceberg.prune_files(table, "source", "b", "b")
+    assert 0 < len(pruned) < len(live)
+    assert all((d.get("partition") or {}).get("source") == "b"
+               for d in pruned)
+    docs = {r["doc_id"] for r in iceberg.read_table(spark, table)
+            .select("doc_id").distinct().collect()}
+    assert "d02" not in docs and len(docs) == 23
+
+
+def test_compact_after_expiry_reclaims_delete_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    enc = engine.encode(_tok_df(spark, n_docs=6), codec="bitpack",
+                        split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    iceberg.delete_where(spark, table, "doc_id = 'd05'")
+    del_paths = [d["file_path"] for d in iceberg.delete_files(table)]
+    iceberg.compact_files(spark, table)
+    iceberg.expire_snapshots(table, keep_last=1)
+    removed = iceberg.remove_orphan_files(table, older_than_s=0)
+    assert set(del_paths) <= set(removed)
+    assert iceberg.read_table(spark, table) \
+        .select("doc_id").distinct().count() == 5
+
+
+def test_dedup_delete_iceberg(spark, tmp_path):
+    """Planted duplicate docs (incl. multi-segment) are deleted in place;
+    the minimum doc_id of each group survives; no data-file rewrite."""
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=10)
+    dups = tok.where("doc_id in ('d02','d05')") \
+        .withColumn("doc_id", F.concat(F.lit("z"), "doc_id"))
+    enc = engine.encode(tok.unionByName(dups), codec="auto",
+                        split_threshold=64)
+    iceberg.export_encoded(enc, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    meta = engine.dedup_delete_iceberg(spark, table)
+    assert meta is not None
+    s = meta["snapshots"][-1]["summary"]
+    assert s["simdcomp-dedup-delete"] == "exact-doc-verified"
+    assert {d["file_path"] for d in
+            iceberg.data_files(table, ignore_deletes=True)} == before
+    back = iceberg.read_table(spark, table)
+    docs = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert docs == {f"d{i:02d}" for i in range(10)}  # originals win (min)
+    assert engine.verify_roundtrip(tok, engine.decode(
+        back, reassemble=True)) == 0
+    # idempotent: nothing left to delete
+    assert engine.dedup_delete_iceberg(spark, table) is None
+
+
+def test_dedup_delete_verify_defeats_forged_collision(spark, tmp_path):
+    """Two DISTINCT docs forged to share a content_hash: verify=True must
+    delete nothing (the sha256 confirm separates them); verify=False
+    would have deleted one — the advisory's attack, tested end-to-end."""
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=4)
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None) \
+        .withColumn("content_hash",
+                    F.lit(bytearray(16)).cast("binary"))  # forged equal
+    iceberg.export_encoded(enc, table)
+    assert engine.dedup_delete_iceberg(spark, table, verify=True) is None
+    assert iceberg.read_table(spark, table) \
+        .select("doc_id").distinct().count() == 4
+    # the unverified path WOULD have merged them (asserting the attack
+    # is real, not hypothetical)
+    assert engine.dedup_delete_iceberg(
+        spark, table, verify=False) is not None
+    assert iceberg.read_table(spark, table) \
+        .select("doc_id").distinct().count() == 1
