@@ -330,10 +330,13 @@ def distributed_file_map(spark: SparkSession, files: list[str], fn,
 def _rowgroup_units(spark: SparkSession, path: str,
                     snapshot_id: int | None = None,
                     files: list[str] | None = None) -> DataFrame:
-    """(file, row_group) work units for the fused scan paths — one Spark
-    task per parquet row group, so task size is bounded by the writer's
-    row-group size regardless of file-count skew.  Input may be a plain
-    parquet directory or an Iceberg table dir (see :func:`_input_files`).
+    """(file, row_group, rowgroup_file_row_offset) work units for the
+    fused scan paths — one Spark task per parquet row group, so task size
+    is bounded by the writer's row-group size regardless of file-count
+    skew.  ``rg_off`` is the row group's first-row ordinal WITHIN its
+    file — the coordinate system Iceberg v2 position deletes use, carried
+    on every unit so the fused decode can apply deletes.  Input may be a
+    plain parquet directory or an Iceberg table dir (:func:`_input_files`).
 
     Both the footer reads AND the (path, row_group) expansion are
     DISTRIBUTED: the driver only lists file names (one directory-metadata
@@ -349,7 +352,8 @@ def _rowgroup_units(spark: SparkSession, path: str,
     if files is None:
         files = _input_files(path, snapshot_id)
     if not files:
-        return spark.createDataFrame([], "path string, rg int")
+        return spark.createDataFrame(
+            [], "path string, rg int, rg_off long")
     par = max(int(spark.sparkContext.defaultParallelism), 1)
     fdf = (spark.createDataFrame([(f,) for f in files], "path string")
            .repartition(min(len(files), par * 4)))
@@ -358,16 +362,26 @@ def _rowgroup_units(spark: SparkSession, path: str,
         import pyarrow.parquet as pq
         for batch in it:
             paths = batch.column(0).to_pylist()
-            ns = [pq.ParquetFile(p).metadata.num_row_groups for p in paths]
+            offs = []
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                # per-row-group FILE row offsets (prefix sums): the
+                # coordinate system v2 position deletes are written in
+                o, acc = [], 0
+                for g in range(md.num_row_groups):
+                    o.append(acc)
+                    acc += md.row_group(g).num_rows
+                offs.append(o)
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(ns, type=pa.int32())],
-                names=["path", "n"])
+                [batch.column(0),
+                 pa.array(offs, type=pa.list_(pa.int64()))],
+                names=["path", "offs"])
 
-    counts = fdf.mapInArrow(footer_counts, "path string, n int")
-    units = (counts.where(F.col("n") > 0)   # sequence(0,-1) would descend
+    counts = fdf.mapInArrow(footer_counts, "path string, "
+                                           "offs array<long>")
+    units = (counts.where(F.size("offs") > 0)
              .select("path",
-                     F.explode(F.sequence(F.lit(0), F.col("n") - 1)
-                               ).alias("rg")))
+                     F.posexplode("offs").alias("rg", "rg_off")))
     factor = int(os.environ.get("SIMDCOMP_UNIT_FACTOR", "4"))
     return units.repartition(par * factor)
 
@@ -459,6 +473,28 @@ def salt_encoded(df_encoded: DataFrame, shards: int | None = None) -> DataFrame:
             .repartition(shards, "_shard").drop("_shard"))
 
 
+def _delete_assignment(dels: list[dict], files: list[str]
+                       ) -> dict[str, list[str]]:
+    """{data file → delete files that may reference it}, planned from the
+    delete manifests' file_path BOUNDS (the reserved-field-id bounds the
+    delete writer records) — metadata only, no delete file is opened.  A
+    delete file lacking bounds is conservatively assigned to every data
+    file."""
+    from . import iceberg
+    spans = []
+    for d in dels:
+        lbs = {e["key"]: e["value"] for e in (d.get("lower_bounds") or [])}
+        ubs = {e["key"]: e["value"] for e in (d.get("upper_bounds") or [])}
+        fid = iceberg._FP_FID
+        if fid in lbs and fid in ubs:
+            spans.append((lbs[fid].decode(), ubs[fid].decode(),
+                          d["file_path"]))
+        else:
+            spans.append((None, None, d["file_path"]))
+    return {f: [p for lo, hi, p in spans
+                if lo is None or lo <= f <= hi] for f in files}
+
+
 def decode_files(spark: SparkSession, path: str,
                  batch_rows: int = 2048,
                  snapshot_id: int | None = None,
@@ -472,24 +508,75 @@ def decode_files(spark: SparkSession, path: str,
     columnar→Arrow conversion removes the decode side's dominant fixed cost
     (the encode side's measurement in BENCH.md applies symmetrically).
     Returns (doc_id, source, seg_id, tokens) segments; reassemble split rows
-    with the ``decode``-style groupBy if the table was length-split.
+    with :func:`reassemble_segments` if the table was length-split.
     ``files`` restricts the decode to an explicit subset — e.g. the
     output of ``iceberg.prune_files`` for a metadata-planned range
-    decode that never touches the other files."""
-    import pyarrow.parquet as pq
+    decode that never touches the other files.
 
+    Iceberg inputs with POSITION DELETES are honored without compaction:
+    each work unit knows its row group's FILE row offset (the delete
+    coordinate system), the planner assigns delete files to data files
+    from manifest bounds alone, and the worker reads only the matching
+    coordinate rows (parquet predicate pushdown over the sorted
+    file_path column) and masks them out per Arrow batch BEFORE
+    decoding — deleted rows never cost a kernel call.  Scale shape: the
+    per-unit delete read is bounded by that file's deleted-row count,
+    not the table's."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    del_map = None
+    if (Path(path) / "metadata" / "version-hint.text").is_file():
+        from . import iceberg
+        dels = iceberg.delete_files(path, snapshot_id)
+        if dels:
+            if files is None:  # plan files WITHOUT the delete refusal
+                files = [d["file_path"] for d in iceberg.data_files(
+                    path, snapshot_id, ignore_deletes=True)]
+            del_map = _delete_assignment(dels, files)
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
+    if del_map is not None:
+        dmap = spark.createDataFrame(
+            [(k, v) for k, v in del_map.items()],
+            "path string, dels array<string>")
+        fdf = fdf.join(F.broadcast(dmap), "path", "left")
+    else:
+        fdf = fdf.withColumn("dels", F.lit(None).cast("array<string>"))
+    fdf = fdf.select("path", "rg", "rg_off", "dels")
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
 
+    def _deleted_positions(del_paths, path_):
+        import pyarrow.dataset as pads
+        dset = pads.dataset(list(del_paths), format="parquet")
+        t = dset.to_table(filter=pads.field("file_path") == path_,
+                          columns=["pos"])
+        return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
+
     def fn(it):
         for batch in it:
-            for path_, rg in zip(batch.column(0).to_pylist(),
-                                 batch.column(1).to_pylist()):
+            for path_, rg, rg_off, dels in zip(
+                    batch.column(0).to_pylist(),
+                    batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(),
+                    batch.column(3).to_pylist()):
                 pf = pq.ParquetFile(path_, pre_buffer=True)
+                dead = (_deleted_positions(dels, path_)
+                        if dels else None)
+                cur = rg_off
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg], columns=cols):
                     rb = rb.select(cols)  # parquet yields file order
+                    n = rb.num_rows
+                    if dead is not None and dead.size:
+                        lo, hi = np.searchsorted(dead, [cur, cur + n])
+                        if hi > lo:
+                            mask = np.ones(n, dtype=bool)
+                            mask[dead[lo:hi] - cur] = False
+                            rb = rb.filter(pa.array(mask))
+                    cur += n
+                    if rb.num_rows == 0:
+                        continue
                     tokens_arr = _decode_batch_columns(
                         rb.column(3), rb.column(4), rb.column(5),
                         rb.column(6), rb.column(7))

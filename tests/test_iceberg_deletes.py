@@ -71,13 +71,35 @@ def test_time_travel_predates_delete(spark, deltable):
 
 
 def test_raw_file_consumers_refuse_deleted_table(spark, deltable):
-    """data_files (and through it the fused decode path) refuses a
-    delete-bearing snapshot instead of resurrecting deleted rows."""
+    """data_files (and through it the fused ENCODE planner, whose input
+    is a tokens table) refuses a delete-bearing snapshot instead of
+    resurrecting deleted rows; the fused DECODE applies them instead
+    (test_decode_files_applies_deletes)."""
     table, _ = deltable
     with pytest.raises(NotImplementedError, match="position-delete"):
         iceberg.data_files(table)
     with pytest.raises(NotImplementedError, match="position-delete"):
-        engine.decode_files(spark, table)
+        engine.encode_files(spark, table)
+
+
+def test_decode_files_applies_deletes(spark, deltable):
+    """The fused decode path honors position deletes WITHOUT compaction:
+    work units carry their row group's file row offset, delete files are
+    assigned from manifest bounds, and deleted rows are masked out
+    before any kernel call — output bit-identical to the read_table
+    (anti-join) path."""
+    table, tok = deltable
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    keep = tok.where(~F.col("doc_id").like("%3"))
+    assert engine.verify_roundtrip(keep, dec) == 0
+    # an explicit file subset (pruned range decode) also applies them
+    subset = [d["file_path"]
+              for d in iceberg.data_files(table, ignore_deletes=True)][:2]
+    dec_sub = engine.decode_files(spark, table, files=subset)
+    full = iceberg.read_table_with_pos(spark, table) \
+        .where(F.col("_file").isin(subset))
+    assert dec_sub.count() == full.count()
+    assert dec_sub.where(F.col("doc_id").like("%3")).count() == 0
 
 
 def test_deletes_compose_and_never_rematch(spark, deltable):
