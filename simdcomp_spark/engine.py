@@ -495,6 +495,30 @@ def _delete_assignment(dels: list[dict], files: list[str]
                 if lo is None or lo <= f <= hi] for f in files}
 
 
+def _eq_delete_assignment(table_dir: str, entries: list[dict],
+                          eq_dels: list[dict]) -> dict[str, str | None]:
+    """{data file → JSON [{cols, paths}] of equality-delete files that
+    apply to it} under the v2 sequence rule: a delete applies only to
+    data files with a STRICTLY smaller data sequence number, so rows
+    (re-)appended after the delete survive.  Metadata-only planning; the
+    JSON rides the broadcast work-unit map to the workers."""
+    import json
+    from . import iceberg
+    meta = iceberg._load_metadata(table_dir)
+    groups = iceberg._eq_delete_groups(meta, eq_dels)
+    out: dict[str, str | None] = {}
+    for e in entries:
+        fseq = int(e.get("_sequence_number") or 0)
+        lst = []
+        for cols, ds in groups.items():
+            paths = [d["file_path"] for d in ds
+                     if int(d["_sequence_number"]) > fseq]
+            if paths:
+                lst.append({"cols": list(cols), "paths": paths})
+        out[e["file_path"]] = json.dumps(lst) if lst else None
+    return out
+
+
 def decode_files(spark: SparkSession, path: str,
                  batch_rows: int = 2048,
                  snapshot_id: int | None = None,
@@ -513,36 +537,52 @@ def decode_files(spark: SparkSession, path: str,
     output of ``iceberg.prune_files`` for a metadata-planned range
     decode that never touches the other files.
 
-    Iceberg inputs with POSITION DELETES are honored without compaction:
-    each work unit knows its row group's FILE row offset (the delete
-    coordinate system), the planner assigns delete files to data files
-    from manifest bounds alone, and the worker reads only the matching
-    coordinate rows (parquet predicate pushdown over the sorted
-    file_path column) and masks them out per Arrow batch BEFORE
-    decoding — deleted rows never cost a kernel call.  Scale shape: the
-    per-unit delete read is bounded by that file's deleted-row count,
-    not the table's."""
+    Iceberg inputs with DELETES are honored without compaction.
+    POSITION deletes: each work unit knows its row group's FILE row
+    offset (the delete coordinate system), the planner assigns delete
+    files to data files from manifest bounds alone, and the worker reads
+    only the matching coordinate rows (parquet predicate pushdown over
+    the sorted file_path column) and masks them out per Arrow batch
+    BEFORE any kernel call.  EQUALITY deletes: the planner assigns each
+    data file the delete files with a strictly larger sequence number
+    (the v2 rule — later re-appends survive), and the worker loads those
+    keys once per task (cached) and drops matching rows per batch.
+    Scale shape: the per-unit delete read is bounded by the delete-file
+    sizes, not the table's."""
+    import json
     import pyarrow.parquet as pq
     from pathlib import Path
 
-    del_map = None
+    del_map = eq_map = None
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
-        dels = iceberg.delete_files(path, snapshot_id)
-        if dels:
+        all_dels = iceberg.delete_files(path, snapshot_id)
+        if all_dels:
+            entries = iceberg.data_files(path, snapshot_id,
+                                         ignore_deletes=True)
             if files is None:  # plan files WITHOUT the delete refusal
-                files = [d["file_path"] for d in iceberg.data_files(
-                    path, snapshot_id, ignore_deletes=True)]
-            del_map = _delete_assignment(dels, files)
+                files = [e["file_path"] for e in entries]
+            else:
+                fset = set(files)
+                entries = [e for e in entries if e["file_path"] in fset]
+            pos_dels = [d for d in all_dels if d.get("content", 0) == 1]
+            eq_dels = [d for d in all_dels if d.get("content", 0) == 2]
+            if pos_dels:
+                del_map = _delete_assignment(pos_dels, files)
+            if eq_dels:
+                eq_map = _eq_delete_assignment(path, entries, eq_dels)
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
-    if del_map is not None:
+    if del_map is not None or eq_map is not None:
+        keys = set(del_map or {}) | set(eq_map or {})
         dmap = spark.createDataFrame(
-            [(k, v) for k, v in del_map.items()],
-            "path string, dels array<string>")
+            [(k, (del_map or {}).get(k), (eq_map or {}).get(k))
+             for k in sorted(keys)],
+            "path string, dels array<string>, eq string")
         fdf = fdf.join(F.broadcast(dmap), "path", "left")
     else:
-        fdf = fdf.withColumn("dels", F.lit(None).cast("array<string>"))
-    fdf = fdf.select("path", "rg", "rg_off", "dels")
+        fdf = (fdf.withColumn("dels", F.lit(None).cast("array<string>"))
+               .withColumn("eq", F.lit(None).cast("string")))
+    fdf = fdf.select("path", "rg", "rg_off", "dels", "eq")
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
 
@@ -553,16 +593,38 @@ def decode_files(spark: SparkSession, path: str,
                           columns=["pos"])
         return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
 
+    def _eq_killers(eq_spec: str, cache: dict):
+        """[(key col names, set of deleted key tuples/values)] for one
+        unit; delete-file reads are cached per task (many row groups of
+        one file share the same assignment)."""
+        import pyarrow.dataset as pads
+        out = []
+        for g in json.loads(eq_spec):
+            ck = (tuple(g["cols"]), tuple(g["paths"]))
+            if ck not in cache:
+                t = pads.dataset(g["paths"], format="parquet") \
+                    .to_table(columns=g["cols"])
+                if len(g["cols"]) == 1:
+                    cache[ck] = set(t.column(0).to_pylist())
+                else:
+                    cache[ck] = set(zip(*[t.column(c).to_pylist()
+                                          for c in g["cols"]]))
+            out.append((g["cols"], cache[ck]))
+        return out
+
     def fn(it):
+        eq_cache: dict = {}
         for batch in it:
-            for path_, rg, rg_off, dels in zip(
+            for path_, rg, rg_off, dels, eq in zip(
                     batch.column(0).to_pylist(),
                     batch.column(1).to_pylist(),
                     batch.column(2).to_pylist(),
-                    batch.column(3).to_pylist()):
+                    batch.column(3).to_pylist(),
+                    batch.column(4).to_pylist()):
                 pf = pq.ParquetFile(path_, pre_buffer=True)
                 dead = (_deleted_positions(dels, path_)
                         if dels else None)
+                killers = _eq_killers(eq, eq_cache) if eq else None
                 cur = rg_off
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg], columns=cols):
@@ -575,6 +637,19 @@ def decode_files(spark: SparkSession, path: str,
                             mask[dead[lo:hi] - cur] = False
                             rb = rb.filter(pa.array(mask))
                     cur += n
+                    if killers and rb.num_rows:
+                        keep = np.ones(rb.num_rows, dtype=bool)
+                        for kcols, kset in killers:
+                            idxs = [cols.index(c) for c in kcols]
+                            vals = (rb.column(idxs[0]).to_pylist()
+                                    if len(idxs) == 1 else
+                                    zip(*[rb.column(i).to_pylist()
+                                          for i in idxs]))
+                            keep &= np.fromiter(
+                                (v not in kset for v in vals),
+                                dtype=bool, count=rb.num_rows)
+                        if not keep.all():
+                            rb = rb.filter(pa.array(keep))
                     if rb.num_rows == 0:
                         continue
                     tokens_arr = _decode_batch_columns(

@@ -298,6 +298,12 @@ _DATA_FILE_SCHEMA = {
         _f("file_size_in_bytes", "long", 104),
         _f("lower_bounds", _kv_map("k126_v127"), 125, required=False),
         _f("upper_bounds", _kv_map("k129_v130"), 128, required=False),
+        # spec field 135 (element id 136): the schema field ids an
+        # EQUALITY delete file (content=2) deletes on; null for data and
+        # position-delete files
+        _f("equality_ids",
+           {"type": "array", "items": "int", "element-id": 136},
+           135, required=False),
     ]}
 
 _MANIFEST_ENTRY_SCHEMA = {
@@ -938,7 +944,8 @@ def _snapshot_entries(table_dir: str, snapshot_id: int | None = None
     the manifest-list entry's; EXISTING entries carry explicit values) —
     compaction needs them to carry untouched files forward as EXISTING
     entries without rewriting a byte.  ``delete_entries`` are POSITION
-    delete files (content=1); equality deletes are refused loudly."""
+    delete files (content=1) and EQUALITY delete files (content=2);
+    callers split on ``content``."""
     meta = _load_metadata(table_dir)
     sid = snapshot_id or meta["current-snapshot-id"]
     if snapshot_id is None and (sid == -1 or not meta["snapshots"]):
@@ -964,16 +971,11 @@ def _snapshot_entries(table_dir: str, snapshot_id: int | None = None
                 if e.get("sequence_number") is not None
                 else m["sequence_number"])
             content = d.get("content", 0)
-            if content == 2:
-                raise NotImplementedError(
-                    f"{table_dir}: {d['file_path']} is an EQUALITY delete "
-                    "file (content=2); this reader applies position "
-                    "deletes only — compact the table with the engine "
-                    "that wrote it, or read an earlier snapshot")
-            # spec: a manifest's content must agree with its entries; a
+            # spec: a manifest's content must agree with its entries (a
+            # DELETE manifest holds position=1 OR equality=2 files); a
             # mismatch means a corrupt/hand-edited metadata tree, and
             # guessing either way silently loses or resurrects rows
-            if content != m_content:
+            if (content == 0) != (m_content == 0):
                 kind = ("data file entry in a DELETE manifest"
                         if m_content == 1 else
                         "delete file entry in a DATA manifest")
@@ -990,26 +992,32 @@ def data_files(table_dir: str, snapshot_id: int | None = None,
     """Live data files of a snapshot (current by default) by walking
     metadata → manifest list → manifests, per the spec.
 
-    If the snapshot carries POSITION DELETE files this raises unless
-    ``ignore_deletes=True``: callers that hand the returned paths straight
-    to a parquet scan (the fused encode/decode paths) would silently
-    resurrect deleted rows.  Row-aware readers go through
+    If the snapshot carries DELETE files (position or equality) this
+    raises unless ``ignore_deletes=True``: callers that hand the returned
+    paths straight to a parquet scan (the fused encode/decode paths)
+    would silently resurrect deleted rows.  Row-aware readers go through
     :func:`read_table` (which applies the deletes) or
     :func:`compact_files` (which rewrites them away)."""
     _, data, dels = _snapshot_entries(table_dir, snapshot_id)
     if dels and not ignore_deletes:
+        npos = sum(1 for d in dels if d.get("content", 0) == 1)
         raise NotImplementedError(
-            f"{table_dir}: the snapshot carries {len(dels)} position-"
-            "delete file(s); a raw file-level scan would resurrect "
-            "deleted rows. Read via iceberg.read_table (applies the "
-            "deletes), or run iceberg.compact_files first for file-level "
-            "consumers (fused encode/decode).")
+            f"{table_dir}: the snapshot carries {npos} position-delete "
+            f"and {len(dels) - npos} equality-delete file(s); a raw "
+            "file-level scan would resurrect deleted rows. Read via "
+            "iceberg.read_table (applies the deletes), or run "
+            "iceberg.compact_files first for file-level consumers "
+            "(fused encode/decode).")
     return data
 
 
 def delete_files(table_dir: str, snapshot_id: int | None = None
                  ) -> list[dict]:
-    """Live POSITION DELETE files of a snapshot (empty when none)."""
+    """Live DELETE files of a snapshot (empty when none): position
+    deletes carry ``content=1``, equality deletes ``content=2`` plus
+    ``equality_ids`` (the schema field ids they delete on) and
+    ``_sequence_number`` (they apply only to data files with a STRICTLY
+    SMALLER data sequence number, per the v2 spec)."""
     return _snapshot_entries(table_dir, snapshot_id)[2]
 
 
@@ -1032,19 +1040,127 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     return df.join(pos, cond, "left_anti")
 
 
-def _read_with_pos(spark: SparkSession, table_dir: str, paths: list[str],
-                   dels: list[dict]) -> DataFrame:
-    """Scan ``paths`` under the table's CURRENT schema with two extra
-    columns — ``_file`` (normalized data-file path) and ``_pos`` (row
-    ordinal within its file, Spark's ``_metadata.row_index``) — and the
-    snapshot's position deletes applied.  (file, pos) is exactly the
-    coordinate system v2 position-delete files speak."""
+def _eq_delete_groups(meta: dict, eq_dels: list[dict]
+                      ) -> dict[tuple, list[dict]]:
+    """Group equality-delete files by their key-column NAME tuple
+    (resolving ``equality_ids`` against the current schema); raises on
+    ids the schema does not know (deleting on a since-dropped column
+    cannot be evaluated)."""
+    by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
+    groups: dict[tuple, list[dict]] = {}
+    for d in eq_dels:
+        ids = list(d.get("equality_ids") or [])
+        if not ids:
+            raise ValueError(
+                f"{d['file_path']}: equality delete file (content=2) "
+                "without equality_ids")
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"{d['file_path']}: equality_ids {missing} not in the "
+                "current schema")
+        groups.setdefault(tuple(by_id[i] for i in ids), []).append(d)
+    return groups
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
+                            eq_dels: list[dict], meta: dict) -> DataFrame:
+    """Anti-join ``df`` (must carry ``_seq``, its data file's sequence
+    number) against the snapshot's equality-delete files.  Spec
+    semantics: a delete row removes every data row whose key columns are
+    null-safe-equal AND whose data sequence number is STRICTLY LESS than
+    the delete file's — rows (re-)appended after the delete survive.
+    Small delete sets broadcast; larger ones shuffle on the key."""
+    for cols, ds in _eq_delete_groups(meta, eq_dels).items():
+        keys = None
+        for d in ds:
+            k = (spark.read.parquet(d["file_path"]).select(*cols)
+                 .withColumn("_del_seq",
+                             F.lit(int(d["_sequence_number"]))))
+            keys = k if keys is None else keys.unionByName(k)
+        if sum(int(d.get("file_size_in_bytes") or 0)
+               for d in ds) < _BROADCAST_DELETE_BYTES:
+            keys = F.broadcast(keys)
+        cond = keys["_del_seq"] > df["_seq"]
+        for c in cols:
+            cond = cond & df[c].eqNullSafe(keys[c])
+        df = df.join(keys, cond, "left_anti")
+    return df
+
+
+def _eq_dirty_files(meta: dict, data: list[dict], eq_dels: list[dict]
+                    ) -> set[str]:
+    """Conservative dirty set for equality deletes (compaction planning):
+    every data file with a STRICTLY smaller sequence number whose
+    key-column bounds intersect the delete file's.  Missing bounds on
+    either side → assumed dirty (a rewrite of a clean file is wasted
+    work, a skipped dirty file resurrects rows)."""
+    fields = {f["name"]: f for f in _current_schema(meta)["fields"]}
+    dirty: set[str] = set()
+    for cols, ds in _eq_delete_groups(meta, eq_dels).items():
+        for d in ds:
+            dseq = int(d["_sequence_number"])
+            dlb = {e["key"]: e["value"]
+                   for e in (d.get("lower_bounds") or [])}
+            dub = {e["key"]: e["value"]
+                   for e in (d.get("upper_bounds") or [])}
+            for e in data:
+                if e["file_path"] in dirty:
+                    continue
+                if int(e.get("_sequence_number") or 0) >= dseq:
+                    continue
+                elb = {b["key"]: b["value"]
+                       for b in (e.get("lower_bounds") or [])}
+                eub = {b["key"]: b["value"]
+                       for b in (e.get("upper_bounds") or [])}
+                hit = True
+                for c in cols:
+                    f = fields[c]
+                    fid, t = f["id"], f["type"]
+                    if not isinstance(t, str):
+                        continue
+                    if all(fid in m for m in (dlb, dub, elb, eub)):
+                        if (_sv_decode(t, eub[fid])
+                                < _sv_decode(t, dlb[fid])
+                                or _sv_decode(t, elb[fid])
+                                > _sv_decode(t, dub[fid])):
+                            hit = False
+                            break
+                if hit:
+                    dirty.add(e["file_path"])
+    return dirty
+
+
+def _read_with_pos(spark: SparkSession, table_dir: str,
+                   entries: list[dict], dels: list[dict],
+                   meta: dict | None = None) -> DataFrame:
+    """Scan the data files in ``entries`` under the table's CURRENT
+    schema with two extra columns — ``_file`` (normalized data-file
+    path) and ``_pos`` (row ordinal within its file, Spark's
+    ``_metadata.row_index``) — and the snapshot's position AND equality
+    deletes applied.  (file, pos) is exactly the coordinate system v2
+    position-delete files speak; equality deletes additionally need each
+    row's data sequence number (``entries`` carry it), attached via a
+    broadcast (file → seq) map so the scan stays shuffle-free."""
+    paths = [e["file_path"] for e in entries]
     df = (spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
           .withColumn("_file", F.regexp_replace(
               F.col("_metadata.file_path"), "^file:/+", "/"))
           .withColumn("_pos", F.col("_metadata.row_index")))
-    if dels:
-        df = _apply_position_deletes(spark, df, dels)
+    pos_dels = [d for d in dels if d.get("content", 0) == 1]
+    eq_dels = [d for d in dels if d.get("content", 0) == 2]
+    if pos_dels:
+        df = _apply_position_deletes(spark, df, pos_dels)
+    if eq_dels:
+        if meta is None:
+            meta = _load_metadata(table_dir)
+        seqs = spark.createDataFrame(
+            [(e["file_path"], int(e.get("_sequence_number") or 0))
+             for e in entries], "_file string, _seq bigint")
+        df = (_apply_equality_deletes(
+                  spark, df.join(F.broadcast(seqs), "_file", "left"),
+                  eq_dels, meta)
+              .drop("_seq"))
     return df
 
 
@@ -1056,12 +1172,11 @@ def read_table_with_pos(spark: SparkSession, table_dir: str,
     their (_file, _pos) pairs, commit via
     :func:`write_position_deletes`.  Existing deletes are applied, so
     already-deleted rows can never be selected again."""
-    _, data, dels = _snapshot_entries(table_dir, snapshot_id)
-    paths = [d["file_path"] for d in data]
-    if not paths:
+    meta, data, dels = _snapshot_entries(table_dir, snapshot_id)
+    if not data:
         return spark.createDataFrame(
             [], _spark_ddl(table_dir) + ", _file string, _pos bigint")
-    return _read_with_pos(spark, table_dir, paths, dels)
+    return _read_with_pos(spark, table_dir, data, dels, meta)
 
 
 def read_table(spark: SparkSession, table_dir: str,
@@ -1073,9 +1188,11 @@ def read_table(spark: SparkSession, table_dir: str,
     (col, lo, hi)`` additionally prunes files via the manifest column
     bounds (:func:`prune_files`) and applies the exact row filter on
     top (the pruning is a superset guarantee, the filter the truth).
-    POSITION DELETE files in the snapshot are applied (anti-join on the
-    (file, row-ordinal) coordinates; broadcast when small)."""
-    _, data, dels = _snapshot_entries(table_dir, snapshot_id)
+    DELETE files in the snapshot are applied — position deletes by
+    anti-join on the (file, row-ordinal) coordinates, equality deletes
+    by null-safe key anti-join under the sequence-number rule; both
+    broadcast when small."""
+    meta, data, dels = _snapshot_entries(table_dir, snapshot_id)
     if between is not None:
         col, lo, hi = between
         files = prune_files(table_dir, col, lo, hi, snapshot_id,
@@ -1086,7 +1203,7 @@ def read_table(spark: SparkSession, table_dir: str,
     if not paths:
         return spark.createDataFrame([], _spark_ddl(table_dir))
     if dels:
-        df = _read_with_pos(spark, table_dir, paths, dels) \
+        df = _read_with_pos(spark, table_dir, files, dels, meta) \
             .drop("_file", "_pos")
     else:
         # explicit CURRENT schema: files written before an add_column
@@ -1263,6 +1380,108 @@ def delete_where(spark: SparkSession, table_dir: str, predicate
         extra_summary={"delete-predicate": str(predicate)})
 
 
+def write_equality_deletes(spark: SparkSession, table_dir: str,
+                           keys_df: DataFrame,
+                           extra_summary: dict[str, str] | None = None
+                           ) -> dict | None:
+    """Commit a DELETE snapshot from a DataFrame of KEY VALUES — the v2
+    equality-delete format (content=2): a delete row removes every data
+    row whose values in the key columns are null-safe-equal, in data
+    files with a STRICTLY smaller sequence number (spec: 'equality
+    delete files are applied to data files from older sequence
+    numbers'), so rows (re-)appended later survive.  The key columns are
+    ``keys_df``'s columns, recorded as schema field ids in the manifest's
+    ``equality_ids``; unlike position deletes no row coordinate is
+    needed — the writer never has to read the table, which is what CDC /
+    takedown-by-id pipelines want at 100 TB.  Key-column bounds are
+    stamped on the delete file so compaction can skip data files whose
+    bounds cannot intersect.  Returns the new table metadata, or None
+    (no commit) when ``keys_df`` is empty."""
+    prev_meta = _load_metadata(table_dir)
+    spec, part_fields = _spec_part_fields(prev_meta)
+    fields = {f["name"]: f for f in _current_schema(prev_meta)["fields"]}
+    cols = list(keys_df.columns)
+    unknown = [c for c in cols if c not in fields]
+    if not cols or unknown:
+        raise ValueError(
+            f"equality-delete key columns {unknown or cols} not in the "
+            f"table schema {sorted(fields)}")
+    eq_ids = [fields[c]["id"] for c in cols]
+    keys_df = keys_df.distinct()
+    n_keys = keys_df.count()
+    if n_keys == 0:
+        return None
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    now_ms = time.time_ns() // 1_000_000
+    out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
+    nfiles = (n_keys + _DELETE_ROWS_PER_FILE - 1) // _DELETE_ROWS_PER_FILE
+    (keys_df.repartitionByRange(nfiles, *cols)
+     .sortWithinPartitions(*cols)
+     .write.mode("error").parquet(out))
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    stats = _file_stats(spark, files)
+
+    entries = []
+    for p, rows, size, col_bounds in stats:
+        lbs, ubs = [], []
+        for c in cols:
+            if c not in col_bounds:
+                continue
+            f = fields[c]
+            if not isinstance(f["type"], str):
+                continue
+            mn, mx = col_bounds[c]
+            try:
+                lbs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mn)})
+                ubs.append({"key": f["id"],
+                            "value": _sv_encode(f["type"], mx)})
+            except NotImplementedError:
+                continue
+        entries.append(
+            {"status": 1, "snapshot_id": snap_id,
+             "sequence_number": None, "file_sequence_number": None,
+             "data_file": {"content": 2, "file_path": p,
+                           "file_format": "PARQUET",
+                           "partition": {n: None for n, _, _ in
+                                         part_fields},
+                           "record_count": rows,
+                           "file_size_in_bytes": size,
+                           "lower_bounds": lbs, "upper_bounds": ubs,
+                           "equality_ids": eq_ids}})
+    mdir = _meta_dir(table_dir)
+    manifest_path = str(mdir / f"manifest-eqdel-{snap_id}.avro")
+    _avro_write(manifest_path, _manifest_entry_schema(part_fields), entries,
+                metadata={"schema": json.dumps(_current_schema(prev_meta)),
+                          "partition-spec": json.dumps(spec["fields"]),
+                          "content": "deletes",
+                          "format-version": "2"})
+    mlist = _prev_manifest_records(prev_meta) + [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec["spec-id"], "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(stats),
+        "existing_data_files_count": 0, "deleted_data_files_count": 0,
+        "added_rows_count": n_keys,
+        "existing_rows_count": 0, "deleted_rows_count": 0}]
+    mlist_path = str(mdir / f"snap-{snap_id}.avro")
+    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
+                metadata={"format-version": "2"})
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms, "manifest-list": mlist_path,
+                "schema-id": 0,
+                "summary": {"operation": "delete",
+                            "added-equality-delete-files": str(len(stats)),
+                            "added-equality-deletes": str(n_keys),
+                            "equality-field-ids":
+                                ",".join(map(str, eq_ids)),
+                            **(extra_summary or {})}}
+    return _attach_snapshot(table_dir, prev_meta, snapshot)
+
+
 def compact_files(spark: SparkSession, table_dir: str) -> dict:
     """REPLACE commit that folds the snapshot's position deletes into the
     data files they dirty — and ONLY those: untouched files are carried
@@ -1283,12 +1502,18 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
     if not dels:
         return {"meta": None, "rewritten_files": 0,
                 "kept_files": len(data), "removed_delete_files": 0}
-    del_paths = [d["file_path"] for d in dels]
-    # distinct dirtied paths: bounded by the data-file count, the same
-    # order of driver memory as the manifest listing itself
-    dirty = {r["file_path"] for r in
-             spark.read.schema("file_path string, pos bigint")
-             .parquet(*del_paths).select("file_path").distinct().collect()}
+    pos_dels = [d for d in dels if d.get("content", 0) == 1]
+    eq_dels = [d for d in dels if d.get("content", 0) == 2]
+    dirty: set[str] = set()
+    if pos_dels:
+        # distinct dirtied paths: bounded by the data-file count, the
+        # same order of driver memory as the manifest listing itself
+        dirty |= {r["file_path"] for r in
+                  spark.read.schema("file_path string, pos bigint")
+                  .parquet(*[d["file_path"] for d in pos_dels])
+                  .select("file_path").distinct().collect()}
+    if eq_dels:
+        dirty |= _eq_dirty_files(prev_meta, data, eq_dels)
     clean = [d for d in data if d["file_path"] not in dirty]
     dirty_entries = [d for d in data if d["file_path"] in dirty]
 
@@ -1303,9 +1528,8 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
     now_ms = time.time_ns() // 1_000_000
 
     # rewrite ONLY the dirtied files, deletes applied
-    df = _read_with_pos(spark, table_dir,
-                        [d["file_path"] for d in dirty_entries], dels) \
-        .drop("_file", "_pos")
+    df = _read_with_pos(spark, table_dir, dirty_entries, dels,
+                        prev_meta).drop("_file", "_pos")
     out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
     if part_cols:
         dup = df
@@ -1389,7 +1613,9 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
                             "rewritten-data-files": str(len(dirty_entries)),
                             "kept-data-files": str(len(clean)),
                             "removed-position-delete-files":
-                                str(len(dels))}}
+                                str(len(pos_dels)),
+                            "removed-equality-delete-files":
+                                str(len(eq_dels))}}
     meta = _attach_snapshot(table_dir, prev_meta, snapshot)
     return {"meta": meta, "rewritten_files": len(dirty_entries),
             "kept_files": len(clean), "removed_delete_files": len(dels)}
@@ -1399,7 +1625,8 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
 # table maintenance: snapshot expiry + orphan-file cleanup
 # ---------------------------------------------------------------------------
 
-_LINEAGE_KEYS = ("simdcomp-shards", "simdcomp-input-files")
+_LINEAGE_KEYS = ("simdcomp-shards", "simdcomp-input-files",
+                 "simdcomp-stream-batches")
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
@@ -1439,10 +1666,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
                 merged |= set(_json.loads(v))
         if merged:
             props[f"{key}-expired"] = _json.dumps(sorted(merged))
-    for s in expired:  # the shard modulus must survive expiry too
-        tot = s.get("summary", {}).get("simdcomp-total-shards")
-        if tot:
-            props["simdcomp-total-shards"] = tot
+    for s in expired:  # scalar lineage must survive expiry too: the
+        # shard modulus and the streaming sink's checkpoint query id
+        for k in ("simdcomp-total-shards", "simdcomp-stream-query"):
+            v = s.get("summary", {}).get(k)
+            if v:
+                props[k] = v
     meta["properties"] = props
     meta["snapshots"] = kept
     keep_ids = {s["snapshot-id"] for s in kept}

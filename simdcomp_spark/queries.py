@@ -941,6 +941,48 @@ def q_iceberg_pos_delete(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_eq_delete(spark, sf_dir):
+    """v2 EQUALITY DELETES end-to-end: orders tokens encoded into an
+    Iceberg table, every doc with custkey % 5 == 2 deleted by KEY VALUE
+    (iceberg.write_equality_deletes on doc_id — no row coordinates, the
+    writer never reads the table) with NO data-file rewrite (asserted),
+    then a subset (custkey % 10 == 2) RE-APPENDED — the v2 sequence rule
+    says equality deletes apply only to data files with a strictly
+    smaller sequence number, so the re-appended docs must survive
+    (asserted).  The result is produced by the FUSED decode_files path,
+    which masks equality-deleted rows per Arrow batch before any kernel
+    call, and must match the SQL oracle's complementary predicate."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "iceeqdel")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    enc = engine.encode(tok, codec="auto", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    keys = tok.where("cast(doc_id as bigint) % 5 = 2").select("doc_id")
+    meta = iceberg.write_equality_deletes(spark, table, keys)
+    if meta is None:
+        raise AssertionError("equality delete matched no keys")
+    if {d["file_path"]
+            for d in iceberg.data_files(table, ignore_deletes=True)} \
+            != before:
+        raise AssertionError("equality delete rewrote data files")
+    re_tok = tok.where("cast(doc_id as bigint) % 10 = 2")
+    iceberg.append(engine.encode(re_tok, codec="auto",
+                                 split_threshold=None), table)
+    if iceberg.read_table(spark, table).where(
+            "cast(doc_id as bigint) % 10 = 2").count() == 0:
+        raise AssertionError(
+            "sequence rule violated: re-appended docs were deleted")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_iceberg_dedup_delete(spark, sf_dir):
     """Delete-driven document dedup at table granularity
     (engine.dedup_delete_iceberg): the orders tokens table plus a full
@@ -1034,6 +1076,46 @@ def q_streaming_encode(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_streaming_iceberg_ingest(spark, sf_dir):
+    """Exactly-once streaming ingest into an Iceberg TABLE: the orders
+    tokens are streamed in TWO phases (second phase restarts the stream
+    from its checkpoint), each micro-batch committed as one Iceberg
+    snapshot stamped with its (query-id, batch-id); a deliberate replay
+    of an already-committed batch is asserted in-query to be a no-op
+    (no new snapshot).  The final table is read through the FUSED
+    decode path and must match the batch SQL oracle — proving the
+    streaming sink, the idempotence guard, and the table stack compose
+    bit-identically."""
+    import os
+    from . import iceberg, streaming
+    base = _stream_tmp(sf_dir, "sice")
+    in_dir = os.path.join(base, "in")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    p1 = tok.where("cast(doc_id as bigint) % 2 = 0")
+    p2 = tok.where("cast(doc_id as bigint) % 2 = 1")
+    p1.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.start_encode_stream_iceberg(
+        spark, in_dir, table, codec="auto").awaitTermination()
+    p2.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.start_encode_stream_iceberg(
+        spark, in_dir, table, codec="auto").awaitTermination()
+    done, qid = streaming.committed_stream_batches(table)
+    if done != {0, 1}:
+        raise AssertionError(f"expected batches {{0, 1}}, got {done}")
+    n_snaps = len(iceberg.snapshots(table))
+    if streaming.commit_encoded_stream_batch(
+            p1, 0, table, qid, codec="auto") is not None \
+            or len(iceberg.snapshots(table)) != n_snaps:
+        raise AssertionError("replayed batch was not a no-op")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_streaming_window(spark, sf_dir):
     """Watermarked event-time windowed aggregation over a file stream of
     the events table: tokens (sum of user_id) and docs per 1-hour window
@@ -1109,9 +1191,11 @@ QUERIES = {
     "iceberg_prune": q_iceberg_prune,
     "iceberg_partition_prune": q_iceberg_partition_prune,
     "iceberg_pos_delete": q_iceberg_pos_delete,
+    "iceberg_eq_delete": q_iceberg_eq_delete,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
+    "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
     "streaming_window": q_streaming_window,
 }
 
@@ -1423,6 +1507,15 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
 FROM orders
 WHERE CAST(o_custkey AS BIGINT) % 5 <> 2
 """,
+    "iceberg_eq_delete": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+WHERE CAST(o_custkey AS BIGINT) % 5 <> 2
+   OR CAST(o_custkey AS BIGINT) % 10 = 2
+""",
     "iceberg_dedup_delete": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(row_number() OVER (PARTITION BY o_custkey
@@ -1431,6 +1524,13 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
 FROM orders
 """,
     "streaming_encode": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+""",
+    "streaming_iceberg_ingest": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(row_number() OVER (PARTITION BY o_custkey
                                ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,

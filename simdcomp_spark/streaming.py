@@ -49,6 +49,108 @@ def start_encode_stream(spark: SparkSession, in_dir: str, out_dir: str,
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# exactly-once streaming ingest into an Iceberg table
+# ---------------------------------------------------------------------------
+
+def committed_stream_batches(table_dir: str) -> tuple[set[int], str | None]:
+    """(micro-batch ids already committed to the table, the checkpoint
+    query id that committed them) — read from snapshot summaries, plus
+    the lineage that :func:`iceberg.expire_snapshots` folded into table
+    properties, so a replay after snapshot expiry is still a no-op."""
+    import json
+    from . import iceberg
+    try:
+        meta = iceberg._load_metadata(table_dir)
+    except FileNotFoundError:
+        return set(), None
+    done: set[int] = set()
+    qid = meta.get("properties", {}).get("simdcomp-stream-query")
+    for s in meta["snapshots"]:
+        summ = s.get("summary", {})
+        v = summ.get("simdcomp-stream-batches")
+        if v:
+            done |= set(json.loads(v))
+            qid = summ.get("simdcomp-stream-query") or qid
+    exp = meta.get("properties", {}).get(
+        "simdcomp-stream-batches-expired")
+    if exp:
+        done |= set(json.loads(exp))
+    return done, qid
+
+
+def commit_encoded_stream_batch(batch_df: DataFrame, batch_id: int,
+                                table_dir: str, query_id: str,
+                                codec: str = "auto",
+                                split_threshold: int | None = None
+                                ) -> dict | None:
+    """Idempotently encode ONE micro-batch and commit it as an Iceberg
+    snapshot stamped with (query_id, batch_id).
+
+    foreachBatch is at-least-once: a crash between the table commit and
+    the checkpoint commit replays the batch.  The Iceberg metadata swap
+    is the atomic unit here, so the replay finds its batch id in the
+    snapshot summaries and returns without writing a byte — the TABLE is
+    exactly-once even though the callback is not.  A query_id mismatch
+    (stream restarted against a FRESH checkpoint, whose batch ids
+    restart at 0 and no longer name the same input) refuses loudly
+    instead of silently skipping or duplicating data."""
+    import json
+    from . import iceberg
+    done, committed_qid = committed_stream_batches(table_dir)
+    if committed_qid is not None and committed_qid != query_id:
+        raise ValueError(
+            f"{table_dir}: table was fed by streaming query "
+            f"{committed_qid}, this checkpoint is {query_id} — batch ids "
+            "from a fresh checkpoint do not name the same input, so "
+            "skip/commit decisions would be wrong. Resume with the "
+            "original checkpoint, or ingest into a new table.")
+    if batch_id in done:
+        return None
+    enc = engine.encode(batch_df, codec=codec, salt=False,
+                        split_threshold=split_threshold)
+    summ = {"simdcomp-stream-batches": json.dumps([batch_id]),
+            "simdcomp-stream-query": query_id}
+    try:
+        return iceberg.append(enc, table_dir, extra_summary=summ)
+    except FileNotFoundError:
+        return iceberg.export_encoded(enc, table_dir, extra_summary=summ)
+
+
+def start_encode_stream_iceberg(spark: SparkSession, in_dir: str,
+                                table_dir: str, codec: str = "auto",
+                                checkpoint: str | None = None,
+                                split_threshold: int | None = None,
+                                trigger_once: bool = True):
+    """Watch ``in_dir`` for appended tokens parquet and ingest each
+    micro-batch into an Iceberg table with EXACTLY-ONCE table contents
+    (one snapshot per micro-batch, idempotent on replay — see
+    :func:`commit_encoded_stream_batch`).  Unifies the streaming path
+    with the table stack: the result is an ordinary Iceberg table —
+    time travel across triggers, fused decode, dedup-delete, compaction
+    and expiry all apply.  Returns the StreamingQuery."""
+    import json
+    checkpoint = checkpoint or str(Path(table_dir) / "_checkpoint")
+    stream = (spark.readStream.schema(TOKENS_SCHEMA)
+              .parquet(in_dir))
+
+    def process(batch_df, batch_id: int):
+        # the checkpoint's stable query id (survives restarts; fresh
+        # checkpoint => fresh id), written by the engine at query start
+        qid = json.loads(
+            (Path(checkpoint) / "metadata").read_text())["id"]
+        commit_encoded_stream_batch(batch_df, batch_id, table_dir, qid,
+                                    codec=codec,
+                                    split_threshold=split_threshold)
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_first_fn(key, pdfs, state):
     """Per-content-hash stateful dedup kernel: the grouping key IS the
     content hash, the state a one-boolean marker.

@@ -559,3 +559,45 @@ def test_streaming_dedup_state_io_is_flat():
     out = list(streaming.dedup_first_fn(("h2",), iter(pdfs), new))
     assert new.updates == [(True,)]           # one marker, once
     assert [(r.doc_id, r.text) for _, r in out[0].iterrows()] == [("a", "t")]
+
+
+def test_streaming_iceberg_sink_exactly_once(spark, tmp_path):
+    """Exactly-once streaming ingest into an Iceberg table: two triggers
+    across a checkpoint RESTART land as two snapshots with no
+    duplicates; a REPLAYED batch id is a no-op; a FRESH checkpoint
+    (whose batch ids restart and no longer name the same input) refuses
+    loudly instead of double-ingesting."""
+    from simdcomp_spark import iceberg
+    in_dir = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    df = fixtures.unit_table(spark).limit(60).cache()
+    p1 = df.where("cast(doc_id as string) < '5'")
+    p2 = df.where("cast(doc_id as string) >= '5'")
+    p1.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.start_encode_stream_iceberg(spark, in_dir, table,
+                                              codec="bitpack")
+    q.awaitTermination(120)
+    p2.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming.start_encode_stream_iceberg(spark, in_dir, table,
+                                              codec="bitpack")
+    q.awaitTermination(120)
+    done, qid = streaming.committed_stream_batches(table)
+    assert done == {0, 1} and qid is not None
+    dec = engine.decode(iceberg.read_table(spark, table), reassemble=True)
+    assert engine.verify_roundtrip(df, dec) == 0
+    # replay of an already-committed batch id: no snapshot, no rows
+    n_snaps = len(iceberg.snapshots(table))
+    assert streaming.commit_encoded_stream_batch(
+        p2, 1, table, qid, codec="bitpack") is None
+    assert len(iceberg.snapshots(table)) == n_snaps
+    # fresh-checkpoint lineage mismatch refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fresh checkpoint|streaming query"):
+        streaming.commit_encoded_stream_batch(
+            p1, 0, table, "another-query-id", codec="bitpack")
+    # lineage survives snapshot expiry: replay is STILL a no-op
+    iceberg.expire_snapshots(table, keep_last=1)
+    done2, qid2 = streaming.committed_stream_batches(table)
+    assert done2 == {0, 1} and qid2 == qid
+    assert streaming.commit_encoded_stream_batch(
+        p1, 0, table, qid, codec="bitpack") is None

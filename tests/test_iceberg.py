@@ -527,9 +527,10 @@ def test_inconsistent_delete_manifest_rejected(spark, unit_df, tmp_path):
 
 
 def test_delete_entry_in_data_manifest_rejected(spark, unit_df, tmp_path):
-    """The mirror corruption — a delete-file ENTRY inside a content=0 data
-    manifest — and an equality-delete entry (content=2, unsupported) are
-    both refused loudly."""
+    """The mirror corruption — a delete-file ENTRY (position=1 or
+    equality=2) inside a content=0 DATA manifest — is refused loudly;
+    well-formed equality deletes live in DELETE manifests and are
+    applied (tests/test_iceberg_deletes.py)."""
     table = str(tmp_path / "withdel2")
     cols = ["doc_id", "source", "n_tok", "tokens"]
     iceberg.export_encoded(unit_df.select(*cols), table)
@@ -542,9 +543,9 @@ def test_delete_entry_in_data_manifest_rejected(spark, unit_df, tmp_path):
     iceberg._avro_write(mpath, schema, entries)
     with pytest.raises(ValueError, match="DATA manifest"):
         iceberg.data_files(table)
-    entries[0]["data_file"]["content"] = 2     # equality delete
+    entries[0]["data_file"]["content"] = 2     # eq delete in DATA manifest
     iceberg._avro_write(mpath, schema, entries)
-    with pytest.raises(NotImplementedError, match="EQUALITY"):
+    with pytest.raises(ValueError, match="DATA manifest"):
         iceberg.data_files(table)
 
 

@@ -245,3 +245,144 @@ def test_dedup_delete_verify_defeats_forged_collision(spark, tmp_path):
         spark, table, verify=False) is not None
     assert iceberg.read_table(spark, table) \
         .select("doc_id").distinct().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (content=2)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def eqtable(spark, tmp_path):
+    """Encoded Iceberg table of 12 docs; d03/d07/d09 deleted BY KEY via
+    write_equality_deletes (no row coordinates, no table read)."""
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=12)
+    enc = engine.encode(tok.repartition(3), codec="auto",
+                        split_threshold=64)
+    iceberg.export_encoded(enc, table)
+    keys = spark.createDataFrame(
+        [("d03",), ("d07",), ("d09",)], "doc_id string")
+    meta = iceberg.write_equality_deletes(spark, table, keys)
+    assert meta is not None
+    return table, tok
+
+
+def test_equality_delete_read_path(spark, eqtable):
+    table, tok = eqtable
+    dels = iceberg.delete_files(table)
+    assert dels and all(d["content"] == 2 for d in dels)
+    meta = iceberg._load_metadata(table)
+    fid = next(f["id"] for f in meta["schemas"][0]["fields"]
+               if f["name"] == "doc_id")
+    assert all(list(d["equality_ids"]) == [fid] for d in dels)
+    back = iceberg.read_table(spark, table)
+    docs = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert docs == {f"d{i:02d}" for i in range(12) if i not in (3, 7, 9)}
+    # survivors decode bit-identically
+    dec = engine.decode(back, reassemble=True)
+    keep = tok.where("doc_id not in ('d03','d07','d09')")
+    assert engine.verify_roundtrip(keep, dec) == 0
+    # no data file was touched, and raw file consumers refuse
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        iceberg.data_files(table)
+
+
+def test_equality_delete_sequence_rule(spark, eqtable):
+    """Rows RE-APPENDED after the delete survive: the delete applies only
+    to data files with a strictly smaller sequence number."""
+    table, tok = eqtable
+    re_tok = tok.where("doc_id = 'd07'")
+    iceberg.append(engine.encode(re_tok, codec="auto",
+                                 split_threshold=64), table)
+    back = iceberg.read_table(spark, table)
+    docs = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert "d07" in docs and "d03" not in docs and "d09" not in docs
+    keep = tok.where("doc_id not in ('d03','d09')")
+    assert engine.verify_roundtrip(
+        keep, engine.decode(back, reassemble=True)) == 0
+    # the FUSED decode applies the same semantics bit-identically
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    assert engine.verify_roundtrip(keep, dec) == 0
+
+
+def test_equality_delete_fused_decode(spark, eqtable):
+    table, tok = eqtable
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    keep = tok.where("doc_id not in ('d03','d07','d09')")
+    assert engine.verify_roundtrip(keep, dec) == 0
+
+
+def test_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    """Multi-column keys with NULL-SAFE equality: a delete key with a
+    null column matches rows whose column is null (spec semantics), and
+    only the exact (doc_id, source) pair dies."""
+    table = str(tmp_path / "t")
+    rows = [("a", list(range(10)), 10, "s1"),
+            ("a", list(range(20, 30)), 10, None),
+            ("b", list(range(40, 50)), 10, "s1")]
+    tok = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    keys = spark.createDataFrame([("a", None)],
+                                 "doc_id string, source string")
+    assert iceberg.write_equality_deletes(spark, table, keys) is not None
+    back = iceberg.read_table(spark, table)
+    left = {(r["doc_id"], r["source"])
+            for r in back.select("doc_id", "source").collect()}
+    assert left == {("a", "s1"), ("b", "s1")}
+    # fused path agrees
+    dec = engine.decode_files(spark, table)
+    fused = {(r["doc_id"], r["source"])
+             for r in dec.select("doc_id", "source").collect()}
+    assert fused == left
+
+
+def test_equality_delete_compaction(spark, eqtable):
+    """compact_files folds equality deletes away; files appended AFTER
+    the delete are clean by the sequence rule and carried forward."""
+    table, tok = eqtable
+    iceberg.append(engine.encode(tok.where("doc_id = 'd07'"),
+                                 codec="auto", split_threshold=64), table)
+    appended = {d["file_path"]
+                for d in iceberg.data_files(table, ignore_deletes=True)
+                } - {d["file_path"]
+                     for d in iceberg.data_files(
+                         table, ignore_deletes=True,
+                         snapshot_id=iceberg._load_metadata(table)
+                         ["snapshots"][0]["snapshot-id"])}
+    res = iceberg.compact_files(spark, table)
+    assert res["removed_delete_files"] == 1   # one eq-delete commit
+    after = {d["file_path"] for d in iceberg.data_files(table)}
+    assert appended <= after          # post-delete files never rewritten
+    assert iceberg.delete_files(table) == []
+    keep = tok.where("doc_id not in ('d03','d09')")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    assert engine.verify_roundtrip(keep, dec) == 0
+
+
+def test_equality_delete_validation(spark, eqtable):
+    table, _ = eqtable
+    bad = spark.createDataFrame([("x",)], "nope string")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        iceberg.write_equality_deletes(spark, table, bad)
+    empty = spark.createDataFrame([], "doc_id string")
+    assert iceberg.write_equality_deletes(spark, table, empty) is None
+
+
+def test_mixed_position_and_equality_deletes(spark, tmp_path):
+    """Both delete kinds on one snapshot compose on the read path AND
+    the fused decode path."""
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=10)
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    iceberg.delete_where(spark, table, "doc_id = 'd02'")     # position
+    keys = spark.createDataFrame([("d05",)], "doc_id string")
+    iceberg.write_equality_deletes(spark, table, keys)       # equality
+    keep = tok.where("doc_id not in ('d02','d05')")
+    back = iceberg.read_table(spark, table)
+    assert engine.verify_roundtrip(
+        keep, engine.decode(back, reassemble=True)) == 0
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    assert engine.verify_roundtrip(keep, dec) == 0
