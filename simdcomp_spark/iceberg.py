@@ -665,34 +665,60 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
 
     # 3. manifest list: append carries previous manifests forward;
     # overwrite replaces the live file set with this manifest only
-    prev_manifests = []
-    if prev_meta and operation == "append":
-        prev_snap = [s for s in prev_meta["snapshots"]
-                     if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
-        if prev_snap:
-            _, prev_manifests = _avro_read(prev_snap[0]["manifest-list"])
-    mlist = prev_manifests + [{
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0, "content": 0,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_data_files_count": len(stats),
-        "existing_data_files_count": 0, "deleted_data_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0, "deleted_rows_count": 0}]
     mlist_path = str(mdir / f"snap-{snap_id}.avro")
-    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
-                metadata={"format-version": "2"})
 
-    # 4. metadata json
-    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+    def _mk_snapshot(base_meta, seq_):
+        """Build + write the manifest list and snapshot record against
+        ``base_meta`` — re-runnable on a rebase retry: the data files and
+        our manifest avro never change, only the carried-forward previous
+        manifests and the sequence number do (snap-{snap_id}.avro is ours
+        alone, so rewriting it is safe)."""
+        prev_manifests = []
+        if base_meta and operation == "append":
+            prev_manifests = _prev_manifest_records(base_meta)
+        mlist = prev_manifests + [{
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq_, "min_sequence_number": seq_,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(stats),
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0}]
+        _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
+                    metadata={"format-version": "2"})
+        return {"snapshot-id": snap_id, "sequence-number": seq_,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
                 "schema-id": 0,
                 "summary": {"operation": operation,
                             "added-data-files": str(len(stats)),
                             "added-records": str(added_rows),
                             **(extra_summary or {})}}
+
+    snapshot = _mk_snapshot(prev_meta, seq)
+    if prev_meta and operation == "append":
+        # optimistic-concurrency retry, appends only: an append commits
+        # new files and invalidates nothing, so losing the CAS race just
+        # means REBASING — reload the winner's metadata, rebuild the
+        # manifest list + sequence number against it, and re-attach.
+        # Overwrite/delete/replace keep fail-loudly semantics (what they
+        # computed may be invalidated by the concurrent commit).
+        retries = int(os.environ.get("SIMDCOMP_COMMIT_RETRIES", "5"))
+        cur_meta = prev_meta
+        for attempt in range(retries + 1):
+            try:
+                return _attach_snapshot(table_dir, cur_meta, snapshot)
+            except RuntimeError as e:
+                if "commit conflict" not in str(e) or attempt == retries:
+                    raise
+            time.sleep(0.02 * (attempt + 1)
+                       * (1 + (uuid.uuid4().int & 0xFF) / 256))
+            cur_meta = _load_metadata(table_dir)
+            # the winner may have evolved the schema out from under us
+            _check_same_schema(cur_meta, df, "append")
+            snapshot = _mk_snapshot(
+                cur_meta, cur_meta.get("last-sequence-number", 0) + 1)
     if prev_meta:
         return _attach_snapshot(table_dir, prev_meta, snapshot)
     else:

@@ -337,9 +337,11 @@ def test_bounds_are_spec_shaped_and_old_tables_still_read(spark, unit_df,
 def test_commit_conflict_fails_loudly(spark, unit_df, tmp_path):
     """Two writers based on the SAME loaded parent compute the same
     metadata version; the atomic no-overwrite publish lets exactly one
-    win.  The stale loser must get a loud conflict error (not silently
-    skip to N+1, which would drop the winner's snapshot from the lineage)
-    and the winner's committed content must survive byte-identical."""
+    win.  The winner's vN must survive byte-identical — the loser never
+    clobbers it: an APPEND loser rebases onto it and lands as vN+1 with
+    the winner's snapshot carried in its lineage
+    (test_concurrent_append_rebases_and_retries covers the full retry
+    contract); a non-append loser fails loudly."""
     table = str(tmp_path / "conflict")
     cols = ["doc_id", "source", "n_tok", "tokens"]
     iceberg.export_encoded(unit_df.select(*cols), table)
@@ -347,13 +349,13 @@ def test_commit_conflict_fails_loudly(spark, unit_df, tmp_path):
     iceberg.append(unit_df.select(*cols).limit(5), table)  # A commits v2
     v2 = Path(table) / "metadata" / "v2.metadata.json"
     winner = v2.read_text()
-    with pytest.raises(RuntimeError, match="commit conflict"):
-        iceberg._write_snapshot(spark, table,
-                                unit_df.select(*cols).limit(3), stale)
-    assert v2.read_text() == winner
-    # after re-reading the table, the loser's retry lands as v3
-    iceberg.append(unit_df.select(*cols).limit(3), table)
+    meta = iceberg._write_snapshot(spark, table,
+                                   unit_df.select(*cols).limit(3), stale)
+    assert v2.read_text() == winner                 # never clobbered
     assert iceberg._current_version(table) == 3
+    # the rebased commit kept the winner's snapshot in the lineage
+    assert {s["snapshot-id"] for s in stale["snapshots"]}         < {s["snapshot-id"] for s in meta["snapshots"]}
+    assert len(meta["snapshots"]) == 3
 
 
 def test_append_type_mismatch_rejected(spark, unit_df, tmp_path):
@@ -682,3 +684,44 @@ def test_avro_codec_property(records):
         iceberg._avro_write(p, schema, records)
         got_schema, got = iceberg._avro_read(p)
     assert got_schema == schema and got == records
+
+
+def test_concurrent_append_rebases_and_retries(spark, unit_df, tmp_path):
+    """Two appends racing from the same parent: the CAS loser REBASES —
+    reloads the winner's metadata, rebuilds its manifest list + sequence
+    number, re-attaches — instead of failing (appends invalidate
+    nothing).  Both appends' rows land; sequence numbers are distinct
+    and ordered; no data file is rewritten."""
+    table = str(tmp_path / "t")
+    cols = ["doc_id", "source", "n_tok", "tokens"]
+    enc = engine.encode(unit_df.select(*cols).limit(30), codec="bitpack",
+                        split_threshold=None)
+    a = enc.where("cast(doc_id as string) < '3'")
+    b = enc.where("cast(doc_id as string) >= '3'")
+    iceberg.export_encoded(a.limit(5), table)
+    stale = iceberg._load_metadata(table)       # both racers' parent
+    iceberg.append(a, table)                    # the winner
+    # the loser commits from the STALE parent: its first CAS hits the
+    # winner's vN and must rebase, not raise
+    meta = iceberg._write_snapshot(spark, table, b, stale)
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    assert len(meta["snapshots"]) == 3
+    n = (a.limit(5).count() + a.count() + b.count())
+    assert iceberg.read_table(spark, table).count() == n
+    # with retries disabled the same race fails loudly
+    stale2 = iceberg._load_metadata(table)
+    iceberg.append(b.limit(3), table)
+    import os as _os
+    _os.environ["SIMDCOMP_COMMIT_RETRIES"] = "0"
+    try:
+        with pytest.raises(RuntimeError, match="commit conflict"):
+            iceberg._write_snapshot(spark, table, b.limit(2), stale2)
+    finally:
+        del _os.environ["SIMDCOMP_COMMIT_RETRIES"]
+    # non-append commits (overwrite) keep fail-loudly semantics
+    stale3 = iceberg._load_metadata(table)
+    iceberg.append(b.limit(2), table)
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        iceberg._write_snapshot(spark, table, b.limit(2), stale3,
+                                operation="overwrite")
