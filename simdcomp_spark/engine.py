@@ -303,6 +303,9 @@ def _input_files(path: str, snapshot_id: int | None = None) -> list[str]:
 
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
+        # renamed/promoted/re-added columns make name-addressed physical
+        # reads unsafe — the fused paths refuse, read_table stays correct
+        iceberg.assert_fused_name_safe(path, snapshot_id)
         return [d["file_path"] for d in iceberg.data_files(path, snapshot_id)]
     if snapshot_id is not None:
         raise ValueError(
@@ -386,6 +389,19 @@ def _rowgroup_units(spark: SparkSession, path: str,
     return units.repartition(par * factor)
 
 
+def _role_columns(path: str, roles: list[str],
+                  snapshot_id: int | None = None) -> dict:
+    """Physical column names for the engine's canonical roles: identity
+    on plain parquet dirs; rename-aware resolution (by field id through
+    schema history) on Iceberg tables — see
+    :func:`iceberg.fused_role_columns`."""
+    from pathlib import Path
+    if (Path(path) / "metadata" / "version-hint.text").is_file():
+        from . import iceberg
+        return iceberg.fused_role_columns(path, roles, snapshot_id)
+    return {r: r for r in roles}
+
+
 def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                  split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
                  batch_rows: int = 2048,
@@ -414,6 +430,8 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     import pyarrow.parquet as pq
 
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
+    cm = _role_columns(path, ["doc_id", "tokens", "source"], snapshot_id)
+    cols = [cm["doc_id"], cm["tokens"], cm["source"]]
 
     def fn(it):
         from pyspark import TaskContext
@@ -427,8 +445,8 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
                 pf = pq.ParquetFile(path_, pre_buffer=True)
                 for rb in pf.iter_batches(batch_size=batch_rows,
                                           row_groups=[rg],
-                                          columns=["doc_id", "tokens",
-                                                   "source"]):
+                                          columns=cols):
+                    rb = rb.select(cols)  # parquet yields file order
                     t0 = time.perf_counter_ns()
                     flat_i32, lens = _list_to_flat(rb.column(1))
                     flat = flat_i32.view(np.uint32)
@@ -556,6 +574,7 @@ def decode_files(spark: SparkSession, path: str,
     del_map = eq_map = None
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
+        iceberg.assert_fused_name_safe(path, snapshot_id)
         all_dels = iceberg.delete_files(path, snapshot_id)
         if all_dels:
             entries = iceberg.data_files(path, snapshot_id,
@@ -583,8 +602,14 @@ def decode_files(spark: SparkSession, path: str,
         fdf = (fdf.withColumn("dels", F.lit(None).cast("array<string>"))
                .withColumn("eq", F.lit(None).cast("string")))
     fdf = fdf.select("path", "rg", "rg_off", "dels", "eq")
-    cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
-            "inits", "payload"]
+    cm = _role_columns(path, ["doc_id", "source", "seg_id", "n_tok",
+                              "codec", "widths", "inits", "payload"],
+                       snapshot_id)
+    cols = [cm[r] for r in ("doc_id", "source", "seg_id", "n_tok",
+                            "codec", "widths", "inits", "payload")]
+    out_names = [cm["doc_id"], cm["source"], cm["seg_id"], "tokens"]
+    out_schema = (f"{cm['doc_id']} string, {cm['source']} string, "
+                  f"{cm['seg_id']} int, tokens array<int>")
 
     def _deleted_positions(del_paths, path_):
         import pyarrow.dataset as pads
@@ -658,9 +683,9 @@ def decode_files(spark: SparkSession, path: str,
                     yield pa.RecordBatch.from_arrays(
                         [rb.column(0), rb.column(1),
                          rb.column(2).cast(pa.int32()), tokens_arr],
-                        names=["doc_id", "source", "seg_id", "tokens"])
+                        names=out_names)
 
-    return fdf.mapInArrow(fn, schema=DECODED_SCHEMA)
+    return fdf.mapInArrow(fn, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

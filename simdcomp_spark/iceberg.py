@@ -396,6 +396,10 @@ def _sv_encode(t, v) -> bytes:
         return struct.pack("<i", int(v))
     if t == "long":
         return struct.pack("<q", int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
     if t == "string":
         return str(v).encode("utf-8")
     raise NotImplementedError(f"single-value serialization for {t!r}")
@@ -405,7 +409,14 @@ def _sv_decode(t, b: bytes):
     if t == "int":
         return struct.unpack("<i", b)[0]
     if t == "long":
-        return struct.unpack("<q", b)[0]
+        # bounds written before an int->long promote_column stay 4 bytes
+        # (the spec stores the value at its WRITE-time width); decode by
+        # physical width so pruning keeps working across the promotion
+        return struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
+    if t == "float":
+        return struct.unpack("<f", b)[0]
+    if t == "double":
+        return struct.unpack("<f" if len(b) == 4 else "<d", b)[0]
     if t == "string":
         return b.decode("utf-8")
     raise NotImplementedError(f"single-value serialization for {t!r}")
@@ -472,11 +483,19 @@ def _file_stats(spark: SparkSession, files: list[str]) -> list[tuple]:
                  pa.array(bounds, type=pa.string())],
                 names=["path", "rows", "bytes", "bounds"])
 
-    return [(r["path"], int(r["rows"]), int(r["bytes"]),
-             json.loads(r["bounds"]))
-            for r in engine.distributed_file_map(
-                spark, files, fn,
-                "path string, rows long, bytes long, bounds string")]
+    stats = [(r["path"], int(r["rows"]), int(r["bytes"]),
+              json.loads(r["bounds"]))
+             for r in engine.distributed_file_map(
+                 spark, files, fn,
+                 "path string, rows long, bytes long, bounds string")]
+    # Zero-record part-files (Spark emits one per empty write partition)
+    # never become table files: a boundless 0-row manifest entry defeats
+    # pruning (conservatively kept by every range scan) and bloats the
+    # manifest at 10^5-file scale.  Real Iceberg writers drop them too.
+    for p, rows, _, _ in stats:
+        if rows == 0:
+            os.remove(p)
+    return [s for s in stats if s[1] > 0]
 
 
 def _current_version(table_dir: str) -> int:
@@ -607,7 +626,16 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     part_fields = [(pf["name"], part_types[pf["name"]], pf["field-id"])
                    for pf in spec["fields"]]
 
-    # 1. data files (append into a per-snapshot subdir — no clobbering)
+    # 1. data files (append into a per-snapshot subdir — no clobbering).
+    # Field-id stamping: new tables always (rename/drop/promote safe),
+    # appends follow the table's property so a table stays uniformly
+    # id-stamped or uniformly not.
+    use_ids = (_uses_field_ids(prev_meta) if prev_meta
+               else os.environ.get("SIMDCOMP_ICEBERG_FIELD_IDS",
+                                   "1") != "0")
+    if use_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df = _stamp_field_ids(df, table_schema)
     out = str(data_dir / f"snap-{snap_id}")
     if part_cols:
         dup = df
@@ -690,7 +718,7 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                     metadata={"format-version": "2"})
         return {"snapshot-id": snap_id, "sequence-number": seq_,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
-                "schema-id": 0,
+                "schema-id": table_schema.get("schema-id", 0),
                 "summary": {"operation": operation,
                             "added-data-files": str(len(stats)),
                             "added-records": str(added_rows),
@@ -740,7 +768,9 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                     [999] + [pf["field-id"] for pf in spec["fields"]]),
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
-                "properties": {"write.format.default": "parquet"},
+                "properties": {"write.format.default": "parquet",
+                               **({_FIELD_IDS_PROP: "true"}
+                                  if use_ids else {})},
                 "snapshots": [snapshot],
                 "snapshot-log": [{"snapshot-id": snap_id,
                                   "timestamp-ms": now_ms}],
@@ -850,35 +880,252 @@ def add_column(table_dir: str, name: str, ftype: str) -> dict:
     next field id, moves current-schema-id, and publishes through the
     same atomic no-overwrite vN protocol as data commits — concurrent
     writers conflict loudly, readers see old-or-new.  Existing data files
-    are untouched: read_table projects the CURRENT schema by name, so old
-    files surface the new column as NULL (Iceberg's add-column
-    semantics).  Scalar types only; dropping/renaming/retyping columns is
-    intentionally unsupported (those need field-id-based projection to be
-    safe, which this name-based reader does not do — and it REFUSES
-    rather than misreads: only additions are possible here)."""
+    are untouched: read_table projects the CURRENT schema (by field id on
+    id-stamped tables, by name on legacy ones), so old files surface the
+    new column as NULL (Iceberg's add-column semantics).  Scalar types
+    only.  Renaming / dropping / promoting live in
+    :func:`rename_column` / :func:`drop_column` / :func:`promote_column`
+    — those require field-id-stamped data files (every table created
+    since field-id stamping landed) and refuse on legacy name-based
+    tables rather than misread."""
     if ftype not in ("string", "int", "long", "double", "float",
                      "boolean", "binary"):
         raise NotImplementedError(
             f"add_column supports scalar types, not {ftype!r}")
+
+    def mutate(meta, cur):
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        new_id = meta["last-column-id"] + 1
+        meta["last-column-id"] = new_id
+        return cur["fields"] + [{"id": new_id, "name": name,
+                                 "required": False, "type": ftype}]
+    return _evolve_schema(table_dir, "addcol", mutate,
+                          require_ids=False)
+
+
+def _evolve_schema(table_dir: str, op: str, mutate,
+                   require_ids: bool = True) -> dict:
+    """Shared metadata-only schema commit: append a new schema
+    (schema-id = max+1) built by ``mutate(meta, current_schema) ->
+    new_fields``, move current-schema-id, publish atomically (same vN
+    no-overwrite protocol as data commits).  ``require_ids`` refuses on
+    tables whose data files lack parquet field ids — every evolution
+    except ADD needs field-id projection to be executed safely."""
     meta = _load_metadata(table_dir)
     version = meta.pop("__loaded_version")
-    cur = _current_schema(meta)
-    if any(f["name"] == name for f in cur["fields"]):
-        raise ValueError(f"column {name!r} already exists")
-    new_id = meta["last-column-id"] + 1
-    new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
-    new_schema = {"type": "struct", "schema-id": new_sid,
-                  "fields": cur["fields"] + [
-                      {"id": new_id, "name": name, "required": False,
-                       "type": ftype}]}
+    if require_ids and not _uses_field_ids(meta):
+        raise NotImplementedError(
+            f"{op}: table {table_dir!r} predates field-id stamping (no "
+            f"{_FIELD_IDS_PROP!r} property) — its files resolve columns "
+            "by NAME, so this evolution cannot be executed safely; only "
+            "add_column is supported on legacy tables")
     meta = dict(meta)
-    meta["schemas"] = meta["schemas"] + [new_schema]
+    cur = _current_schema(meta)
+    new_fields = mutate(meta, cur)
+    new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    meta["schemas"] = meta["schemas"] + [
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}]
     meta["current-schema-id"] = new_sid
-    meta["last-column-id"] = new_id
     meta["last-updated-ms"] = time.time_ns() // 1_000_000
     _publish_metadata(_meta_dir(table_dir), meta, version + 1,
-                      f"addcol-{new_sid}")
+                      f"{op}-{new_sid}")
     return meta
+
+
+def _refuse_partition_source(meta: dict, field: dict, op: str) -> None:
+    spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
+    if any(pf["source-id"] == field["id"] for pf in spec["fields"]):
+        raise ValueError(
+            f"{op}: column {field['name']!r} (field id {field['id']}) "
+            "is a partition source column — evolving it would desync "
+            "the partition spec from the data layout")
+
+
+def rename_column(table_dir: str, old: str, new: str) -> dict:
+    """Schema evolution: RENAME a column (metadata-only commit).
+
+    The field KEEPS its id; data files are untouched — readers resolve
+    the column by its parquet field id, so every file written under the
+    old name serves the renamed column's data (and an equality-delete
+    file keyed on the old name still applies: its key columns are also
+    id-resolved).  Partition source columns refuse (the spec names the
+    partition path layout after them).  The file-level fused paths
+    (engine.encode_files / decode_files) address physical columns by
+    name and refuse a renamed table — read_table remains the full-
+    fidelity reader (see assert_fused_name_safe)."""
+    def mutate(meta, cur):
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if old not in by_name:
+            raise ValueError(f"rename_column: no column {old!r} "
+                             f"(have {sorted(by_name)})")
+        if new in by_name:
+            raise ValueError(f"rename_column: {new!r} already exists")
+        _refuse_partition_source(meta, by_name[old], "rename_column")
+        return [dict(f, name=new) if f["name"] == old else f
+                for f in cur["fields"]]
+    return _evolve_schema(table_dir, "rename", mutate)
+
+
+def drop_column(table_dir: str, name: str) -> dict:
+    """Schema evolution: DROP a column (metadata-only commit).
+
+    Data files are untouched — the field id simply stops being
+    requested.  Re-adding the same NAME later allocates a NEW field id
+    (last-column-id never decreases), so the old physical columns stay
+    invisible: dead data cannot resurrect under a recycled name.
+    Refuses partition source columns and columns referenced by live
+    equality-delete files (their keys could no longer be evaluated;
+    compact_files folds the deletes away first)."""
+    def mutate(meta, cur):
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if name not in by_name:
+            raise ValueError(f"drop_column: no column {name!r} "
+                             f"(have {sorted(by_name)})")
+        if len(cur["fields"]) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        f = by_name[name]
+        _refuse_partition_source(meta, f, "drop_column")
+        for d in delete_files(table_dir):
+            if f["id"] in (d.get("equality_ids") or []):
+                raise ValueError(
+                    f"drop_column: {name!r} (field id {f['id']}) is an "
+                    "equality-delete key of a live delete file "
+                    f"({d['file_path']}) — run compact_files first")
+        return [g for g in cur["fields"] if g["name"] != name]
+    return _evolve_schema(table_dir, "dropcol", mutate)
+
+
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def promote_column(table_dir: str, name: str, new_type: str) -> dict:
+    """Schema evolution: PROMOTE a column's type (metadata-only commit).
+
+    The Iceberg-spec widening promotions only — int->long and
+    float->double.  Data files are untouched: Spark's vectorized parquet
+    reader widens the physical int32/float32 values on read (verified by
+    test), and appends after the promotion write the wide type.  Old
+    manifest bounds stay 4 bytes; :func:`_sv_decode` decodes bounds by
+    their physical width, so metadata pruning keeps working across the
+    promotion."""
+    def mutate(meta, cur):
+        by_name = {f["name"]: f for f in cur["fields"]}
+        if name not in by_name:
+            raise ValueError(f"promote_column: no column {name!r} "
+                             f"(have {sorted(by_name)})")
+        f = by_name[name]
+        if not isinstance(f["type"], str) \
+                or (f["type"], new_type) not in _PROMOTIONS:
+            raise ValueError(
+                f"promote_column: {f['type']!r} -> {new_type!r} is not "
+                f"an Iceberg widening promotion {sorted(_PROMOTIONS)}")
+        _refuse_partition_source(meta, f, "promote_column")
+        return [dict(g, type=new_type) if g["name"] == name else g
+                for g in cur["fields"]]
+    return _evolve_schema(table_dir, "promote", mutate)
+
+
+def assert_fused_name_safe(table_dir: str,
+                           snapshot_id: int | None = None) -> None:
+    """Refuse the file-level fused paths on tables whose LIVE data files
+    may carry columns under names the CURRENT schema does not mean: the
+    fused Arrow readers (engine.encode_files / decode_files) address
+    physical parquet columns BY NAME.  Each live file's WRITE schema is
+    resolved through its snapshot's recorded schema-id; a file whose
+    write schema gave a shared field id a different name or type
+    (rename / promote), or used a current name for a DIFFERENT field id
+    (drop + re-add), makes name-addressing unsafe — read_table
+    (field-id projection) remains correct, and rewriting the files
+    (overwrite, or compact_files for delete-dirtied ones) re-aligns
+    them, after which this check passes again.  Pure adds always pass:
+    old files simply lack the new column.  A live file whose snapshot
+    was expired on an evolved table cannot prove its write schema and
+    refuses conservatively."""
+    meta = _load_metadata(table_dir)
+    if len(meta["schemas"]) == 1:
+        return                          # never evolved — trivially safe
+    meta, data, _ = _snapshot_entries(table_dir, snapshot_id)
+    cur = _current_schema(meta)
+    cur_sid = cur.get("schema-id", 0)
+    snap_schema = {s["snapshot-id"]: s.get("schema-id", 0)
+                   for s in meta["snapshots"]}
+    schema_by_id = {s.get("schema-id", 0): s for s in meta["schemas"]}
+    write_sids = set()
+    for e in data:
+        sid = snap_schema.get(e["_snapshot_id"])
+        if sid is None:
+            # expired snapshot on an evolved table: write schema
+            # unprovable — check against the whole history
+            write_sids = set(schema_by_id) - {cur_sid}
+            break
+        if sid != cur_sid:
+            write_sids.add(sid)
+    cur_by_id = {f["id"]: f for f in cur["fields"]}
+    cur_by_name = {f["name"]: f for f in cur["fields"]}
+    for sid in sorted(write_sids):
+        for f in schema_by_id[sid]["fields"]:
+            c = cur_by_id.get(f["id"])
+            if c is not None and (c["name"] != f["name"]
+                                  or c["type"] != f["type"]):
+                raise ValueError(
+                    f"{table_dir}: live files written under schema "
+                    f"{sid} carry field id {f['id']} as "
+                    f"{f['name']!r}:{f['type']}, now "
+                    f"{c['name']!r}:{c['type']}; the fused file-level "
+                    "paths address physical columns by name — use "
+                    "read_table, or rewrite the files (overwrite) to "
+                    "re-align them")
+            n = cur_by_name.get(f["name"])
+            if n is not None and n["id"] != f["id"]:
+                raise ValueError(
+                    f"{table_dir}: column name {f['name']!r} was "
+                    f"re-used for a different field id ({f['id']} -> "
+                    f"{n['id']}, drop + re-add); physical columns under "
+                    "the stale name would resurrect dead data in a "
+                    "name-addressed read — use read_table, or rewrite "
+                    "the files (overwrite)")
+
+
+def fused_role_columns(table_dir: str, roles: list[str],
+                       snapshot_id: int | None = None) -> dict:
+    """Map the engine's canonical role-column names (``doc_id``,
+    ``payload``, …) to the table's CURRENT physical names, following
+    renames through field ids.  Used by the fused file-level paths after
+    :func:`assert_fused_name_safe` — once that guard passes, live files
+    carry the current schema's names, so resolving roles against the
+    current schema is exactly what reads the right physical columns.
+
+    Resolution per role: the current schema's field named ``role`` if it
+    exists (unevolved tables, and drop+re-add where the re-added column
+    IS the live one); otherwise the field id the name carried at its
+    most recent appearance in schema history, mapped to its current
+    name (rename).  A role whose field was dropped raises."""
+    meta = _load_metadata(table_dir)
+    cur = _current_schema(meta)
+    cur_by_id = {f["id"]: f["name"] for f in cur["fields"]}
+    cur_names = set(cur_by_id.values())
+    out = {}
+    for r in roles:
+        if r in cur_names:
+            out[r] = r
+            continue
+        fid = None
+        for s in reversed(meta["schemas"]):
+            hit = next((f["id"] for f in s["fields"]
+                        if f["name"] == r), None)
+            if hit is not None:
+                fid = hit
+                break
+        if fid is None or fid not in cur_by_id:
+            raise ValueError(
+                f"{table_dir}: required column {r!r} is not in the "
+                "current schema and no rename of it survives — not a "
+                "decodable encoded table" if fid is None else
+                f"{table_dir}: required column {r!r} (field id {fid}) "
+                "was dropped from the schema")
+        out[r] = cur_by_id[fid]
+    return out
 
 
 def _check_same_schema(prev_meta: dict, df: DataFrame, op: str) -> None:
@@ -1097,10 +1344,20 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
     null-safe-equal AND whose data sequence number is STRICTLY LESS than
     the delete file's — rows (re-)appended after the delete survive.
     Small delete sets broadcast; larger ones shuffle on the key."""
+    fields = {f["name"]: f for f in _current_schema(meta)["fields"]}
     for cols, ds in _eq_delete_groups(meta, eq_dels).items():
+        if _uses_field_ids(meta):
+            # key columns resolve BY FIELD ID (current names requested):
+            # a delete file written before a rename still applies
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
+            reader = spark.read.schema(_spark_struct_with_ids(
+                {"fields": [fields[c] for c in cols]}))
+        else:
+            reader = spark.read
         keys = None
         for d in ds:
-            k = (spark.read.parquet(d["file_path"]).select(*cols)
+            k = (reader.parquet(d["file_path"]).select(*cols)
                  .withColumn("_del_seq",
                              F.lit(int(d["_sequence_number"]))))
             keys = k if keys is None else keys.unionByName(k)
@@ -1169,7 +1426,9 @@ def _read_with_pos(spark: SparkSession, table_dir: str,
     row's data sequence number (``entries`` carry it), attached via a
     broadcast (file → seq) map so the scan stays shuffle-free."""
     paths = [e["file_path"] for e in entries]
-    df = (spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
+    if meta is None:
+        meta = _load_metadata(table_dir)
+    df = (_schema_reader(spark, meta).parquet(*paths)
           .withColumn("_file", F.regexp_replace(
               F.col("_metadata.file_path"), "^file:/+", "/"))
           .withColumn("_pos", F.col("_metadata.row_index")))
@@ -1233,9 +1492,10 @@ def read_table(spark: SparkSession, table_dir: str,
             .drop("_file", "_pos")
     else:
         # explicit CURRENT schema: files written before an add_column
-        # lack the new column and must surface it as NULL (name-based
-        # projection), not fail or silently drop it on inference order
-        df = spark.read.schema(_spark_ddl(table_dir)).parquet(*paths)
+        # lack the new column and must surface it as NULL; id-stamped
+        # tables additionally resolve renamed/promoted columns by
+        # field id (see _schema_reader)
+        df = _schema_reader(spark, meta).parquet(*paths)
     if between is not None:
         col, lo, hi = between
         if lo is not None:
@@ -1245,19 +1505,100 @@ def read_table(spark: SparkSession, table_dir: str,
     return df
 
 
+_ICEBERG_TO_SPARK_DDL = {
+    "string": "string", "int": "int", "long": "bigint",
+    "binary": "binary", "double": "double", "float": "float",
+    "boolean": "boolean", "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz", "date": "date"}
+
+
+def _ddl_type(t) -> str:
+    if isinstance(t, dict) and t.get("type") == "list":
+        return (f"array<"
+                f"{_ICEBERG_TO_SPARK_DDL.get(t['element'], t['element'])}>")
+    return _ICEBERG_TO_SPARK_DDL.get(t, t)
+
+
+def _ddl_of_schema(schema: dict) -> str:
+    return ", ".join(f"{f['name']} {_ddl_type(f['type'])}"
+                     for f in schema["fields"])
+
+
 def _spark_ddl(table_dir: str) -> str:
-    back = {"string": "string", "int": "int", "long": "bigint",
-            "binary": "binary", "double": "double", "float": "float",
-            "boolean": "boolean", "timestamptz": "timestamp",
-            "timestamp": "timestamp_ntz", "date": "date"}
+    return _ddl_of_schema(_current_schema(_load_metadata(table_dir)))
+
+
+# ---------------------------------------------------------------------------
+# field-id projection (schema evolution support)
+#
+# New tables stamp the Iceberg field id of every column into the parquet
+# footers (parquet's standard field_id slot, via Spark's
+# ``parquet.field.id`` StructField metadata + the native
+# ``spark.sql.parquet.fieldId.write.enabled`` writer path), and readers
+# resolve columns BY ID instead of by name
+# (``spark.sql.parquet.fieldId.read.enabled``).  That is what makes
+# rename/drop/promote safe: a renamed column still resolves to the same
+# physical data, a dropped-then-re-added name gets a NEW id so old
+# physical columns with the stale name surface NULL instead of
+# resurrecting dead data, and int->long promotion widens on read.
+# Tables created before this capability (no ``schema.field-ids-in-files``
+# property) keep the name-based read path and REFUSE rename/drop/promote
+# — a name-based reader cannot execute them safely.
+# ---------------------------------------------------------------------------
+
+_FIELD_IDS_PROP = "schema.field-ids-in-files"
+
+
+def _uses_field_ids(meta: dict) -> bool:
+    return meta.get("properties", {}).get(_FIELD_IDS_PROP) == "true"
+
+
+def _spark_struct_with_ids(schema: dict):
+    """The current schema as a StructType whose every field carries
+    ``parquet.field.id`` metadata — the request shape that flips Spark's
+    parquet reader into field-id (not name) column resolution."""
+    from pyspark.sql import types as T
+    scalar = {"string": T.StringType(), "int": T.IntegerType(),
+              "long": T.LongType(), "binary": T.BinaryType(),
+              "double": T.DoubleType(), "float": T.FloatType(),
+              "boolean": T.BooleanType(), "date": T.DateType(),
+              "timestamptz": T.TimestampType(),
+              "timestamp": T.TimestampNTZType()}
 
     def one(t):
         if isinstance(t, dict) and t.get("type") == "list":
-            return f"array<{back.get(t['element'], t['element'])}>"
-        return back.get(t, t)
+            return T.ArrayType(scalar[t["element"]])
+        return scalar[t]
 
-    fields = _current_schema(_load_metadata(table_dir))["fields"]
-    return ", ".join(f"{f['name']} {one(f['type'])}" for f in fields)
+    return T.StructType([
+        T.StructField(f["name"], one(f["type"]), True,
+                      {"parquet.field.id": f["id"]})
+        for f in schema["fields"]])
+
+
+def _stamp_field_ids(df: DataFrame, schema: dict) -> DataFrame:
+    """Alias each column with its Iceberg field id so Spark's parquet
+    writer stamps the id into the footer (write.enabled is on by
+    default; we re-assert it at the write sites).  Columns not in the
+    table schema (e.g. the duplicated ``_p_<col>`` partition-path
+    columns) pass through untouched."""
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    return df.select(*[
+        F.col(c).alias(c, metadata={"parquet.field.id": by_name[c]})
+        if c in by_name else F.col(c)
+        for c in df.columns])
+
+
+def _schema_reader(spark: SparkSession, meta: dict):
+    """A DataFrameReader projecting the table's CURRENT schema — by
+    field id when the table stamps ids (rename/drop/promote safe), by
+    name otherwise (legacy tables; evolution beyond add_column refuses
+    there)."""
+    if _uses_field_ids(meta):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return spark.read.schema(
+            _spark_struct_with_ids(_current_schema(meta)))
+    return spark.read.schema(_ddl_of_schema(_current_schema(meta)))
 
 
 def snapshots(table_dir: str) -> list[dict]:
@@ -1332,8 +1673,17 @@ def write_position_deletes(spark: SparkSession, table_dir: str,
     now_ms = time.time_ns() // 1_000_000
     out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
     nfiles = (n_pos + _DELETE_ROWS_PER_FILE - 1) // _DELETE_ROWS_PER_FILE
-    (pos_df.select(F.col("file_path").cast("string"),
-                   F.col("pos").cast("long"))
+    # the spec's RESERVED field ids for position-delete columns are
+    # stamped into the footers on id-stamped tables (readers here match
+    # these constant names either way)
+    fp_meta = ({"parquet.field.id": _FP_FID}
+               if _uses_field_ids(prev_meta) else None)
+    pos_meta = ({"parquet.field.id": _POS_FID}
+                if _uses_field_ids(prev_meta) else None)
+    (pos_df.select(F.col("file_path").cast("string")
+                   .alias("file_path", metadata=fp_meta),
+                   F.col("pos").cast("long")
+                   .alias("pos", metadata=pos_meta))
      .repartitionByRange(nfiles, "file_path", "pos")
      .sortWithinPartitions("file_path", "pos")
      .write.mode("error").parquet(out))
@@ -1383,7 +1733,8 @@ def write_position_deletes(spark: SparkSession, table_dir: str,
                 metadata={"format-version": "2"})
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
-                "schema-id": 0,
+                "schema-id": _current_schema(prev_meta).get("schema-id",
+                                                            0),
                 "summary": {"operation": "delete",
                             "added-position-delete-files": str(len(stats)),
                             "added-position-deletes": str(n_pos),
@@ -1442,6 +1793,11 @@ def write_equality_deletes(spark: SparkSession, table_dir: str,
     now_ms = time.time_ns() // 1_000_000
     out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
     nfiles = (n_keys + _DELETE_ROWS_PER_FILE - 1) // _DELETE_ROWS_PER_FILE
+    if _uses_field_ids(prev_meta):
+        # key columns carry their table field ids so the read side can
+        # resolve them by id even after a later rename
+        keys_df = _stamp_field_ids(
+            keys_df, {"fields": [fields[c] for c in cols]})
     (keys_df.repartitionByRange(nfiles, *cols)
      .sortWithinPartitions(*cols)
      .write.mode("error").parquet(out))
@@ -1498,7 +1854,8 @@ def write_equality_deletes(spark: SparkSession, table_dir: str,
                 metadata={"format-version": "2"})
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
-                "schema-id": 0,
+                "schema-id": _current_schema(prev_meta).get("schema-id",
+                                                            0),
                 "summary": {"operation": "delete",
                             "added-equality-delete-files": str(len(stats)),
                             "added-equality-deletes": str(n_keys),
@@ -1553,9 +1910,14 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
     seq = prev_meta.get("last-sequence-number", 0) + 1
     now_ms = time.time_ns() // 1_000_000
 
-    # rewrite ONLY the dirtied files, deletes applied
+    # rewrite ONLY the dirtied files, deletes applied; rewritten files
+    # are stamped with CURRENT field ids and names, so compaction also
+    # migrates files toward the current schema
     df = _read_with_pos(spark, table_dir, dirty_entries, dels,
                         prev_meta).drop("_file", "_pos")
+    if _uses_field_ids(prev_meta):
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df = _stamp_field_ids(df, schema)
     out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
     if part_cols:
         dup = df
@@ -1632,7 +1994,7 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
                 metadata={"format-version": "2"})
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": now_ms, "manifest-list": mlist_path,
-                "schema-id": 0,
+                "schema-id": schema.get("schema-id", 0),
                 "summary": {"operation": "replace",
                             "added-data-files": str(len(stats)),
                             "added-records": str(added_rows),
