@@ -266,6 +266,12 @@ def run_bench() -> dict:
                   if "host_capacity_efficiency" in c}
             if hc:  # same-window pure-compute control (see BENCH.md)
                 out["scaling_host_capacity"] = hc
+                # efficiency relative to what the host can DELIVER on the
+                # pair (VM steal/SMT cap the control itself): ≥1.0 means
+                # the engine scales as well as pure in-cache compute does
+                out["scaling_vs_host_capacity"] = {
+                    k: round(out["scaling_pairs"][k] / hc[k], 3)
+                    for k in hc if k in out["scaling_pairs"]}
         except Exception:
             pass
     return out

@@ -1019,6 +1019,39 @@ def q_iceberg_dedup_delete(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_schema_evolution(spark, sf_dir):
+    """Schema evolution end-to-end (iceberg.rename_column /
+    promote_column / drop_column / add_column — all metadata-only
+    commits resolved through parquet FIELD IDS): customer is published,
+    then c_name is RENAMED (old files must serve the renamed column's
+    values by id), c_nationkey is PROMOTED int->long (old int32 files
+    widen on read), and c_acctbal is DROPPED then RE-ADDED (the fresh
+    field id must NOT resurrect the old physical column — all NULL).
+    Asserts every evolution left the data files byte-identical, then
+    reads the evolved table against the SQL oracle that spells out the
+    same semantics over raw customer."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icevolve")
+    table = os.path.join(base, "table")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("int")
+        .alias("c_nationkey"), "c_acctbal")
+    iceberg.export_encoded(cust, table)
+    before = {d["file_path"] for d in iceberg.data_files(table)}
+    iceberg.rename_column(table, "c_name", "cust_name")
+    iceberg.promote_column(table, "c_nationkey", "long")
+    iceberg.drop_column(table, "c_acctbal")
+    iceberg.add_column(table, "c_acctbal", "double")
+    if {d["file_path"] for d in iceberg.data_files(table)} != before:
+        raise AssertionError("schema evolution rewrote data files")
+    out = iceberg.read_table(spark, table)
+    if dict(out.dtypes)["c_nationkey"] != "bigint":
+        raise AssertionError("promotion did not widen the read type")
+    return out.select("c_custkey", "cust_name", "c_nationkey",
+                      "c_acctbal")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact dedup (applyInPandasWithState, content-hash
     keyed marker state) driven end-to-end: phase 1 streams the documents
@@ -1193,6 +1226,7 @@ QUERIES = {
     "iceberg_pos_delete": q_iceberg_pos_delete,
     "iceberg_eq_delete": q_iceberg_eq_delete,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
+    "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "streaming_dedup": q_streaming_dedup,
     "streaming_encode": q_streaming_encode,
     "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
@@ -1515,6 +1549,13 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
 FROM orders
 WHERE CAST(o_custkey AS BIGINT) % 5 <> 2
    OR CAST(o_custkey AS BIGINT) % 10 = 2
+""",
+    "iceberg_schema_evolution": """
+SELECT c_custkey,
+       c_name AS cust_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer
 """,
     "iceberg_dedup_delete": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
