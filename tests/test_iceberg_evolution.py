@@ -216,6 +216,39 @@ def test_fused_paths_refuse_stale_names_until_rewrite(spark, unit_df,
     assert "document_id" in df.columns
 
 
+def test_fused_guard_conservative_on_expired_snapshots(spark, table):
+    """A live file whose snapshot was EXPIRED on an evolved table cannot
+    prove its write schema — the fused guard refuses conservatively
+    (the file may predate the rename), and an overwrite (whose snapshot
+    is live and current-schema) clears it."""
+    iceberg.rename_column(table, "n_tok", "tc")
+    extra = spark.createDataFrame(
+        [("z", "web", 1, [5])],
+        "doc_id string, source string, tc int, tokens array<int>")
+    iceberg.append(extra, table)          # lives under schema 1
+    iceberg.expire_snapshots(table, keep_last=1)
+    # the ORIGINAL files' snapshot is gone; only the append's survives,
+    # but the original files are still live (EXISTING entries)
+    with pytest.raises(ValueError, match="fused|by name|expired|schema"):
+        iceberg.assert_fused_name_safe(table)
+    iceberg.overwrite(iceberg.read_table(spark, table), table)
+    iceberg.assert_fused_name_safe(table)            # realigned
+
+
+def test_fused_role_columns_resolution(spark, table):
+    roles = ["doc_id", "source", "n_tok"]
+    assert iceberg.fused_role_columns(table, roles) == {
+        r: r for r in roles}
+    iceberg.rename_column(table, "n_tok", "tc")
+    assert iceberg.fused_role_columns(table, roles)["n_tok"] == "tc"
+    iceberg.drop_column(table, "tc")
+    with pytest.raises(ValueError, match="dropped"):
+        iceberg.fused_role_columns(table, roles)
+    # re-adding the original NAME resolves to the re-added column
+    iceberg.add_column(table, "n_tok", "int")
+    assert iceberg.fused_role_columns(table, roles)["n_tok"] == "n_tok"
+
+
 def test_schema_id_recorded_on_snapshots(spark, table):
     """Snapshots record the schema they were written under — the basis
     of the fused guard's per-file write-schema resolution."""
