@@ -590,6 +590,12 @@ def decode_files(spark: SparkSession, path: str,
                 del_map = _delete_assignment(pos_dels, files)
             if eq_dels:
                 eq_map = _eq_delete_assignment(path, entries, eq_dels)
+        elif files is None:
+            # plan the file list HERE so _rowgroup_units does not walk
+            # the manifest tree (and run the fused guard) a second time
+            # — at 10^5-10^6 files each walk is a full manifest read
+            files = [d["file_path"]
+                     for d in iceberg.data_files(path, snapshot_id)]
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
     if del_map is not None or eq_map is not None:
         keys = set(del_map or {}) | set(eq_map or {})
