@@ -303,10 +303,13 @@ def _input_files(path: str, snapshot_id: int | None = None) -> list[str]:
 
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
-        # renamed/promoted/re-added columns make name-addressed physical
-        # reads unsafe — the fused paths refuse, read_table stays correct
-        iceberg.assert_fused_name_safe(path, snapshot_id)
-        return [d["file_path"] for d in iceberg.data_files(path, snapshot_id)]
+        # ONE metadata-tree walk: name-safety guard (renamed/promoted/
+        # re-added columns make name-addressed reads unsafe), delete
+        # refusal, and the live-file list all come from the same
+        # _snapshot_entries read
+        _, data, dels = iceberg.fused_plan(path, snapshot_id)
+        iceberg.refuse_raw_scan_on_deletes(path, dels)
+        return [d["file_path"] for d in data]
     if snapshot_id is not None:
         raise ValueError(
             f"snapshot_id={snapshot_id} given but {path!r} is not an "
@@ -390,15 +393,18 @@ def _rowgroup_units(spark: SparkSession, path: str,
 
 
 def _role_columns(path: str, roles: list[str],
-                  snapshot_id: int | None = None) -> dict:
+                  snapshot_id: int | None = None,
+                  meta: dict | None = None) -> dict:
     """Physical column names for the engine's canonical roles: identity
     on plain parquet dirs; rename-aware resolution (by field id through
     schema history) on Iceberg tables — see
-    :func:`iceberg.fused_role_columns`."""
+    :func:`iceberg.fused_role_columns`.  ``meta`` passes an
+    already-loaded table metadata dict through (no re-read)."""
     from pathlib import Path
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
-        return iceberg.fused_role_columns(path, roles, snapshot_id)
+        return iceberg.fused_role_columns(path, roles, snapshot_id,
+                                          meta=meta)
     return {r: r for r in roles}
 
 
@@ -514,7 +520,9 @@ def _delete_assignment(dels: list[dict], files: list[str]
 
 
 def _eq_delete_assignment(table_dir: str, entries: list[dict],
-                          eq_dels: list[dict]) -> dict[str, str | None]:
+                          eq_dels: list[dict],
+                          meta: dict | None = None
+                          ) -> dict[str, str | None]:
     """{data file → JSON [{cols, paths}] of equality-delete files that
     apply to it} under the v2 sequence rule: a delete applies only to
     data files with a STRICTLY smaller data sequence number, so rows
@@ -522,7 +530,8 @@ def _eq_delete_assignment(table_dir: str, entries: list[dict],
     JSON rides the broadcast work-unit map to the workers."""
     import json
     from . import iceberg
-    meta = iceberg._load_metadata(table_dir)
+    if meta is None:
+        meta = iceberg._load_metadata(table_dir)
     groups = iceberg._eq_delete_groups(meta, eq_dels)
     out: dict[str, str | None] = {}
     for e in entries:
@@ -572,30 +581,27 @@ def decode_files(spark: SparkSession, path: str,
     from pathlib import Path
 
     del_map = eq_map = None
+    ice_meta = None
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
-        iceberg.assert_fused_name_safe(path, snapshot_id)
-        all_dels = iceberg.delete_files(path, snapshot_id)
+        # ONE metadata-tree walk covers the name-safety guard, the live
+        # file list, and the delete inventory — at 10^5-10^6 files each
+        # extra walk is a full manifest-tree read
+        ice_meta, entries, all_dels = iceberg.fused_plan(path,
+                                                         snapshot_id)
+        if files is None:
+            files = [e["file_path"] for e in entries]
+        else:
+            fset = set(files)
+            entries = [e for e in entries if e["file_path"] in fset]
         if all_dels:
-            entries = iceberg.data_files(path, snapshot_id,
-                                         ignore_deletes=True)
-            if files is None:  # plan files WITHOUT the delete refusal
-                files = [e["file_path"] for e in entries]
-            else:
-                fset = set(files)
-                entries = [e for e in entries if e["file_path"] in fset]
             pos_dels = [d for d in all_dels if d.get("content", 0) == 1]
             eq_dels = [d for d in all_dels if d.get("content", 0) == 2]
             if pos_dels:
                 del_map = _delete_assignment(pos_dels, files)
             if eq_dels:
-                eq_map = _eq_delete_assignment(path, entries, eq_dels)
-        elif files is None:
-            # plan the file list HERE so _rowgroup_units does not walk
-            # the manifest tree (and run the fused guard) a second time
-            # — at 10^5-10^6 files each walk is a full manifest read
-            files = [d["file_path"]
-                     for d in iceberg.data_files(path, snapshot_id)]
+                eq_map = _eq_delete_assignment(path, entries, eq_dels,
+                                               meta=ice_meta)
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
     if del_map is not None or eq_map is not None:
         keys = set(del_map or {}) | set(eq_map or {})
@@ -610,12 +616,28 @@ def decode_files(spark: SparkSession, path: str,
     fdf = fdf.select("path", "rg", "rg_off", "dels", "eq")
     cm = _role_columns(path, ["doc_id", "source", "seg_id", "n_tok",
                               "codec", "widths", "inits", "payload"],
-                       snapshot_id)
+                       snapshot_id, meta=ice_meta)
     cols = [cm[r] for r in ("doc_id", "source", "seg_id", "n_tok",
                             "codec", "widths", "inits", "payload")]
-    out_names = [cm["doc_id"], cm["source"], cm["seg_id"], "tokens"]
-    out_schema = (f"{cm['doc_id']} string, {cm['source']} string, "
-                  f"{cm['seg_id']} int, tokens array<int>")
+    # equality-delete keys may be columns OUTSIDE the decoded role set
+    # (content_hash is the natural dedup/takedown key): read them too,
+    # appended after the fixed 8 so the decode indices stay stable
+    extra_cols: list[str] = []
+    if eq_map:
+        seen = set(cols)
+        for spec in eq_map.values():
+            for g in (json.loads(spec) if spec else []):
+                for c in g["cols"]:
+                    if c not in seen:
+                        seen.add(c)
+                        extra_cols.append(c)
+    # output under the engine's CANONICAL role names regardless of
+    # storage-level renames — encode_files normalizes the same way, and
+    # reassemble_segments / downstream consumers address doc_id/source/
+    # seg_id by these names
+    out_names = ["doc_id", "source", "seg_id", "tokens"]
+    out_schema = ("doc_id string, source string, "
+                  "seg_id int, tokens array<int>")
 
     def _deleted_positions(del_paths, path_):
         import pyarrow.dataset as pads
@@ -656,10 +678,26 @@ def decode_files(spark: SparkSession, path: str,
                 dead = (_deleted_positions(dels, path_)
                         if dels else None)
                 killers = _eq_killers(eq, eq_cache) if eq else None
+                unit_cols = cols
+                if killers:
+                    need = {c for kcols, _ in killers for c in kcols}
+                    missing = sorted(
+                        need - set(pf.schema_arrow.names))
+                    if missing:
+                        raise ValueError(
+                            f"{path_}: equality-delete key column(s) "
+                            f"{missing} are not in this data file "
+                            "(added after the file was written?) — "
+                            "the fused decode cannot evaluate the "
+                            "delete; use read_table, or compact_files "
+                            "to materialize the deletes")
+                    unit_cols = cols + [c for c in extra_cols
+                                        if c in need]
                 cur = rg_off
                 for rb in pf.iter_batches(batch_size=batch_rows,
-                                          row_groups=[rg], columns=cols):
-                    rb = rb.select(cols)  # parquet yields file order
+                                          row_groups=[rg],
+                                          columns=unit_cols):
+                    rb = rb.select(unit_cols)  # parquet yields file order
                     n = rb.num_rows
                     if dead is not None and dead.size:
                         lo, hi = np.searchsorted(dead, [cur, cur + n])
@@ -671,7 +709,7 @@ def decode_files(spark: SparkSession, path: str,
                     if killers and rb.num_rows:
                         keep = np.ones(rb.num_rows, dtype=bool)
                         for kcols, kset in killers:
-                            idxs = [cols.index(c) for c in kcols]
+                            idxs = [unit_cols.index(c) for c in kcols]
                             vals = (rb.column(idxs[0]).to_pylist()
                                     if len(idxs) == 1 else
                                     zip(*[rb.column(i).to_pylist()

@@ -1027,7 +1027,9 @@ def promote_column(table_dir: str, name: str, new_type: str) -> dict:
 
 
 def assert_fused_name_safe(table_dir: str,
-                           snapshot_id: int | None = None) -> None:
+                           snapshot_id: int | None = None,
+                           preloaded: tuple[dict, list[dict]] | None = None
+                           ) -> None:
     """Refuse the file-level fused paths on tables whose LIVE data files
     may carry columns under names the CURRENT schema does not mean: the
     fused Arrow readers (engine.encode_files / decode_files) address
@@ -1041,11 +1043,21 @@ def assert_fused_name_safe(table_dir: str,
     them, after which this check passes again.  Pure adds always pass:
     old files simply lack the new column.  A live file whose snapshot
     was expired on an evolved table cannot prove its write schema and
-    refuses conservatively."""
-    meta = _load_metadata(table_dir)
-    if len(meta["schemas"]) == 1:
-        return                          # never evolved — trivially safe
-    meta, data, _ = _snapshot_entries(table_dir, snapshot_id)
+    refuses conservatively.
+
+    ``preloaded=(meta, data_entries)`` skips the metadata-tree walk —
+    callers that already hold a :func:`_snapshot_entries` result (the
+    fused planners, via :func:`fused_plan`) must not pay a second full
+    manifest read at 10^5-10^6 files just for the guard."""
+    if preloaded is not None:
+        meta, data = preloaded
+        if len(meta["schemas"]) == 1:
+            return                      # never evolved — trivially safe
+    else:
+        meta = _load_metadata(table_dir)
+        if len(meta["schemas"]) == 1:
+            return                      # never evolved — trivially safe
+        meta, data, _ = _snapshot_entries(table_dir, snapshot_id)
     cur = _current_schema(meta)
     cur_sid = cur.get("schema-id", 0)
     snap_schema = {s["snapshot-id"]: s.get("schema-id", 0)
@@ -1087,8 +1099,40 @@ def assert_fused_name_safe(table_dir: str,
                     "the files (overwrite)")
 
 
+def fused_plan(table_dir: str, snapshot_id: int | None = None
+               ) -> tuple[dict, list[dict], list[dict]]:
+    """ONE metadata-tree walk for the fused file-level paths: returns
+    ``(meta, data_entries, delete_entries)`` from a single
+    :func:`_snapshot_entries` read and runs :func:`assert_fused_name_safe`
+    against that same result.  The fused planners (engine.encode_files /
+    decode_files) previously stacked guard + delete_files + data_files —
+    three independent full manifest reads per call; at the 10^5-10^6-file
+    scale this module targets, planning I/O tripled for nothing."""
+    meta, data, dels = _snapshot_entries(table_dir, snapshot_id)
+    assert_fused_name_safe(table_dir, snapshot_id,
+                           preloaded=(meta, data))
+    return meta, data, dels
+
+
+def refuse_raw_scan_on_deletes(table_dir: str, dels: list[dict]) -> None:
+    """Raise when a snapshot carries delete files and the caller is a raw
+    file-level scan that would resurrect deleted rows.  Shared by
+    :func:`data_files` and the fused planners that handle deletes
+    themselves only in some modes."""
+    if dels:
+        npos = sum(1 for d in dels if d.get("content", 0) == 1)
+        raise NotImplementedError(
+            f"{table_dir}: the snapshot carries {npos} position-delete "
+            f"and {len(dels) - npos} equality-delete file(s); a raw "
+            "file-level scan would resurrect deleted rows. Read via "
+            "iceberg.read_table (applies the deletes), or run "
+            "iceberg.compact_files first for file-level consumers "
+            "(fused encode/decode).")
+
+
 def fused_role_columns(table_dir: str, roles: list[str],
-                       snapshot_id: int | None = None) -> dict:
+                       snapshot_id: int | None = None,
+                       meta: dict | None = None) -> dict:
     """Map the engine's canonical role-column names (``doc_id``,
     ``payload``, …) to the table's CURRENT physical names, following
     renames through field ids.  Used by the fused file-level paths after
@@ -1096,27 +1140,33 @@ def fused_role_columns(table_dir: str, roles: list[str],
     carry the current schema's names, so resolving roles against the
     current schema is exactly what reads the right physical columns.
 
-    Resolution per role: the current schema's field named ``role`` if it
-    exists (unevolved tables, and drop+re-add where the re-added column
-    IS the live one); otherwise the field id the name carried at its
-    most recent appearance in schema history, mapped to its current
-    name (rename).  A role whose field was dropped raises."""
-    meta = _load_metadata(table_dir)
+    Resolution per role: FIELD-ID LINEAGE, walked oldest→newest through
+    schema history — the role binds to the field id its name had at the
+    name's first appearance, follows that id through renames (the id
+    outliving its name is exactly a rename), and rebinds to a fresh
+    field of the same name only after the bound id was DROPPED
+    (drop + re-add: the re-added column IS the live one).  Name match
+    against the current schema must NOT win on its own: a rename chain
+    like ``doc_id→did`` then ``source→doc_id`` leaves the current name
+    ``doc_id`` on the SOURCE field — resolving by name there would read
+    source values as doc ids with no error.  A role whose field was
+    dropped (and never re-added) raises."""
+    if meta is None:
+        meta = _load_metadata(table_dir)
     cur = _current_schema(meta)
     cur_by_id = {f["id"]: f["name"] for f in cur["fields"]}
-    cur_names = set(cur_by_id.values())
+    history = sorted(meta["schemas"], key=lambda s: s.get("schema-id", 0))
     out = {}
     for r in roles:
-        if r in cur_names:
-            out[r] = r
-            continue
         fid = None
-        for s in reversed(meta["schemas"]):
+        for s in history:
+            ids = {f["id"] for f in s["fields"]}
+            if fid is not None and fid in ids:
+                continue            # id lives on (possibly renamed)
             hit = next((f["id"] for f in s["fields"]
                         if f["name"] == r), None)
             if hit is not None:
-                fid = hit
-                break
+                fid = hit           # first binding, or re-add after drop
         if fid is None or fid not in cur_by_id:
             raise ValueError(
                 f"{table_dir}: required column {r!r} is not in the "
@@ -1272,15 +1322,8 @@ def data_files(table_dir: str, snapshot_id: int | None = None,
     :func:`read_table` (which applies the deletes) or
     :func:`compact_files` (which rewrites them away)."""
     _, data, dels = _snapshot_entries(table_dir, snapshot_id)
-    if dels and not ignore_deletes:
-        npos = sum(1 for d in dels if d.get("content", 0) == 1)
-        raise NotImplementedError(
-            f"{table_dir}: the snapshot carries {npos} position-delete "
-            f"and {len(dels) - npos} equality-delete file(s); a raw "
-            "file-level scan would resurrect deleted rows. Read via "
-            "iceberg.read_table (applies the deletes), or run "
-            "iceberg.compact_files first for file-level consumers "
-            "(fused encode/decode).")
+    if not ignore_deletes:
+        refuse_raw_scan_on_deletes(table_dir, dels)
     return data
 
 
@@ -1665,8 +1708,12 @@ def write_position_deletes(spark: SparkSession, table_dir: str,
     table metadata, or None (no commit) when ``pos_df`` is empty."""
     prev_meta = _load_metadata(table_dir)
     spec, part_fields = _spec_part_fields(prev_meta)
+    # the coordinate lineage is often the expensive part (delete_where /
+    # dedup scan the whole table): persist so count + write run it once
+    pos_df = pos_df.persist()
     n_pos = pos_df.count()
     if n_pos == 0:
+        pos_df.unpersist()
         return None
     snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
     seq = prev_meta.get("last-sequence-number", 0) + 1
@@ -1687,6 +1734,7 @@ def write_position_deletes(spark: SparkSession, table_dir: str,
      .repartitionByRange(nfiles, "file_path", "pos")
      .sortWithinPartitions("file_path", "pos")
      .write.mode("error").parquet(out))
+    pos_df.unpersist()
     files = sorted(str(p) for p in Path(out).glob("*.parquet"))
     stats = _file_stats(spark, files)
 
@@ -1784,9 +1832,12 @@ def write_equality_deletes(spark: SparkSession, table_dir: str,
             f"equality-delete key columns {unknown or cols} not in the "
             f"table schema {sorted(fields)}")
     eq_ids = [fields[c]["id"] for c in cols]
-    keys_df = keys_df.distinct()
+    # persist the deduplicated keys: count + write otherwise run the
+    # distinct (a shuffle over the caller's whole lineage) twice
+    keys_df = keys_cached = keys_df.distinct().persist()
     n_keys = keys_df.count()
     if n_keys == 0:
+        keys_cached.unpersist()
         return None
     snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
     seq = prev_meta.get("last-sequence-number", 0) + 1
@@ -1801,6 +1852,7 @@ def write_equality_deletes(spark: SparkSession, table_dir: str,
     (keys_df.repartitionByRange(nfiles, *cols)
      .sortWithinPartitions(*cols)
      .write.mode("error").parquet(out))
+    keys_cached.unpersist()
     files = sorted(str(p) for p in Path(out).glob("*.parquet"))
     stats = _file_stats(spark, files)
 

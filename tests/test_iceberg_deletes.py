@@ -386,3 +386,25 @@ def test_mixed_position_and_equality_deletes(spark, tmp_path):
         keep, engine.decode(back, reassemble=True)) == 0
     dec = engine.reassemble_segments(engine.decode_files(spark, table))
     assert engine.verify_roundtrip(keep, dec) == 0
+
+
+def test_equality_delete_on_non_role_key_fused_decode(spark, tmp_path):
+    """Equality deletes keyed on a column OUTSIDE the 8 decoded role
+    columns (content_hash — the natural dedup/takedown key) are honored
+    by the fused decode: the worker reads the key column alongside the
+    role set.  (Previously every task died with ValueError:
+    'content_hash' is not in list.)"""
+    table = str(tmp_path / "t")
+    tok = _tok_df(spark, n_docs=8)
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    key = iceberg.read_table(spark, table) \
+        .where("doc_id = 'd03'").select("content_hash").distinct()
+    assert iceberg.write_equality_deletes(spark, table, key) is not None
+    keep = tok.where("doc_id <> 'd03'")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    assert engine.verify_roundtrip(keep, dec) == 0
+    # read_table agrees
+    back = iceberg.read_table(spark, table)
+    assert engine.verify_roundtrip(
+        keep, engine.decode(back, reassemble=True)) == 0

@@ -213,7 +213,10 @@ def test_fused_paths_refuse_stale_names_until_rewrite(spark, unit_df,
     iceberg.overwrite(iceberg.read_table(spark, t), t)
     df = engine.decode_files(spark, t)
     assert df.count() == n0
-    assert "document_id" in df.columns
+    # output is normalized to the CANONICAL role names (the physical
+    # column read is 'document_id'; see
+    # test_decode_files_canonical_names_after_rename)
+    assert "doc_id" in df.columns
 
 
 def test_fused_guard_conservative_on_expired_snapshots(spark, table):
@@ -261,3 +264,44 @@ def test_schema_id_recorded_on_snapshots(spark, table):
     sids = [s.get("schema-id", 0) for s in meta["snapshots"]]
     assert sids[0] == 0 and sids[-1] == max(
         s.get("schema-id", 0) for s in meta["schemas"])
+
+
+def test_decode_files_canonical_names_after_rename(spark, tmp_path):
+    """decode_files emits the engine's CANONICAL role names even when
+    the stored columns were renamed, so the documented
+    decode_files → reassemble_segments pipeline keeps working (it
+    addresses doc_id/source/seg_id by name)."""
+    t = str(tmp_path / "enc")
+    tok = spark.createDataFrame(
+        [(f"d{i}", "unit", 5, [i, i + 1, i + 2, i + 3, i + 4])
+         for i in range(12)],
+        "doc_id string, source string, n_tok int, tokens array<int>")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, t)
+    iceberg.rename_column(t, "doc_id", "document_id")
+    iceberg.overwrite(iceberg.read_table(spark, t), t)
+    dec = engine.decode_files(spark, t)
+    assert dec.columns == ["doc_id", "source", "seg_id", "tokens"]
+    out = engine.reassemble_segments(dec)
+    assert engine.verify_roundtrip(tok, out) == 0
+
+
+def test_fused_roles_resist_name_reuse_chain(spark, tmp_path):
+    """A rename chain that RE-USES a role name for a different field
+    (doc_id→did, then source→doc_id) must resolve by FIELD-ID lineage:
+    role doc_id → physical 'did', role source → physical 'doc_id'.
+    Name-first resolution silently read source values as doc ids."""
+    t = str(tmp_path / "enc")
+    tok = spark.createDataFrame(
+        [(f"d{i}", f"src{i % 3}", 4, [i, 2 * i, 3 * i, 4 * i])
+         for i in range(10)],
+        "doc_id string, source string, n_tok int, tokens array<int>")
+    enc = engine.encode(tok, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, t)
+    iceberg.rename_column(t, "doc_id", "did")
+    iceberg.rename_column(t, "source", "doc_id")
+    iceberg.overwrite(iceberg.read_table(spark, t), t)
+    cm = iceberg.fused_role_columns(t, ["doc_id", "source"])
+    assert cm == {"doc_id": "did", "source": "doc_id"}
+    out = engine.reassemble_segments(engine.decode_files(spark, t))
+    assert engine.verify_roundtrip(tok, out) == 0
