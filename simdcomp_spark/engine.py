@@ -732,6 +732,30 @@ def decode_files(spark: SparkSession, path: str,
     return fdf.mapInArrow(fn, schema=out_schema)
 
 
+def decode_incremental(spark: SparkSession, path: str,
+                       since_snapshot_id: int,
+                       to_snapshot_id: int | None = None,
+                       batch_rows: int = 2048) -> DataFrame:
+    """Fused decode of ONLY the data appended to an Iceberg table after
+    ``since_snapshot_id`` (a snapshot cursor the caller saved from its
+    previous run) — metadata-only planning via
+    :func:`iceberg.incremental_files`, then :func:`decode_files` on the
+    file subset.  The per-run consumption unit of a recurring pipeline
+    at 100 TB: a run's cost scales with what LANDED, not the table.
+    Raises on non-append history in the range (the caller re-seeds from
+    a full read).  Empty range returns an empty segments frame."""
+    from . import iceberg
+    inc = iceberg.incremental_files(path, since_snapshot_id,
+                                    to_snapshot_id)
+    if not inc:
+        return spark.createDataFrame(
+            [], "doc_id string, source string, seg_id int, "
+                "tokens array<int>")
+    return decode_files(spark, path, batch_rows=batch_rows,
+                        snapshot_id=to_snapshot_id,
+                        files=[d["file_path"] for d in inc])
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

@@ -1657,6 +1657,56 @@ def snapshots(table_dir: str) -> list[dict]:
             for s in meta["snapshots"]]
 
 
+def incremental_files(table_dir: str, from_snapshot_id: int,
+                      to_snapshot_id: int | None = None) -> list[dict]:
+    """Data files ADDED by the snapshots strictly after
+    ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
+    current) — the incremental-consumption unit of a recurring pipeline:
+    each run processes only what landed since its last run's snapshot
+    cursor, a metadata-only plan at any table size.
+
+    Safe only over APPEND history: if any snapshot in the range is an
+    overwrite/delete/replace, "files added" is no longer the logical
+    table diff (rows were removed or rewritten), so this raises and the
+    caller must fall back to a full read (or re-seed its cursor).
+    Deletes committed BEFORE the cursor never affect the result: the v2
+    sequence rule means they only apply to data files with a smaller
+    sequence number, and every in-range file's sequence is larger.  An
+    expired or unknown ``from_snapshot_id`` raises (stale cursor —
+    ``expire_snapshots`` outran the consumer)."""
+    meta = _load_metadata(table_dir)
+    order = {s["snapshot-id"]: i for i, s in enumerate(meta["snapshots"])}
+    if from_snapshot_id not in order:
+        raise ValueError(
+            f"{table_dir}: cursor snapshot {from_snapshot_id} is not in "
+            "the table history (expired or never existed) — re-seed the "
+            "incremental cursor from a full read")
+    to_id = (to_snapshot_id if to_snapshot_id is not None
+             else meta["current-snapshot-id"])
+    if to_id not in order:
+        raise ValueError(f"{table_dir}: snapshot {to_id} not found")
+    i0, i1 = order[from_snapshot_id], order[to_id]
+    if i1 < i0:
+        raise ValueError(
+            f"{table_dir}: to_snapshot {to_id} precedes from_snapshot "
+            f"{from_snapshot_id}")
+    rng = meta["snapshots"][i0 + 1:i1 + 1]
+    non_append = [(s["snapshot-id"],
+                   s.get("summary", {}).get("operation"))
+                  for s in rng
+                  if s.get("summary", {}).get("operation") != "append"]
+    if non_append:
+        raise ValueError(
+            f"{table_dir}: snapshot range contains non-append commits "
+            f"{non_append}; added-files is not the logical diff across "
+            "overwrite/delete/replace — full read required")
+    if not rng:
+        return []
+    want = {s["snapshot-id"] for s in rng}
+    _, data, _ = _snapshot_entries(table_dir, to_id)
+    return [d for d in data if d["_snapshot_id"] in want]
+
+
 # ---------------------------------------------------------------------------
 # v2 row-level deletes: position-delete files (write + apply + compact)
 # ---------------------------------------------------------------------------

@@ -941,6 +941,44 @@ def q_iceberg_pos_delete(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_incremental(spark, sf_dir):
+    """Incremental snapshot-range consumption: the orders tokens table is
+    published in TWO appends (even-custkey docs, then odd), and the query
+    decodes ONLY the files added after the first append's snapshot —
+    iceberg.incremental_files (a metadata-only cursor walk) feeding
+    engine.decode_incremental (fused decode of the file subset).  This is
+    the per-run unit of a recurring 100 TB ingest: run cost scales with
+    what LANDED since the saved cursor, not with the table.  Raises if
+    the incremental plan failed to skip the first batch's files, so the
+    gate cannot pass on a full scan.  Oracle: the second batch spelled
+    out over raw orders."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "iceinc")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    even = tok.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = tok.where(F.col("doc_id").cast("long") % 2 == 1)
+    iceberg.export_encoded(
+        engine.encode(even, codec="d1", split_threshold=None), table)
+    cursor = iceberg.snapshots(table)[-1]["snapshot-id"]
+    iceberg.append(
+        engine.encode(odd, codec="d1", split_threshold=None), table)
+    inc = iceberg.incremental_files(table, cursor)
+    n_all = len(iceberg.data_files(table))
+    if not inc or len(inc) >= n_all:
+        raise AssertionError(
+            f"incremental plan did not skip the first batch "
+            f"({len(inc)} of {n_all} files)")
+    dec = engine.reassemble_segments(
+        engine.decode_incremental(spark, table, cursor))
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_iceberg_eq_delete(spark, sf_dir):
     """v2 EQUALITY DELETES end-to-end: orders tokens encoded into an
     Iceberg table, every doc with custkey % 5 == 2 deleted by KEY VALUE
@@ -1225,6 +1263,7 @@ QUERIES = {
     "iceberg_partition_prune": q_iceberg_partition_prune,
     "iceberg_pos_delete": q_iceberg_pos_delete,
     "iceberg_eq_delete": q_iceberg_eq_delete,
+    "iceberg_incremental": q_iceberg_incremental,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "streaming_dedup": q_streaming_dedup,
@@ -1532,6 +1571,14 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
                                ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
        CAST(o_orderkey AS INT) AS tok
 FROM orders
+""",
+    "iceberg_incremental": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+WHERE o_custkey % 2 = 1
 """,
     "iceberg_pos_delete": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

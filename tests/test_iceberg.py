@@ -725,3 +725,64 @@ def test_concurrent_append_rebases_and_retries(spark, unit_df, tmp_path):
     with pytest.raises(RuntimeError, match="commit conflict"):
         iceberg._write_snapshot(spark, table, b.limit(2), stale3,
                                 operation="overwrite")
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"d{i:03d}", "unit", 4, [i, i + 1, i + 2, i + 3])
+         for i in range(lo, hi)],
+        "doc_id string, source string, n_tok int, tokens array<int>")
+
+
+def test_incremental_files_append_ranges(spark, tmp_path):
+    """incremental_files returns exactly the files the in-range appends
+    added (a metadata-only cursor walk), decode_incremental decodes only
+    those rows, and an at-cursor range is empty."""
+    t = str(tmp_path / "t")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 8)), t)
+    s1 = iceberg.snapshots(t)[-1]["snapshot-id"]
+    iceberg.append(enc(_docs(spark, 8, 14)), t)
+    s2 = iceberg.snapshots(t)[-1]["snapshot-id"]
+    iceberg.append(enc(_docs(spark, 14, 20)), t)
+
+    inc = iceberg.incremental_files(t, s1)
+    assert inc and len(inc) < len(iceberg.data_files(t))
+    dec = engine.reassemble_segments(
+        engine.decode_incremental(spark, t, s1))
+    assert engine.verify_roundtrip(_docs(spark, 8, 20), dec) == 0
+    # bounded range [s1, s2]: only the middle batch
+    dec_mid = engine.reassemble_segments(
+        engine.decode_incremental(spark, t, s1, to_snapshot_id=s2))
+    assert engine.verify_roundtrip(_docs(spark, 8, 14), dec_mid) == 0
+    # at-cursor: nothing landed
+    assert iceberg.incremental_files(t, iceberg.snapshots(t)[-1]
+                                     ["snapshot-id"]) == []
+    assert engine.decode_incremental(
+        spark, t, iceberg.snapshots(t)[-1]["snapshot-id"]).count() == 0
+
+
+def test_incremental_files_refuses_non_append_history(spark, tmp_path):
+    """Overwrite or delete inside the range means added-files is not the
+    logical diff — refuse; a delete BEFORE the cursor is fine (the v2
+    sequence rule keeps in-range files untouched).  Unknown/expired
+    cursors refuse too."""
+    t = str(tmp_path / "t")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 8)), t)
+    s1 = iceberg.snapshots(t)[-1]["snapshot-id"]
+    iceberg.delete_where(spark, t, "doc_id = 'd003'")
+    with pytest.raises(ValueError, match="non-append"):
+        iceberg.incremental_files(t, s1)
+    # cursor AFTER the delete: appends since then are cleanly consumable
+    s2 = iceberg.snapshots(t)[-1]["snapshot-id"]
+    iceberg.append(enc(_docs(spark, 8, 12)), t)
+    dec = engine.reassemble_segments(
+        engine.decode_incremental(spark, t, s2))
+    assert engine.verify_roundtrip(_docs(spark, 8, 12), dec) == 0
+    with pytest.raises(ValueError, match="not in the table history"):
+        iceberg.incremental_files(t, 424242)
+    with pytest.raises(ValueError, match="precedes"):
+        iceberg.incremental_files(t, s2, to_snapshot_id=s1)
