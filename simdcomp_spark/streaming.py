@@ -225,3 +225,61 @@ def windowed_token_rate(stream_df: DataFrame, ts_col: str = "ts",
                  F.count("*").alias("docs"))
             .select(F.col("win.start").alias("win_start"), "source",
                     "tokens", "docs"))
+
+
+def consume_incremental(spark: SparkSession, table_dir: str,
+                        cursor_path: str, process,
+                        batch_rows: int = 2048) -> dict:
+    """One exactly-once-per-range pull of everything appended to an
+    encoded Iceberg table since the saved cursor — the CONSUMER half of
+    the exactly-once streaming/resumable sinks above: a downstream job
+    (tokenizer-count audit, export, training-shard builder) calls this
+    on its own schedule and only ever decodes what LANDED.
+
+    Protocol: read the snapshot cursor from ``cursor_path`` (absent =
+    never ran → the full table is the first range), plan the appended
+    files metadata-only (:func:`iceberg.incremental_files`), run
+    ``process(decoded_segments_df)``, and advance the cursor via atomic
+    tmp+rename ONLY after ``process`` returns.  A crash inside
+    ``process`` leaves the cursor untouched, so the next call replays
+    the SAME range — at-least-once delivery; ``process`` must be
+    idempotent per range (write to a keyed sink, or use the range's
+    ``to_snapshot`` id as its commit key, mirroring
+    :func:`commit_encoded_stream_batch`).  Non-append history in the
+    range raises (delete/overwrite/replace make added-files ≠ logical
+    diff): re-seed by deleting the cursor file and reprocessing a full
+    read.  Returns ``{"from_snapshot", "to_snapshot", "files",
+    "snapshots"}`` for the processed range (files == -1 on a first-run
+    full read)."""
+    import json
+    import os
+    import tempfile
+    from . import iceberg
+
+    meta = iceberg._load_metadata(table_dir)
+    to_id = meta["current-snapshot-id"]
+    cur = None
+    if Path(cursor_path).is_file():
+        cur = json.loads(Path(cursor_path).read_text())["snapshot-id"]
+    if cur == to_id or to_id == -1:   # nothing landed / empty table
+        return {"from_snapshot": cur, "to_snapshot": to_id,
+                "files": 0, "snapshots": 0}
+    if cur is None or cur == -1:   # never ran, or seeded on empty table
+        df = engine.decode_files(spark, table_dir, snapshot_id=to_id,
+                                 batch_rows=batch_rows)
+        nfiles, nsnaps = -1, len(meta["snapshots"])
+    else:
+        inc = iceberg.incremental_files(table_dir, cur, to_id)
+        order = {s["snapshot-id"]: i
+                 for i, s in enumerate(meta["snapshots"])}
+        nfiles, nsnaps = len(inc), order[to_id] - order[cur]
+        df = engine.decode_incremental(spark, table_dir, cur, to_id,
+                                       batch_rows=batch_rows)
+    process(df)
+    fd, tmp = tempfile.mkstemp(dir=str(Path(cursor_path).parent),
+                               prefix=".cursor.")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"snapshot-id": to_id, "table": table_dir}, f)
+    os.replace(tmp, cursor_path)
+    return {"from_snapshot": cur, "to_snapshot": to_id,
+            "files": nfiles, "snapshots": nsnaps}

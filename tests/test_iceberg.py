@@ -786,3 +786,38 @@ def test_incremental_files_refuses_non_append_history(spark, tmp_path):
         iceberg.incremental_files(t, 424242)
     with pytest.raises(ValueError, match="precedes"):
         iceberg.incremental_files(t, s2, to_snapshot_id=s1)
+
+
+def test_consume_incremental_cursor_protocol(spark, tmp_path):
+    """streaming.consume_incremental: first call processes the full
+    table and seeds the cursor; later calls decode ONLY what landed; a
+    crash inside process leaves the cursor untouched (same range
+    replays); caught-up calls are no-ops that never invoke process."""
+    from simdcomp_spark import streaming
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 6)), t)
+    got = []
+
+    def grab(df):
+        got.append(sorted(r["doc_id"] for r in
+                          df.select("doc_id").collect()))
+
+    r1 = streaming.consume_incremental(spark, t, cur, grab)
+    assert r1["files"] == -1 and got[-1] == [f"d{i:03d}" for i in range(6)]
+    # caught up: no-op, process NOT called
+    assert streaming.consume_incremental(spark, t, cur, grab)["files"] == 0
+    assert len(got) == 1
+    iceberg.append(enc(_docs(spark, 6, 9)), t)
+    # crash inside process: cursor must not advance
+    with pytest.raises(RuntimeError, match="boom"):
+        streaming.consume_incremental(
+            spark, t, cur, lambda df: (_ for _ in ()).throw(
+                RuntimeError("boom")))
+    r2 = streaming.consume_incremental(spark, t, cur, grab)
+    assert r2["snapshots"] == 1 and r2["files"] >= 1
+    assert got[-1] == ["d006", "d007", "d008"]
+    assert streaming.consume_incremental(spark, t, cur, grab)["files"] == 0
