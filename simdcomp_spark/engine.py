@@ -745,6 +745,11 @@ def decode_incremental(spark: SparkSession, path: str,
     Raises on non-append history in the range (the caller re-seeds from
     a full read).  Empty range returns an empty segments frame."""
     from . import iceberg
+    if to_snapshot_id is None:
+        # pin "current" ONCE so the file plan and the decode cannot
+        # resolve it to different snapshots when an append races in
+        to_snapshot_id = iceberg._load_metadata(path)[
+            "current-snapshot-id"]
     inc = iceberg.incremental_files(path, since_snapshot_id,
                                     to_snapshot_id)
     if not inc:
