@@ -1691,10 +1691,15 @@ def incremental_files(table_dir: str, from_snapshot_id: int,
             f"{table_dir}: to_snapshot {to_id} precedes from_snapshot "
             f"{from_snapshot_id}")
     rng = meta["snapshots"][i0 + 1:i1 + 1]
+    # a manifest rewrite (operation=replace + rewrite-manifests marker)
+    # adds no files and preserves every entry's original snapshot id —
+    # benign inside an incremental range
     non_append = [(s["snapshot-id"],
                    s.get("summary", {}).get("operation"))
                   for s in rng
-                  if s.get("summary", {}).get("operation") != "append"]
+                  if s.get("summary", {}).get("operation") != "append"
+                  and s.get("summary", {}).get("rewrite-manifests")
+                  != "true"]
     if non_append:
         raise ValueError(
             f"{table_dir}: snapshot range contains non-append commits "
@@ -2117,6 +2122,93 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
 
 _LINEAGE_KEYS = ("simdcomp-shards", "simdcomp-input-files",
                  "simdcomp-stream-batches")
+
+
+def rewrite_manifests(table_dir: str,
+                      target_entries: int = 100_000) -> dict:
+    """Metadata-only REPLACE commit that consolidates the accumulated
+    data manifests into ``ceil(live_files / target_entries)`` new ones.
+    Every append carries the previous manifests forward, so a
+    one-snapshot-per-micro-batch producer (the exactly-once streaming
+    sink, the per-batch resumable ingest) leaves a manifest LIST of one
+    small avro file per commit — after 10^4 micro-batches every planning
+    walk (_snapshot_entries) opens 10^4 files.  This is the maintenance
+    half Iceberg's own RewriteManifests action provides.
+
+    No data file is touched and no entry changes identity: live data
+    files are rewritten as EXISTING entries (status=0) with their
+    ORIGINAL snapshot and sequence numbers, so time travel, the v2
+    delete sequence rule, and :func:`incremental_files` cursors all
+    survive a rewrite (the rewrite snapshot itself adds no files and is
+    treated as benign by the incremental walk via its
+    ``rewrite-manifests`` summary marker).  Delete manifests are carried
+    forward unchanged.  Old manifest avros stay referenced by older
+    snapshots until ``expire_snapshots`` + ``remove_orphan_files``
+    reclaim them.  Returns ``{"meta", "manifests_before",
+    "manifests_after"}``; no commit when there is nothing to merge."""
+    prev_meta = _load_metadata(table_dir)
+    prev_records = _prev_manifest_records(prev_meta)
+    data_records = [r for r in prev_records if r.get("content", 0) == 0]
+    del_records = [r for r in prev_records if r.get("content", 0) == 1]
+    _, data, _ = _snapshot_entries(table_dir)
+    need = max(1, -(-len(data) // target_entries))
+    if not data or len(data_records) <= need:
+        return {"meta": None, "manifests_before": len(data_records),
+                "manifests_after": len(data_records)}
+    spec, part_fields = _spec_part_fields(prev_meta)
+    schema = _current_schema(prev_meta)
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    now_ms = time.time_ns() // 1_000_000
+    entries = []
+    for d in data:
+        dd = {k: v for k, v in d.items() if not k.startswith("_")}
+        entries.append({"status": 0, "snapshot_id": d["_snapshot_id"],
+                        "sequence_number": d["_sequence_number"],
+                        "file_sequence_number": d["_sequence_number"],
+                        "data_file": dd})
+    mdir = _meta_dir(table_dir)
+    new_mlist = []
+    for gi in range(0, len(entries), target_entries):
+        chunk = entries[gi:gi + target_entries]
+        mp = str(mdir / f"manifest-rw-{snap_id}-"
+                        f"{gi // target_entries}.avro")
+        _avro_write(mp, _manifest_entry_schema(part_fields), chunk,
+                    metadata={"schema": json.dumps(schema),
+                              "partition-spec":
+                                  json.dumps(spec["fields"]),
+                              "content": "data",
+                              "format-version": "2"})
+        rows = sum(int(e["data_file"].get("record_count") or 0)
+                   for e in chunk)
+        new_mlist.append({
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": spec["spec-id"], "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(e["sequence_number"]
+                                       for e in chunk),
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": len(chunk),
+            "deleted_data_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": rows, "deleted_rows_count": 0})
+    mlist_path = str(mdir / f"snap-{snap_id}.avro")
+    _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA,
+                new_mlist + del_records,
+                metadata={"format-version": "2"})
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms, "manifest-list": mlist_path,
+                "schema-id": schema.get("schema-id", 0),
+                "summary": {"operation": "replace",
+                            "rewrite-manifests": "true",
+                            "manifests-replaced":
+                                str(len(data_records)),
+                            "manifests-created": str(len(new_mlist))}}
+    meta = _attach_snapshot(table_dir, prev_meta, snapshot)
+    return {"meta": meta, "manifests_before": len(data_records),
+            "manifests_after": len(new_mlist)}
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

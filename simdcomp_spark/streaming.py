@@ -121,14 +121,20 @@ def start_encode_stream_iceberg(spark: SparkSession, in_dir: str,
                                 table_dir: str, codec: str = "auto",
                                 checkpoint: str | None = None,
                                 split_threshold: int | None = None,
-                                trigger_once: bool = True):
+                                trigger_once: bool = True,
+                                rewrite_every: int | None = None):
     """Watch ``in_dir`` for appended tokens parquet and ingest each
     micro-batch into an Iceberg table with EXACTLY-ONCE table contents
     (one snapshot per micro-batch, idempotent on replay — see
     :func:`commit_encoded_stream_batch`).  Unifies the streaming path
     with the table stack: the result is an ordinary Iceberg table —
     time travel across triggers, fused decode, dedup-delete, compaction
-    and expiry all apply.  Returns the StreamingQuery."""
+    and expiry all apply.  ``rewrite_every=N`` folds manifest
+    maintenance into the sink: after every Nth batch commit the
+    accumulated one-manifest-per-snapshot chain is consolidated
+    (:func:`iceberg.rewrite_manifests`), bounding the metadata tree a
+    long-running stream leaves behind — without it, planning cost grows
+    linearly in trigger count.  Returns the StreamingQuery."""
     import json
     checkpoint = checkpoint or str(Path(table_dir) / "_checkpoint")
     stream = (spark.readStream.schema(TOKENS_SCHEMA)
@@ -137,11 +143,16 @@ def start_encode_stream_iceberg(spark: SparkSession, in_dir: str,
     def process(batch_df, batch_id: int):
         # the checkpoint's stable query id (survives restarts; fresh
         # checkpoint => fresh id), written by the engine at query start
+        from . import iceberg
         qid = json.loads(
             (Path(checkpoint) / "metadata").read_text())["id"]
         commit_encoded_stream_batch(batch_df, batch_id, table_dir, qid,
                                     codec=codec,
                                     split_threshold=split_threshold)
+        if rewrite_every and batch_id % rewrite_every == rewrite_every - 1:
+            # maintenance, not correctness: a replayed batch that
+            # re-runs this is just a (possibly no-op) extra rewrite
+            iceberg.rewrite_manifests(table_dir)
 
     writer = (stream.writeStream
               .foreachBatch(process)

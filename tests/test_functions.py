@@ -601,3 +601,31 @@ def test_streaming_iceberg_sink_exactly_once(spark, tmp_path):
     assert done2 == {0, 1} and qid2 == qid
     assert streaming.commit_encoded_stream_batch(
         p1, 0, table, qid, codec="bitpack") is None
+
+
+def test_streaming_iceberg_sink_rewrites_manifests(spark, tmp_path):
+    """rewrite_every folds manifest maintenance into the streaming sink:
+    after the Nth batch the one-manifest-per-snapshot chain collapses,
+    exactly-once replay detection still works (old append snapshots stay
+    in history), and the table decodes identically."""
+    from simdcomp_spark import iceberg
+    in_dir = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    df = fixtures.unit_table(spark).limit(60).cache()
+    parts = [df.where(f"pmod(xxhash64(cast(doc_id as string)), 3) = {i}")
+             for i in range(3)]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("append").parquet(in_dir)
+        q = streaming.start_encode_stream_iceberg(
+            spark, in_dir, table, codec="bitpack", rewrite_every=3)
+        q.awaitTermination(120)
+    data_manifests = [r for r in iceberg._prev_manifest_records(
+        iceberg._load_metadata(table)) if r.get("content", 0) == 0]
+    assert len(data_manifests) == 1          # 3 batches consolidated
+    done, qid = streaming.committed_stream_batches(table)
+    assert done == {0, 1, 2}
+    dec = engine.decode(iceberg.read_table(spark, table), reassemble=True)
+    assert engine.verify_roundtrip(df, dec) == 0
+    # replay after the rewrite: still a no-op
+    assert streaming.commit_encoded_stream_batch(
+        parts[0], 0, table, qid, codec="bitpack") is None

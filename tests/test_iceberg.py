@@ -821,3 +821,76 @@ def test_consume_incremental_cursor_protocol(spark, tmp_path):
     assert r2["snapshots"] == 1 and r2["files"] >= 1
     assert got[-1] == ["d006", "d007", "d008"]
     assert streaming.consume_incremental(spark, t, cur, grab)["files"] == 0
+
+
+def test_rewrite_manifests_consolidates_append_history(spark, tmp_path):
+    """One manifest per append (the streaming-sink shape) collapses to
+    ceil(files/target) via a METADATA-ONLY replace commit: data files
+    untouched, read identity holds, time travel still sees the
+    pre-rewrite state, and an incremental cursor from before the rewrite
+    keeps working (entries keep their original snapshot ids)."""
+    from simdcomp_spark import streaming
+
+    t = str(tmp_path / "t")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 4)), t)
+    cursor = iceberg.snapshots(t)[-1]["snapshot-id"]
+    for lo in (4, 8, 12, 16):
+        iceberg.append(enc(_docs(spark, lo, lo + 4)), t)
+    n_manifests = len([r for r in iceberg._prev_manifest_records(
+        iceberg._load_metadata(t)) if r.get("content", 0) == 0])
+    assert n_manifests == 5
+    files_before = {d["file_path"] for d in iceberg.data_files(t)}
+    pre_rewrite = iceberg.snapshots(t)[-1]["snapshot-id"]
+
+    # chunked first: target sized for two manifests over the live set
+    n_files = len(files_before)
+    res = iceberg.rewrite_manifests(
+        t, target_entries=-(-n_files // 2))
+    assert res["manifests_before"] == 5 and res["manifests_after"] == 2
+    res = iceberg.rewrite_manifests(t)
+    assert res["manifests_before"] == 2 and res["manifests_after"] == 1
+    assert {d["file_path"] for d in iceberg.data_files(t)} \
+        == files_before                        # data files untouched
+    dec = engine.reassemble_segments(engine.decode_files(spark, t))
+    assert engine.verify_roundtrip(_docs(spark, 0, 20), dec) == 0
+    # original snapshot/sequence numbers preserved on EXISTING entries
+    assert {d["_snapshot_id"] for d in iceberg.data_files(t)} \
+        == {s["snapshot-id"] for s in iceberg.snapshots(t)[:5]}
+    # time travel predates the rewrite (same live set, old manifests)
+    assert {d["file_path"]
+            for d in iceberg.data_files(t, snapshot_id=pre_rewrite)} \
+        == files_before
+    # incremental cursor from BEFORE the rewrite: the replace commit is
+    # benign, the appended files still come back
+    dec_inc = engine.reassemble_segments(
+        engine.decode_incremental(spark, t, cursor))
+    assert engine.verify_roundtrip(_docs(spark, 4, 20), dec_inc) == 0
+    # a second rewrite is a no-op (already consolidated); splitting into
+    # MORE manifests than needed is refused too; appends after work
+    assert iceberg.rewrite_manifests(t)["meta"] is None
+    assert iceberg.rewrite_manifests(t, target_entries=1)["meta"] is None
+    iceberg.append(enc(_docs(spark, 20, 24)), t)
+    assert engine.verify_roundtrip(
+        _docs(spark, 0, 24), engine.reassemble_segments(
+            engine.decode_files(spark, t))) == 0
+    assert streaming is not None
+
+
+def test_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
+    """A rewrite on a delete-bearing table keeps the delete manifests
+    referenced: read_table still applies the deletes afterwards."""
+    t = str(tmp_path / "t")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 6)), t)
+    iceberg.append(enc(_docs(spark, 6, 12)), t)
+    iceberg.delete_where(spark, t, "doc_id = 'd004'")
+    res = iceberg.rewrite_manifests(t)
+    assert res["manifests_after"] == 1
+    assert len(iceberg.delete_files(t)) >= 1
+    back = iceberg.read_table(spark, t)
+    keep = _docs(spark, 0, 12).where("doc_id <> 'd004'")
+    assert engine.verify_roundtrip(
+        keep, engine.decode(back, reassemble=True)) == 0
