@@ -2275,13 +2275,21 @@ def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
     ``older_than_s`` guards the race with an in-flight writer: a
     concurrent commit's data files exist before its metadata does and
     must not be swept; the default only removes files older than a day
-    (set 0 only when no writer can be active).  Returns the removed (or,
-    with dry_run, would-be-removed) paths."""
+    (set 0 only when no writer can be active).  Unreferenced METADATA
+    avros (manifest lists + manifests of expired snapshots, and the
+    pre-rewrite manifests :func:`rewrite_manifests` replaced) are swept
+    under the same age guard — without this, a
+    one-snapshot-per-micro-batch producer leaks one avro per trigger
+    forever.  Returns the removed (or, with dry_run, would-be-removed)
+    paths."""
     meta = _load_metadata(table_dir)
     referenced: set[str] = set()
+    ref_avros: set[str] = set()
     for s in meta["snapshots"]:
+        ref_avros.add(s["manifest-list"])
         _, manifests = _avro_read(s["manifest-list"])
         for m in manifests:
+            ref_avros.add(m["manifest_path"])
             _, entries = _avro_read(m["manifest_path"])
             referenced |= {e["data_file"]["file_path"] for e in entries}
     now = time.time()
@@ -2289,6 +2297,18 @@ def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
     for p in sorted((Path(table_dir) / "data").rglob("*.parquet")):
         sp = str(p)
         if sp in referenced:
+            continue
+        try:
+            if now - p.stat().st_mtime < older_than_s:
+                continue
+            if not dry_run:
+                p.unlink()
+            out.append(sp)
+        except OSError:
+            continue
+    for p in sorted((Path(table_dir) / "metadata").glob("*.avro")):
+        sp = str(p)
+        if sp in ref_avros:
             continue
         try:
             if now - p.stat().st_mtime < older_than_s:

@@ -894,3 +894,29 @@ def test_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
     keep = _docs(spark, 0, 12).where("doc_id <> 'd004'")
     assert engine.verify_roundtrip(
         keep, engine.decode(back, reassemble=True)) == 0
+
+
+def test_maintenance_cycle_reclaims_rewritten_manifests(spark, tmp_path):
+    """rewrite_manifests → expire_snapshots → remove_orphan_files: the
+    replaced per-append manifests and expired manifest lists are swept
+    from metadata/, every data file survives, and the table still reads
+    bit-identically — the full maintenance loop a long-running
+    micro-batch producer needs."""
+    t = str(tmp_path / "t")
+    enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
+                                   split_threshold=None)
+    iceberg.export_encoded(enc(_docs(spark, 0, 4)), t)
+    for lo in (4, 8):
+        iceberg.append(enc(_docs(spark, lo, lo + 4)), t)
+    avros_before = set((Path(t) / "metadata").glob("*.avro"))
+    assert iceberg.rewrite_manifests(t)["manifests_after"] == 1
+    iceberg.expire_snapshots(t, keep_last=1)
+    swept = iceberg.remove_orphan_files(t, older_than_s=0)
+    assert any(s.endswith(".avro") for s in swept)
+    left = set((Path(t) / "metadata").glob("*.avro"))
+    assert left < avros_before | left        # old avros actually gone
+    assert len(left) < len(avros_before) + 1
+    # every retained reference still resolves; reads stay bit-identical
+    dec = engine.reassemble_segments(engine.decode_files(spark, t))
+    assert engine.verify_roundtrip(_docs(spark, 0, 12), dec) == 0
+    assert iceberg.read_table(spark, t).count() == dec.count()
