@@ -549,7 +549,8 @@ def _eq_delete_assignment(table_dir: str, entries: list[dict],
 def decode_files(spark: SparkSession, path: str,
                  batch_rows: int = 2048,
                  snapshot_id: int | None = None,
-                 files: list[str] | None = None) -> DataFrame:
+                 files: list[str] | None = None,
+                 plan: tuple | None = None) -> DataFrame:
     """Fused scan→decode, symmetric to :func:`encode_files`: one task per
     parquet row group of an ENCODED table, read with pyarrow inside the
     worker — the packed binary columns never enter the JVM row format.
@@ -582,13 +583,17 @@ def decode_files(spark: SparkSession, path: str,
 
     del_map = eq_map = None
     ice_meta = None
-    if (Path(path) / "metadata" / "version-hint.text").is_file():
+    if plan is not None or (Path(path) / "metadata"
+                            / "version-hint.text").is_file():
         from . import iceberg
         # ONE metadata-tree walk covers the name-safety guard, the live
         # file list, and the delete inventory — at 10^5-10^6 files each
-        # extra walk is a full manifest-tree read
-        ice_meta, entries, all_dels = iceberg.fused_plan(path,
-                                                         snapshot_id)
+        # extra walk is a full manifest-tree read.  ``plan`` reuses a
+        # caller's :func:`iceberg.fused_plan` result (guard already run
+        # against it), for zero extra walks
+        ice_meta, entries, all_dels = (
+            plan if plan is not None
+            else iceberg.fused_plan(path, snapshot_id))
         if files is None:
             files = [e["file_path"] for e in entries]
         else:
@@ -750,15 +755,21 @@ def decode_incremental(spark: SparkSession, path: str,
         # resolve it to different snapshots when an append races in
         to_snapshot_id = iceberg._load_metadata(path)[
             "current-snapshot-id"]
+    # ONE manifest-tree walk serves the cursor diff AND the decode plan
+    # — incremental consumers are exactly the long-manifest-chain
+    # tables where each walk is expensive
+    fplan = iceberg.fused_plan(path, to_snapshot_id)
     inc = iceberg.incremental_files(path, since_snapshot_id,
-                                    to_snapshot_id)
+                                    to_snapshot_id,
+                                    preloaded=(fplan[0], fplan[1]))
     if not inc:
         return spark.createDataFrame(
             [], "doc_id string, source string, seg_id int, "
                 "tokens array<int>")
     return decode_files(spark, path, batch_rows=batch_rows,
                         snapshot_id=to_snapshot_id,
-                        files=[d["file_path"] for d in inc])
+                        files=[d["file_path"] for d in inc],
+                        plan=fplan)
 
 
 # ---------------------------------------------------------------------------

@@ -1658,7 +1658,9 @@ def snapshots(table_dir: str) -> list[dict]:
 
 
 def incremental_files(table_dir: str, from_snapshot_id: int,
-                      to_snapshot_id: int | None = None) -> list[dict]:
+                      to_snapshot_id: int | None = None,
+                      preloaded: tuple[dict, list[dict]] | None = None
+                      ) -> list[dict]:
     """Data files ADDED by the snapshots strictly after
     ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
     current) — the incremental-consumption unit of a recurring pipeline:
@@ -1673,8 +1675,14 @@ def incremental_files(table_dir: str, from_snapshot_id: int,
     sequence rule means they only apply to data files with a smaller
     sequence number, and every in-range file's sequence is larger.  An
     expired or unknown ``from_snapshot_id`` raises (stale cursor —
-    ``expire_snapshots`` outran the consumer)."""
-    meta = _load_metadata(table_dir)
+    ``expire_snapshots`` outran the consumer).
+
+    ``preloaded=(meta, data_entries)`` reuses a caller's existing
+    :func:`_snapshot_entries` result resolved AT ``to_snapshot_id`` —
+    no second manifest-tree walk (the tables this targets are exactly
+    the long-manifest-chain ones where each walk is expensive)."""
+    meta = preloaded[0] if preloaded is not None \
+        else _load_metadata(table_dir)
     order = {s["snapshot-id"]: i for i, s in enumerate(meta["snapshots"])}
     if from_snapshot_id not in order:
         raise ValueError(
@@ -1708,7 +1716,10 @@ def incremental_files(table_dir: str, from_snapshot_id: int,
     if not rng:
         return []
     want = {s["snapshot-id"] for s in rng}
-    _, data, _ = _snapshot_entries(table_dir, to_id)
+    if preloaded is not None:
+        data = preloaded[1]
+    else:
+        _, data, _ = _snapshot_entries(table_dir, to_id)
     return [d for d in data if d["_snapshot_id"] in want]
 
 
@@ -2146,6 +2157,10 @@ def rewrite_manifests(table_dir: str,
     snapshots until ``expire_snapshots`` + ``remove_orphan_files``
     reclaim them.  Returns ``{"meta", "manifests_before",
     "manifests_after"}``; no commit when there is nothing to merge."""
+    if target_entries < 1:
+        raise ValueError(
+            f"rewrite_manifests: target_entries must be >= 1, got "
+            f"{target_entries}")
     prev_meta = _load_metadata(table_dir)
     prev_records = _prev_manifest_records(prev_meta)
     data_records = [r for r in prev_records if r.get("content", 0) == 0]

@@ -267,7 +267,14 @@ def consume_incremental(spark: SparkSession, table_dir: str,
     import tempfile
     from . import iceberg
 
-    meta = iceberg._load_metadata(table_dir)
+    try:
+        meta = iceberg._load_metadata(table_dir)
+    except FileNotFoundError:
+        # producer has not created the table yet (the consumer runs on
+        # its own schedule) — caught-up no-op, mirroring
+        # committed_stream_batches
+        return {"from_snapshot": None, "to_snapshot": None,
+                "files": 0, "snapshots": 0}
     to_id = meta["current-snapshot-id"]
     cur = None
     if Path(cursor_path).is_file():

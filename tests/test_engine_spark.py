@@ -325,12 +325,17 @@ def test_expire_snapshots_and_orphan_cleanup_preserve_resume(
     orphan_dir.mkdir()
     orphan = str(orphan_dir / "leftover.parquet")
     shutil.copy(live[0], orphan)
-    assert iceberg.remove_orphan_files(table, older_than_s=0,
-                                       dry_run=True) == [orphan]
+    got = iceberg.remove_orphan_files(table, older_than_s=0,
+                                      dry_run=True)
+    assert orphan in got
+    # the expired snapshots' manifest-list/manifest avros are orphans
+    # too now; nothing else may be swept
+    assert all(g == orphan or g.endswith(".avro") for g in got)
     assert Path(orphan).exists()                               # dry run
-    # age guard: a fresh file survives the default threshold
+    # age guard: fresh files survive the default threshold
     assert iceberg.remove_orphan_files(table) == []
-    assert iceberg.remove_orphan_files(table, older_than_s=0) == [orphan]
+    got = iceberg.remove_orphan_files(table, older_than_s=0)
+    assert orphan in got
     assert not orphan_dir.exists()
     assert iceberg.read_table(spark, table).count() == n
     assert all(Path(f).exists() for f in live)

@@ -829,8 +829,6 @@ def test_rewrite_manifests_consolidates_append_history(spark, tmp_path):
     untouched, read identity holds, time travel still sees the
     pre-rewrite state, and an incremental cursor from before the rewrite
     keeps working (entries keep their original snapshot ids)."""
-    from simdcomp_spark import streaming
-
     t = str(tmp_path / "t")
     enc = lambda df: engine.encode(df, codec="bitpack",  # noqa: E731
                                    split_threshold=None)
@@ -871,11 +869,12 @@ def test_rewrite_manifests_consolidates_append_history(spark, tmp_path):
     # MORE manifests than needed is refused too; appends after work
     assert iceberg.rewrite_manifests(t)["meta"] is None
     assert iceberg.rewrite_manifests(t, target_entries=1)["meta"] is None
+    with pytest.raises(ValueError, match="target_entries"):
+        iceberg.rewrite_manifests(t, target_entries=0)
     iceberg.append(enc(_docs(spark, 20, 24)), t)
     assert engine.verify_roundtrip(
         _docs(spark, 0, 24), engine.reassemble_segments(
             engine.decode_files(spark, t))) == 0
-    assert streaming is not None
 
 
 def test_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
