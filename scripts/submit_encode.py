@@ -67,6 +67,10 @@ def main() -> int:
     ap.add_argument("--codec", default="auto")
     ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--split-threshold", type=int, default=1 << 16)
+    ap.add_argument("--rewrite-manifests", action="store_true",
+                    help="after the last batch lands, consolidate the "
+                         "one-manifest-per-batch chain (metadata-only; "
+                         "keeps planning cost flat in batch count)")
     ap.add_argument("--verify", action="store_true",
                     help="decode + compare against the input (extra "
                          "pass); mismatches exit 1.  With "
@@ -101,7 +105,8 @@ def main() -> int:
             summary = manifest.encode_files_resumable_iceberg(
                 spark, args.input, args.publish_iceberg, codec=args.codec,
                 split_threshold=args.split_threshold,
-                batch_files=args.batch_files, verify=args.verify)
+                batch_files=args.batch_files, verify=args.verify,
+                rewrite_manifests=args.rewrite_manifests)
         except RuntimeError as e:
             if "rolled back" not in str(e):
                 raise

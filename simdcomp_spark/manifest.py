@@ -310,7 +310,9 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
                                    engine.DEFAULT_SPLIT_THRESHOLD,
                                    batch_files: int | None = None,
                                    snapshot_id: int | None = None,
-                                   verify: bool = False) -> dict:
+                                   verify: bool = False,
+                                   rewrite_manifests: bool = False
+                                   ) -> dict:
     """FUSED resumable ingest (the 100 TB path): INPUT FILES are the
     resume unit, and the Iceberg snapshot log is the resume state.
 
@@ -334,7 +336,13 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
     mismatch ROLLS BACK that snapshot (iceberg.rollback_last_snapshot)
     before raising — corrupt data never stays current, and the dropped
     snapshot's lineage vanishes with it, so the re-run (with the fixed
-    encoder) re-encodes exactly the failed batch."""
+    encoder) re-encodes exactly the failed batch.
+
+    ``rewrite_manifests=True`` consolidates the one-manifest-per-batch
+    chain after the last batch lands (:func:`iceberg.rewrite_manifests`
+    — metadata-only; resume lineage lives in the append snapshots'
+    summaries, which a rewrite preserves in history, so a later resume
+    is still a no-op)."""
     import json as _json
 
     from . import iceberg
@@ -392,4 +400,8 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
         summary["encoded_files"] += len(batch)
         summary["rows"] += int(snap["summary"]["added-records"])
         summary["snapshots"].append(snap["snapshot-id"])
+    if rewrite_manifests:
+        res = iceberg.rewrite_manifests(table_dir)
+        summary["manifests_after_rewrite"] = (
+            res["manifests_after"])
     return summary

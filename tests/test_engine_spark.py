@@ -705,3 +705,27 @@ def test_rollback_last_snapshot_to_empty(spark, unit_df, tmp_path):
     # the table is still appendable afterwards
     iceberg.append(unit_df.select(*cols).limit(5), table)
     assert iceberg.read_table(spark, table).count() == 5
+
+
+def test_resumable_ingest_final_manifest_rewrite(spark, unit_df, tmp_path):
+    """rewrite_manifests=True consolidates the one-manifest-per-batch
+    chain after the last batch; resume lineage survives (a later run is
+    still a no-op) and the table decodes identically."""
+    from simdcomp_spark import iceberg
+    src = str(tmp_path / "tok")
+    unit_df.repartition(6).write.parquet(src)
+    table = str(tmp_path / "tbl")
+    s = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack", batch_files=2,
+        rewrite_manifests=True)
+    assert len(s["snapshots"]) == 3
+    assert s["manifests_after_rewrite"] == 1
+    data_manifests = [r for r in iceberg._prev_manifest_records(
+        iceberg._load_metadata(table)) if r.get("content", 0) == 0]
+    assert len(data_manifests) == 1
+    # resume after the rewrite: lineage intact, no-op
+    s2 = manifest.encode_files_resumable_iceberg(
+        spark, src, table, codec="bitpack")
+    assert s2["encoded_files"] == 0 and s2["skipped"] == 6
+    dec = engine.decode(iceberg.read_table(spark, table), reassemble=True)
+    assert engine.verify_roundtrip(unit_df, dec) == 0
