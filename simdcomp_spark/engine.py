@@ -327,10 +327,16 @@ def distributed_file_map(spark: SparkSession, files: list[str], fn,
     minutes-to-hours of small-read I/O before any task can start."""
     if not files:
         return []
+    return _file_name_df(spark, files).mapInArrow(fn, schema).collect()
+
+
+def _file_name_df(spark: SparkSession, files: list[str]):
+    """(path) DataFrame over file NAMES, partitioned for footer fan-out
+    (≤4× default parallelism) — the shared scaffold that keeps the
+    driver-lists-names/executors-open-files discipline in one place."""
     par = max(int(spark.sparkContext.defaultParallelism), 1)
-    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
-           .repartition(min(len(files), par * 4)))
-    return fdf.mapInArrow(fn, schema).collect()
+    return (spark.createDataFrame([(f,) for f in files], "path string")
+            .repartition(min(len(files), par * 4)))
 
 
 def _rowgroup_units(spark: SparkSession, path: str,
@@ -361,8 +367,7 @@ def _rowgroup_units(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], "path string, rg int, rg_off long")
     par = max(int(spark.sparkContext.defaultParallelism), 1)
-    fdf = (spark.createDataFrame([(f,) for f in files], "path string")
-           .repartition(min(len(files), par * 4)))
+    fdf = _file_name_df(spark, files)
 
     def footer_counts(it):
         import pyarrow.parquet as pq
@@ -393,18 +398,19 @@ def _rowgroup_units(spark: SparkSession, path: str,
 
 
 def _role_columns(path: str, roles: list[str],
-                  snapshot_id: int | None = None,
                   meta: dict | None = None) -> dict:
     """Physical column names for the engine's canonical roles: identity
     on plain parquet dirs; rename-aware resolution (by field id through
     schema history) on Iceberg tables — see
     :func:`iceberg.fused_role_columns`.  ``meta`` passes an
-    already-loaded table metadata dict through (no re-read)."""
+    already-loaded table metadata dict through (no re-read).  The
+    resolution is always against the CURRENT schema: the fused guard
+    (assert_fused_name_safe) has already refused any snapshot whose
+    live files carry other names."""
     from pathlib import Path
     if (Path(path) / "metadata" / "version-hint.text").is_file():
         from . import iceberg
-        return iceberg.fused_role_columns(path, roles, snapshot_id,
-                                          meta=meta)
+        return iceberg.fused_role_columns(path, roles, meta=meta)
     return {r: r for r in roles}
 
 
@@ -436,7 +442,7 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
     import pyarrow.parquet as pq
 
     fdf = _rowgroup_units(spark, path, snapshot_id, files)
-    cm = _role_columns(path, ["doc_id", "tokens", "source"], snapshot_id)
+    cm = _role_columns(path, ["doc_id", "tokens", "source"])
     cols = [cm["doc_id"], cm["tokens"], cm["source"]]
 
     def fn(it):
@@ -621,7 +627,7 @@ def decode_files(spark: SparkSession, path: str,
     fdf = fdf.select("path", "rg", "rg_off", "dels", "eq")
     cm = _role_columns(path, ["doc_id", "source", "seg_id", "n_tok",
                               "codec", "widths", "inits", "payload"],
-                       snapshot_id, meta=ice_meta)
+                       meta=ice_meta)
     cols = [cm[r] for r in ("doc_id", "source", "seg_id", "n_tok",
                             "codec", "widths", "inits", "payload")]
     # equality-delete keys may be columns OUTSIDE the decoded role set
@@ -1249,7 +1255,10 @@ def dedup_delete_iceberg(spark: SparkSession, table_dir: str,
     ).otherwise(F.col("content_hash"))
     rows = enc.select("doc_id", "seg_id", F.hex(guarded).alias("h"),
                       "_file", "_pos")
-    sig = _doc_signature(rows, "h")
+    # sig is tiny (one row per doc) but its lineage is the full table
+    # scan + delete anti-joins; it feeds groups AND the candidate join —
+    # persist so that scan runs once, not per consumer
+    sig = _doc_signature(rows, "h").persist()
     groups = sig.groupBy("sig").agg(F.min("doc_id").alias("keep"),
                                     F.count("*").alias("n_docs"))
     dup_groups = groups.where(F.col("n_docs") >= 2)
@@ -1276,13 +1285,20 @@ def dedup_delete_iceberg(spark: SparkSession, table_dir: str,
         losers = (sig.join(dup_groups, "sig")
                   .where(F.col("doc_id") != F.col("keep"))
                   .select("doc_id"))
+    # losers' lineage includes the candidate decode + sha256 pipeline;
+    # the coordinate join below must not re-run it
+    losers = losers.persist()
     pos = (enc.join(losers, "doc_id", "leftsemi")
            .select(F.col("_file").alias("file_path"),
                    F.col("_pos").alias("pos")))
-    return iceberg.write_position_deletes(
-        spark, table_dir, pos,
-        extra_summary={"simdcomp-dedup-delete":
-                       "exact-doc" + ("-verified" if verify else "")})
+    try:
+        return iceberg.write_position_deletes(
+            spark, table_dir, pos,
+            extra_summary={"simdcomp-dedup-delete":
+                           "exact-doc" + ("-verified" if verify else "")})
+    finally:
+        losers.unpersist()
+        sig.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -704,16 +704,9 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
         prev_manifests = []
         if base_meta and operation == "append":
             prev_manifests = _prev_manifest_records(base_meta)
-        mlist = prev_manifests + [{
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0, "content": 0,
-            "sequence_number": seq_, "min_sequence_number": seq_,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(stats),
-            "existing_data_files_count": 0, "deleted_data_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": 0, "deleted_rows_count": 0}]
+        mlist = prev_manifests + [_mlist_record(
+            manifest_path, 0, 0, seq_, seq_, snap_id,
+            len(stats), added_rows)]
         _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
                     metadata={"format-version": "2"})
         return {"snapshot-id": snap_id, "sequence-number": seq_,
@@ -1131,7 +1124,6 @@ def refuse_raw_scan_on_deletes(table_dir: str, dels: list[dict]) -> None:
 
 
 def fused_role_columns(table_dir: str, roles: list[str],
-                       snapshot_id: int | None = None,
                        meta: dict | None = None) -> dict:
     """Map the engine's canonical role-column names (``doc_id``,
     ``payload``, …) to the table's CURRENT physical names, following
@@ -1212,7 +1204,9 @@ def overwrite(df: DataFrame, table_dir: str) -> dict:
 
 def prune_files(table_dir: str, col: str, lo=None, hi=None,
                 snapshot_id: int | None = None,
-                ignore_deletes: bool = False) -> list[dict]:
+                ignore_deletes: bool = False,
+                preloaded: tuple[dict, list[dict]] | None = None
+                ) -> list[dict]:
     """Data files whose manifest [lower, upper] bounds for ``col`` may
     overlap [lo, hi] — metadata-level file pruning, no data I/O.  Files
     lacking bounds for the column are conservatively kept.  At 100 TB
@@ -1221,8 +1215,14 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
 
     ``ignore_deletes`` has :func:`data_files` semantics: pruned paths
     handed to a raw scan must not come from a delete-bearing snapshot
-    (read_table prunes AND applies the deletes; it passes True here)."""
-    meta = _load_metadata(table_dir)
+    (read_table prunes AND applies the deletes; it passes True here).
+    ``preloaded=(meta, data_entries)`` reuses a caller's existing
+    metadata-tree walk instead of re-reading it."""
+    if preloaded is not None:
+        meta, entries = preloaded
+    else:
+        meta = _load_metadata(table_dir)
+        entries = data_files(table_dir, snapshot_id, ignore_deletes)
     fields = {f["name"]: f for f in _current_schema(meta)["fields"]}
     if col not in fields:
         raise KeyError(f"column {col!r} not in table schema "
@@ -1233,7 +1233,7 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
                        if pf["source-id"] == fid
                        and pf["transform"] == "identity"), None)
     out = []
-    for d in data_files(table_dir, snapshot_id, ignore_deletes):
+    for d in entries:
         if part_field is not None:
             # identity-partitioned column: the partition struct holds the
             # file's exact value — prune from the SPEC, no bounds read
@@ -1480,8 +1480,6 @@ def _read_with_pos(spark: SparkSession, table_dir: str,
     if pos_dels:
         df = _apply_position_deletes(spark, df, pos_dels)
     if eq_dels:
-        if meta is None:
-            meta = _load_metadata(table_dir)
         seqs = spark.createDataFrame(
             [(e["file_path"], int(e.get("_sequence_number") or 0))
              for e in entries], "_file string, _seq bigint")
@@ -1523,8 +1521,11 @@ def read_table(spark: SparkSession, table_dir: str,
     meta, data, dels = _snapshot_entries(table_dir, snapshot_id)
     if between is not None:
         col, lo, hi = between
+        # reuse THIS walk's entries — a second data_files walk would
+        # re-open every manifest avro
         files = prune_files(table_dir, col, lo, hi, snapshot_id,
-                            ignore_deletes=True)
+                            ignore_deletes=True,
+                            preloaded=(meta, data))
     else:
         files = data
     paths = [d["file_path"] for d in files]
@@ -1741,6 +1742,28 @@ def _spec_part_fields(meta: dict) -> tuple[dict, list[tuple]]:
                    pf["field-id"]) for pf in spec["fields"]]
 
 
+def _mlist_record(manifest_path: str, spec_id: int, content: int,
+                  seq: int, min_seq: int, snap_id: int,
+                  added_files: int, added_rows: int,
+                  existing_files: int = 0, existing_rows: int = 0
+                  ) -> dict:
+    """One manifest-list entry (spec `manifest_file` struct) — the single
+    source of its 14-field shape for every snapshot-producing writer
+    (append/overwrite, both delete writers, compaction, manifest
+    rewrite); a spec-field addition lands here once."""
+    return {"manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec_id, "content": content,
+            "sequence_number": seq, "min_sequence_number": min_seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": added_files,
+            "existing_data_files_count": existing_files,
+            "deleted_data_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": existing_rows,
+            "deleted_rows_count": 0}
+
+
 def _prev_manifest_records(prev_meta: dict) -> list[dict]:
     """The current snapshot's manifest-list records (data AND delete
     manifests), for carry-forward commits."""
@@ -1832,16 +1855,9 @@ def write_position_deletes(spark: SparkSession, table_dir: str,
                           "partition-spec": json.dumps(spec["fields"]),
                           "content": "deletes",
                           "format-version": "2"})
-    mlist = _prev_manifest_records(prev_meta) + [{
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec["spec-id"], "content": 1,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_data_files_count": len(stats),
-        "existing_data_files_count": 0, "deleted_data_files_count": 0,
-        "added_rows_count": n_pos,
-        "existing_rows_count": 0, "deleted_rows_count": 0}]
+    mlist = _prev_manifest_records(prev_meta) + [_mlist_record(
+        manifest_path, spec["spec-id"], 1, seq, seq, snap_id,
+        len(stats), n_pos)]
     mlist_path = str(mdir / f"snap-{snap_id}.avro")
     _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
                 metadata={"format-version": "2"})
@@ -1957,16 +1973,9 @@ def write_equality_deletes(spark: SparkSession, table_dir: str,
                           "partition-spec": json.dumps(spec["fields"]),
                           "content": "deletes",
                           "format-version": "2"})
-    mlist = _prev_manifest_records(prev_meta) + [{
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec["spec-id"], "content": 1,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_data_files_count": len(stats),
-        "existing_data_files_count": 0, "deleted_data_files_count": 0,
-        "added_rows_count": n_keys,
-        "existing_rows_count": 0, "deleted_rows_count": 0}]
+    mlist = _prev_manifest_records(prev_meta) + [_mlist_record(
+        manifest_path, spec["spec-id"], 1, seq, seq, snap_id,
+        len(stats), n_keys)]
     mlist_path = str(mdir / f"snap-{snap_id}.avro")
     _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
                 metadata={"format-version": "2"})
@@ -2096,17 +2105,10 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
                           "content": "data",
                           "format-version": "2"})
     min_seq = min([seq] + [d["_sequence_number"] for d in clean])
-    mlist = [{
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec["spec-id"], "content": 0,
-        "sequence_number": seq, "min_sequence_number": min_seq,
-        "added_snapshot_id": snap_id,
-        "added_data_files_count": len(stats),
-        "existing_data_files_count": len(clean),
-        "deleted_data_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": kept_rows, "deleted_rows_count": 0}]
+    mlist = [_mlist_record(
+        manifest_path, spec["spec-id"], 0, seq, min_seq, snap_id,
+        len(stats), added_rows,
+        existing_files=len(clean), existing_rows=kept_rows)]
     mlist_path = str(mdir / f"snap-{snap_id}.avro")
     _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist,
                 metadata={"format-version": "2"})
@@ -2196,19 +2198,10 @@ def rewrite_manifests(table_dir: str,
                               "format-version": "2"})
         rows = sum(int(e["data_file"].get("record_count") or 0)
                    for e in chunk)
-        new_mlist.append({
-            "manifest_path": mp,
-            "manifest_length": os.path.getsize(mp),
-            "partition_spec_id": spec["spec-id"], "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(e["sequence_number"]
-                                       for e in chunk),
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": 0,
-            "existing_data_files_count": len(chunk),
-            "deleted_data_files_count": 0,
-            "added_rows_count": 0,
-            "existing_rows_count": rows, "deleted_rows_count": 0})
+        new_mlist.append(_mlist_record(
+            mp, spec["spec-id"], 0, seq,
+            min(e["sequence_number"] for e in chunk), snap_id,
+            0, 0, existing_files=len(chunk), existing_rows=rows))
     mlist_path = str(mdir / f"snap-{snap_id}.avro")
     _avro_write(mlist_path, _MANIFEST_FILE_SCHEMA,
                 new_mlist + del_records,
@@ -2321,7 +2314,13 @@ def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
             out.append(sp)
         except OSError:
             continue
-    for p in sorted((Path(table_dir) / "metadata").glob("*.avro")):
+    # unreferenced avros, plus the .tmp files a publisher killed inside
+    # _publish_metadata leaves behind (vtmp before its finally-unlink,
+    # hint tmp before os.replace)
+    mdir_ = Path(table_dir) / "metadata"
+    stale_meta = sorted(mdir_.glob("*.avro")) + \
+        sorted(p for p in mdir_.glob(".*.tmp"))
+    for p in stale_meta:
         sp = str(p)
         if sp in ref_avros:
             continue

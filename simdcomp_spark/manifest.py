@@ -384,8 +384,15 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
                                           extra_summary=extra)
         snap = meta["snapshots"][-1]
         if verify:
+            # ignore_deletes: the ingest may target a table that already
+            # carries row-level deletes (they cannot touch this batch's
+            # just-appended files under the v2 sequence rule); the path
+            # match needs the full /snap-<id>/ segment — snapshot ids
+            # are variable-length, so a bare prefix can collide
             new_files = [d["file_path"] for d in iceberg.data_files(
-                table_dir) if f"snap-{snap['snapshot-id']}" in d["file_path"]]
+                table_dir, ignore_deletes=True)
+                if f"{os.sep}snap-{snap['snapshot-id']}{os.sep}"
+                in d["file_path"]]
             dec = engine.decode(spark.read.parquet(*new_files),
                                 reassemble=True)
             bad = engine.verify_roundtrip(

@@ -287,12 +287,24 @@ def consume_incremental(spark: SparkSession, table_dir: str,
                                  batch_rows=batch_rows)
         nfiles, nsnaps = -1, len(meta["snapshots"])
     else:
-        inc = iceberg.incremental_files(table_dir, cur, to_id)
+        # ONE manifest-tree walk serves the cursor diff AND the decode
+        # plan — this loop runs on exactly the long-manifest-chain
+        # tables where each walk is expensive
+        fplan = iceberg.fused_plan(table_dir, to_id)
+        inc = iceberg.incremental_files(table_dir, cur, to_id,
+                                        preloaded=(fplan[0], fplan[1]))
         order = {s["snapshot-id"]: i
                  for i, s in enumerate(meta["snapshots"])}
         nfiles, nsnaps = len(inc), order[to_id] - order[cur]
-        df = engine.decode_incremental(spark, table_dir, cur, to_id,
-                                       batch_rows=batch_rows)
+        if inc:
+            df = engine.decode_files(
+                spark, table_dir, batch_rows=batch_rows,
+                snapshot_id=to_id,
+                files=[d["file_path"] for d in inc], plan=fplan)
+        else:   # in-range commits added no files (e.g. manifest rewrite)
+            df = spark.createDataFrame(
+                [], "doc_id string, source string, seg_id int, "
+                    "tokens array<int>")
     process(df)
     fd, tmp = tempfile.mkstemp(dir=str(Path(cursor_path).parent),
                                prefix=".cursor.")
