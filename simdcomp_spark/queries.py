@@ -979,6 +979,41 @@ def q_iceberg_incremental(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_maintenance(spark, sf_dir):
+    """The full table-maintenance chain is data-preserving: orders tokens
+    published in THREE appends (custkey % 3 buckets), then
+    rewrite_manifests (one-manifest-per-append chain → 1, asserted),
+    expire_snapshots (history trimmed to the rewrite snapshot), and
+    remove_orphan_files(age 0) (replaced manifests + expired manifest
+    lists swept from metadata/, asserted) — after all of which the fused
+    decode must still match the SQL oracle over raw orders exactly."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icemaint")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    for b in range(3):
+        part = tok.where(F.col("doc_id").cast("long") % 3 == b)
+        enc = engine.encode(part, codec="d1", split_threshold=None)
+        if b == 0:
+            iceberg.export_encoded(enc, table)
+        else:
+            iceberg.append(enc, table)
+    res = iceberg.rewrite_manifests(table)
+    if res["manifests_before"] != 3 or res["manifests_after"] != 1:
+        raise AssertionError(f"rewrite did not consolidate: {res}")
+    iceberg.expire_snapshots(table, keep_last=1)
+    swept = iceberg.remove_orphan_files(table, older_than_s=0)
+    if not any(s.endswith(".avro") for s in swept):
+        raise AssertionError("orphan sweep reclaimed no metadata avros")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_iceberg_eq_delete(spark, sf_dir):
     """v2 EQUALITY DELETES end-to-end: orders tokens encoded into an
     Iceberg table, every doc with custkey % 5 == 2 deleted by KEY VALUE
@@ -1264,6 +1299,7 @@ QUERIES = {
     "iceberg_pos_delete": q_iceberg_pos_delete,
     "iceberg_eq_delete": q_iceberg_eq_delete,
     "iceberg_incremental": q_iceberg_incremental,
+    "iceberg_maintenance": q_iceberg_maintenance,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "streaming_dedup": q_streaming_dedup,
@@ -1579,6 +1615,13 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS INT) AS tok
 FROM orders
 WHERE o_custkey % 2 = 1
+""",
+    "iceberg_maintenance": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
 """,
     "iceberg_pos_delete": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
