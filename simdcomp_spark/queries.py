@@ -603,6 +603,14 @@ def q_stopwords(spark, sf_dir):
     return textfn.stopword_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary frequency (exact top-100 tokens by count,
+    ties by token) — one map-side-combinable shuffle keyed by token;
+    the MG-sketch variant (bounded shuffle for unbounded vocabularies)
+    is property-tested against this exact path in pytest."""
+    return textfn.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: documents' bytes stand in for opaque
     media payloads (no media libs in this container), the deterministic fake
@@ -1277,6 +1285,7 @@ QUERIES = {
     "fsst_roundtrip": q_fsst_roundtrip,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
+    "vocab_topk": q_vocab_topk,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1515,6 +1524,14 @@ FROM documents GROUP BY md5(text)
     "token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
 FROM documents
+""",
+    "vocab_topk": """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents) t
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 100
 """,
     "bpe_token_count": r"""
 SELECT doc_id,

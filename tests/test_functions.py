@@ -629,3 +629,34 @@ def test_streaming_iceberg_sink_rewrites_manifests(spark, tmp_path):
     # replay after the rewrite: still a no-op
     assert streaming.commit_encoded_stream_batch(
         parts[0], 0, table, qid, codec="bitpack") is None
+
+
+def test_vocab_topk_mg_matches_exact_and_bounds(spark):
+    """The Misra-Gries vocabulary sketch: with capacity ≥ vocabulary it
+    equals the exact top-k EXACTLY; with a tight capacity every true
+    heavy hitter (count > n/(capacity+1)) still surfaces and estimates
+    never exceed truth."""
+    from simdcomp_spark.functions import text as textfn
+
+    rows = []
+    for i in range(300):
+        words = ["common"] * 5 + [f"rare{i}_{j}" for j in range(3)]
+        if i % 3 == 0:
+            words += ["heavy"] * 4
+        rows.append((str(i), " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id string, text string") \
+        .repartition(8)
+    exact = {r["token"]: r["cnt"]
+             for r in textfn.vocab_topk(df, k=20).collect()}
+    # capacity >= vocab: identical result
+    wide = {r["token"]: r["est_count"]
+            for r in textfn.vocab_topk_mg(df, k=20,
+                                          capacity=10000).collect()}
+    assert wide == exact
+    # tight capacity: heavy hitters survive, estimates are lower bounds
+    tight = {r["token"]: r["est_count"]
+             for r in textfn.vocab_topk_mg(df, k=20,
+                                           capacity=64).collect()}
+    assert "common" in tight and "heavy" in tight
+    for tok, est in tight.items():
+        assert est <= exact.get(tok, est), (tok, est)
