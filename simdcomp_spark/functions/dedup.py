@@ -206,3 +206,22 @@ def dedup_keep_first(df: DataFrame, col: str = "text") -> DataFrame:
     w = Window.partitionBy(F.md5(F.col(col).cast("binary"))).orderBy("doc_id")
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def decontaminate(df: DataFrame, probe_df: DataFrame,
+                  col: str = "text", k: int = 3) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents sharing ANY word
+    k-gram with a probe set (eval-suite questions, held-out test docs) —
+    the training-pipeline stage that keeps benchmarks out of the
+    training mix.  Probe suites are small, so their distinct shingles
+    BROADCAST and the check is a single scan + broadcast join + map-side
+    combinable count: no shuffle of the corpus, cost linear in corpus
+    size at any probe count that fits a broadcast.  Returns
+    ``(doc_id, n_hits)`` — flagged docs with how many distinct probe
+    shingles they contain (callers anti-join it against the corpus to
+    drop or audit)."""
+    probe_sh = (probe_df.select(F.explode(_shingles(col, k)).alias("sh"))
+                .distinct())
+    doc_sh = df.select("doc_id", F.explode(_shingles(col, k)).alias("sh"))
+    return (doc_sh.join(F.broadcast(probe_sh), "sh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))

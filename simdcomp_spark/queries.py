@@ -603,6 +603,18 @@ def q_stopwords(spark, sf_dir):
     return textfn.stopword_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents with doc_id % 97 == 0 play
+    the eval suite (probe set); every other document sharing ANY word
+    trigram with a probe is flagged with its distinct-hit count.  The
+    probe shingle set broadcasts (no corpus shuffle); oracle spells the
+    same shingling + join in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, probes)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary frequency (exact top-100 tokens by count,
     ties by token) — one map-side-combinable shuffle keyed by token;
@@ -1286,6 +1298,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "vocab_topk": q_vocab_topk,
+    "decontaminate": q_decontaminate,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1532,6 +1545,21 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
+""",
+    "decontaminate": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS sh
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
+probe AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 97 <> 0)
+SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus JOIN probe USING (sh)
+GROUP BY corpus.doc_id
 """,
     "bpe_token_count": r"""
 SELECT doc_id,

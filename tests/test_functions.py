@@ -660,3 +660,23 @@ def test_vocab_topk_mg_matches_exact_and_bounds(spark):
     assert "common" in tight and "heavy" in tight
     for tok, est in tight.items():
         assert est <= exact.get(tok, est), (tok, est)
+
+
+def test_decontaminate_broadcasts_probes(spark):
+    """The probe shingles broadcast (no corpus shuffle before the join)
+    and only true n-gram sharers are flagged, with distinct-hit counts."""
+    from simdcomp_spark.functions import dedup as ddp
+
+    corpus = spark.createDataFrame(
+        [("1", "the quick brown fox jumps over the lazy dog"),
+         ("2", "completely unrelated content here today"),
+         ("3", "quick brown fox seen downtown yesterday evening")],
+        "doc_id string, text string")
+    probes = spark.createDataFrame(
+        [("p", "a quick brown fox story")], "doc_id string, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in ddp.decontaminate(corpus, probes).collect()}
+    assert got == {"1": 1, "3": 1}     # share 'quick brown fox' only
+    plan = ddp.decontaminate(corpus, probes) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
