@@ -335,3 +335,19 @@ SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM buckets x JOIN buckets y ON x.band = y.band AND x.bkt = y.bkt
 WHERE x.doc_id < y.doc_id
 """
+
+
+def training_mix_oracle(rates: dict[str, int]) -> str:
+    """DuckDB replay of functions.mix.training_mix over documents:
+    pmod(xxhash64(doc_id), 100) < rates[source], the hash being Spark's
+    XXH64.hashLong(doc_id, 42) replayed in generated SQL."""
+    sql = layered_select(
+        "SELECT doc_id, source, " + to_unsigned("doc_id") + " AS ub "
+        "FROM documents",
+        hash_long_layers("ub", _u(42), "h64"))
+    cases = " ".join(f"WHEN source = '{s}' THEN {r}"
+                     for s, r in rates.items())
+    signed = to_signed("h64")
+    return (f"SELECT doc_id, source FROM ({sql}) "
+            f"WHERE ((({signed}) % 100) + 100) % 100 "
+            f"< CASE {cases} ELSE -1 END")

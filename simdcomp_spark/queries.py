@@ -615,6 +615,20 @@ def q_decontaminate(spark, sf_dir):
     return dedup.decontaminate(corpus, probes)
 
 
+MIX_RATES = {f"src{i}": (i * 17 + 5) % 100 for i in range(20)}
+
+
+def q_training_mix(spark, sf_dir):
+    """Deterministic training-mix sampling: each source kept at its
+    MIX_RATES percent via the content-stable coin
+    pmod(xxhash64(doc_id), 100) < rate — a pure rowwise predicate (no
+    shuffle, reproducible across runs/engines/partitionings).  Oracle
+    replays Spark's XXH64.hashLong in generated DuckDB SQL."""
+    from .functions import mix
+    return mix.training_mix(_t(spark, sf_dir, "documents"), MIX_RATES) \
+        .select("doc_id", "source")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary frequency (exact top-100 tokens by count,
     ties by token) — one map-side-combinable shuffle keyed by token;
@@ -1299,6 +1313,7 @@ QUERIES = {
     "token_count": q_token_count,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
+    "training_mix": q_training_mix,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1860,6 +1875,7 @@ ORACLES["lang_id"] = _lang_id_oracle()
 # Spark plan equals it structurally: pigeonhole recall for
 # max_hamming ≤ bands-1 + exact bit_count verify); minhash_lsh is a full
 # replication of the banded bucket join.
+ORACLES["training_mix"] = oracles_xxh.training_mix_oracle(MIX_RATES)
 ORACLES["simhash"] = oracles_xxh.simhash_oracle()
 ORACLES["simhash_neardup"] = oracles_xxh.simhash_neardup_oracle()
 ORACLES["fingerprint"] = oracles_xxh.fingerprint_oracle()
