@@ -1033,6 +1033,91 @@ def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
         fn, schema="doc_id string, seg_id int, n_tok int, n_in_range int")
 
 
+def contains_token(df_encoded: DataFrame, token: int) -> DataFrame:
+    """Compressed-domain membership predicate: the (doc_id, seg_id) rows
+    whose token sequence contains ``token``, decoding ONLY rows whose
+    per-block ZONE MAPS admit it — the reference's zone-skip discipline
+    (simdsearchd1's per-block init/width pruning,
+    /root/reference/src/simdpackedsearch.c) lifted to a DataFrame
+    predicate.
+
+    Prescreen per block from widths + inits alone (payload untouched):
+    ``bitpack`` blocks can contain t only if t <= 2^w - 1; ``for``
+    blocks only if init <= t <= init + 2^w - 1 (sound whatever the
+    data: the FOR frame stores block minima and non-negative deltas).
+    ``d1`` (wrap-around delta semantics make init/width bounds unsound
+    on unsorted rows) and the non-block codecs are conservatively
+    candidates.  Candidate rows then decode through the shared grouped
+    core and are checked exactly — on token-id probes outside a
+    source's vocabulary range the scan never touches payload bytes."""
+    t = np.uint32(token)
+    cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
+            "payload"]
+    src = df_encoded.select(*cols)
+
+    def fn(it):
+        for batch in it:
+            n_toks = batch.column(2).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codec_np = batch.column(3).to_numpy(zero_copy_only=False)
+            wf, wl = _binary_to_flat(batch.column(4))
+            inf_, il = _binary_to_flat(batch.column(5))
+            cand = n_toks > 0
+            w_off = np.cumsum(wl) - wl
+            i_off = np.cumsum(il) - il
+            for name, mode in _BLOCK_MODES.items():
+                if mode == "d1":
+                    continue            # wrap semantics: no sound bound
+                sel = np.nonzero(cand & (codec_np == name))[0]
+                if sel.size == 0:
+                    continue
+                from .kernels import multi_arange
+                sub_w = wf[multi_arange(w_off[sel], wl[sel])] \
+                    .astype(np.int64)
+                ub = np.where(sub_w >= 32, np.int64(0xFFFFFFFF),
+                              (np.int64(1) << sub_w) - 1)
+                if mode == "for":
+                    # inits are uint32 per block: gather the selected
+                    # rows' init bytes and reinterpret
+                    ib = inf_[multi_arange(i_off[sel], il[sel])]
+                    sub_init = np.ascontiguousarray(ib).view(np.uint32) \
+                        .astype(np.int64)
+                    lb = sub_init
+                    ub = np.minimum(sub_init + ub, 0xFFFFFFFF)
+                else:
+                    lb = np.zeros(sub_w.size, dtype=np.int64)
+                blk_ok = (int(t) >= lb) & (int(t) <= ub)
+                # per-row any() over variable-length block runs
+                ends = np.cumsum(wl[sel])
+                starts = ends - wl[sel]
+                hit = np.add.reduceat(
+                    blk_ok.astype(np.int64),
+                    starts) if blk_ok.size else np.zeros(0, np.int64)
+                # reduceat with repeated/empty offsets is unsafe for
+                # zero-length rows, but sel already excludes n_tok==0
+                # (wl==0 only for empty rows in the block codecs)
+                cand[sel] = hit > 0
+            hits = []
+            idx = np.nonzero(cand)[0]
+            if idx.size:
+                sub = batch.filter(pa.array(cand))
+                toks = _decode_batch_columns(
+                    sub.column(2), sub.column(3), sub.column(4),
+                    sub.column(5), sub.column(6))
+                flat, lens = _list_to_flat(toks)
+                row_of = np.repeat(np.arange(lens.size), lens)
+                got = np.unique(row_of[flat.view(np.uint32) == t])
+                hits = idx[got]
+            mask = np.zeros(n_toks.size, dtype=bool)
+            mask[hits] = True
+            out = batch.filter(pa.array(mask))
+            yield pa.RecordBatch.from_arrays(
+                [out.column(0), out.column(1)],
+                names=["doc_id", "seg_id"])
+
+    return src.mapInArrow(fn, schema="doc_id string, seg_id int")
+
+
 def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
     """Per-row (min, max) of SORTED encoded rows WITHOUT decoding: min is
     element 0 and max is element n-1, each answered by a single-block

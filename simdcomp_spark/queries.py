@@ -615,6 +615,26 @@ def q_decontaminate(spark, sf_dir):
     return dedup.decontaminate(corpus, probes)
 
 
+def q_contains_token(spark, sf_dir):
+    """Compressed-domain membership predicate over the ENCODED table:
+    which docs contain a given token id — per-block zone maps
+    (widths+inits, no payload) prescreen, only admitted rows decode
+    (engine.contains_token; pruning itself is proven by the
+    poisoned-payload pytest).  The probe is the smallest o_orderkey in
+    the upper half of the key range, computed identically in the
+    oracle."""
+    tok_tbl = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                           "o_orderkey", "o_orderkey", "orders")
+    enc = engine.encode(tok_tbl, codec="auto", split_threshold=None)
+    orders = _t(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    probe = orders.where(F.col("o_orderkey") >= max_key // 2) \
+        .agg(F.min("o_orderkey")).first()[0]
+    hits = engine.contains_token(enc, int(probe))
+    return hits.select(F.col("doc_id").cast("long").alias("o_custkey")) \
+        .distinct()
+
+
 MIX_RATES = {f"src{i}": (i * 17 + 5) % 100 for i in range(20)}
 
 
@@ -1314,6 +1334,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "training_mix": q_training_mix,
+    "contains_token": q_contains_token,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1560,6 +1581,14 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
+""",
+    "contains_token": """
+WITH tok AS (
+  SELECT MIN(o_orderkey) AS t FROM orders
+  WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 2)
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS o_custkey
+FROM orders, tok
+WHERE o_orderkey = tok.t
 """,
     "decontaminate": """
 WITH words AS (

@@ -170,3 +170,40 @@ def test_progressive_search_cursor_matches_reference_protocol():
     cur = K.SearchCursorD1(0)
     cur.search(*blocks_[0][:2], 1000, 128)        # not found in block 0
     assert cur.init == 128
+
+
+def test_contains_token_zone_prune(spark):
+    """Compressed-domain membership: exact hits, and the zone prescreen
+    PROVABLY skips payloads — out-of-zone probes run against rows whose
+    payload bytes were replaced with garbage, so any decode attempt
+    would throw; a clean empty result means the bytes were never
+    touched."""
+    from pyspark.sql import functions as F
+    from simdcomp_spark import engine
+
+    df = spark.createDataFrame(
+        [(str(i), [100 + i, 200 + i, 300 + i], 3, "u")
+         for i in range(50)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = engine.encode(df, codec="for", split_threshold=None).cache()
+    got = {r["doc_id"] for r in engine.contains_token(enc, 210).collect()}
+    assert got == {"10"}
+    # absent but inside the zone envelope: candidates decode, none match
+    assert engine.contains_token(enc, 199).count() == 0
+    # outside every block zone: poisoned payloads prove no decode happens
+    poisoned = enc.withColumn("payload", F.lit(b"").cast("binary"))
+    assert engine.contains_token(poisoned, 50).count() == 0
+    assert engine.contains_token(poisoned, 1 << 20).count() == 0
+    # bitpack envelope: t above 2^maxwidth prunes, in-range decodes
+    enc_bp = engine.encode(df, codec="bitpack", split_threshold=None)
+    got = {r["doc_id"]
+           for r in engine.contains_token(enc_bp, 349).collect()}
+    assert got == {"49"}
+    poisoned_bp = enc_bp.withColumn("payload",
+                                    F.lit(b"").cast("binary"))
+    assert engine.contains_token(poisoned_bp, 1 << 20).count() == 0
+    # mixed codecs via auto (d1/rle rows stay conservative candidates)
+    enc_auto = engine.encode(df, codec="auto", split_threshold=None)
+    got = {r["doc_id"]
+           for r in engine.contains_token(enc_auto, 225).collect()}
+    assert got == {"25"}
