@@ -225,3 +225,26 @@ def decontaminate(df: DataFrame, probe_df: DataFrame,
     doc_sh = df.select("doc_id", F.explode(_shingles(col, k)).alias("sh"))
     return (doc_sh.join(F.broadcast(probe_sh), "sh")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
+def line_dedup(df: DataFrame, col: str = "text", max_df: int = 1,
+               sep: str = "\n") -> DataFrame:
+    """LINE-LEVEL boilerplate dedup (the C4 / RefinedWeb corpus-cleaning
+    stage): a line occurring in more than ``max_df`` DISTINCT documents
+    is dropped from every document (cookie banners, footers, nav bars);
+    surviving lines are rejoined in original order.  Documents whose
+    every line is boilerplate disappear.  Scale shape: one exact
+    line-frequency aggregation (map-side combinable, shuffles distinct
+    (line, doc) pairs) and one anti-join keyed on the line — only docs
+    sharing a line ever meet, no pairwise comparison anywhere."""
+    lines = df.select(
+        "doc_id", F.posexplode(F.split(F.col(col), sep))
+        .alias("pos", "line"))
+    hot = (lines.select("doc_id", "line").distinct()
+           .groupBy("line").agg(F.count("*").alias("line_df"))
+           .where(F.col("line_df") > max_df).select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(sep, F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line)).alias(col)))

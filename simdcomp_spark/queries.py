@@ -649,6 +649,24 @@ def q_training_mix(spark, sf_dir):
         .select("doc_id", "source")
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style line-level boilerplate removal: every doc gets
+    a shared footer line and a per-language line appended (the synthetic
+    texts are single-line, so the boilerplate is constructed IDENTICALLY
+    in the oracle); lines in more than one distinct doc are stripped,
+    the rest rejoin in order.  The footer (df = all docs) and every
+    multi-doc language line must vanish; each doc's original text
+    survives."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"),
+                    F.lit("footer: all rights reserved"),
+                    F.concat(F.lit("lang: "), F.col("lang")))
+        .alias("text"))
+    return dedup.line_dedup(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary frequency (exact top-100 tokens by count,
     ties by token) — one map-side-combinable shuffle keyed by token;
@@ -1335,6 +1353,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "training_mix": q_training_mix,
     "contains_token": q_contains_token,
+    "line_dedup": q_line_dedup,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1581,6 +1600,26 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
+""",
+    "line_dedup": """
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || 'footer: all rights reserved' ||
+         chr(10) || 'lang: ' || lang AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos, l[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+hot AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING COUNT(*) > 1),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM hot))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
 """,
     "contains_token": """
 WITH tok AS (

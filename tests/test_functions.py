@@ -680,3 +680,20 @@ def test_decontaminate_broadcasts_probes(spark):
     plan = ddp.decontaminate(corpus, probes) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_strips_boilerplate(spark):
+    """Hot lines (> max_df distinct docs) vanish from every doc; order of
+    surviving lines is preserved; a doc that was ALL boilerplate
+    disappears entirely."""
+    from simdcomp_spark.functions import dedup as ddp
+
+    docs = spark.createDataFrame(
+        [("1", "unique alpha\nCOOKIE BANNER\nunique beta"),
+         ("2", "COOKIE BANNER\nother text\nFOOTER"),
+         ("3", "FOOTER\nCOOKIE BANNER")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in ddp.line_dedup(docs).collect()}
+    assert got == {"1": "unique alpha\nunique beta",
+                   "2": "other text"}
