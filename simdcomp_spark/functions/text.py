@@ -192,3 +192,38 @@ def vocab_topk_mg(df: DataFrame, col: str = "text", k: int = 100,
     merged = partials.groupBy("token").agg(
         F.sum("cnt").alias("est_count"))
     return merged.orderBy(F.desc("est_count"), F.asc("token")).limit(k)
+
+
+# ASCII-class patterns only: Java (Spark) and RE2 (DuckDB) regex engines
+# agree byte-for-byte on these, so the scrub is oracle-reproducible
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_PATTERN = r"[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII redaction (the privacy-scrub stage of corpus cleaning):
+    emails → ``<EMAIL>``, 9+-digit runs (ids, SSNs, phone-ish numbers)
+    → ``<NUM>``.  Pure JVM `regexp_replace` rowwise — no shuffle, no
+    UDF; patterns are ASCII-class so any engine replays them exactly."""
+    out = F.regexp_replace(F.col(col), EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, LONG_DIGITS_PATTERN, "<NUM>")
+    return df.select("doc_id", out.alias(col))
+
+
+def repetition_stats(df: DataFrame, col: str = "text", k: int = 3
+                     ) -> DataFrame:
+    """Within-document repetition signal (the Gopher repetition filters'
+    measurement): total and DISTINCT word k-grams per doc, as integers
+    (quality rules threshold the ratio; integers keep any SQL engine
+    bit-identical).  Short docs (< k words) count their whole text as
+    one gram — same convention as the dedup shingles."""
+    words = F.split(F.col(col), " ")
+    n = F.size(words)
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+    return df.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"))

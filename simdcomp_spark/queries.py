@@ -667,6 +667,30 @@ def q_line_dedup(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate: emails + long digit runs injected
+    deterministically into every doc (the synthetic corpus has none),
+    then scrubbed by pure-JVM regexp_replace; the oracle injects and
+    scrubs with the identical ASCII-class patterns in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact doc"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com ref 123456789012 end"))
+        .alias("text"))
+    return textfn.pii_scrub(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition measurement: total vs distinct word
+    trigrams per doc (integer counts; quality rules threshold the
+    ratio)."""
+    return textfn.repetition_stats(_t(spark, sf_dir, "documents")) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_grams", "n_distinct_grams")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary frequency (exact top-100 tokens by count,
     ties by token) — one map-side-combinable shuffle keyed by token;
@@ -1354,6 +1378,8 @@ QUERIES = {
     "training_mix": q_training_mix,
     "contains_token": q_contains_token,
     "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
+    "repetition": q_repetition,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1600,6 +1626,32 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
+""",
+    "pii_scrub": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                || '@example.com ref 123456789012 end',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+         '[0-9]{9,}', '<NUM>', 'g') AS text
+FROM documents
+""",
+    "repetition": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' '))
+              ELSE [array_to_string(w, ' ')] END AS g
+  FROM words)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(g) AS INT) AS n_grams,
+       CAST(len(list_distinct(g)) AS INT) AS n_distinct_grams
+FROM grams
 """,
     "line_dedup": """
 WITH docs AS (

@@ -697,3 +697,19 @@ def test_line_dedup_strips_boilerplate(spark):
            for r in ddp.line_dedup(docs).collect()}
     assert got == {"1": "unique alpha\nunique beta",
                    "2": "other text"}
+
+
+def test_pii_scrub_and_repetition_stats(spark):
+    from simdcomp_spark.functions import text as tf
+
+    docs = spark.createDataFrame(
+        [("1", "mail a.b+c@x-corp.io and 123456789 but 12345678 stays"),
+         ("2", "a b a b a b a b"),
+         ("3", "xy")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["text"] for r in tf.pii_scrub(docs).collect()}
+    assert got["1"] == "mail <EMAIL> and <NUM> but 12345678 stays"
+    rep = {r["doc_id"]: (r["n_grams"], r["n_distinct_grams"])
+           for r in tf.repetition_stats(docs).collect()}
+    assert rep["2"] == (6, 2)        # 'a b a' x3 + 'b a b' x3
+    assert rep["3"] == (1, 1)        # short doc: whole text one gram
