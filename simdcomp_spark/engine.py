@@ -647,8 +647,7 @@ def decode_files(spark: SparkSession, path: str,
     # reassemble_segments / downstream consumers address doc_id/source/
     # seg_id by these names
     out_names = ["doc_id", "source", "seg_id", "tokens"]
-    out_schema = ("doc_id string, source string, "
-                  "seg_id int, tokens array<int>")
+    out_schema = DECODED_SCHEMA
 
     def _deleted_positions(del_paths, path_):
         import pyarrow.dataset as pads
@@ -746,7 +745,8 @@ def decode_files(spark: SparkSession, path: str,
 def decode_incremental(spark: SparkSession, path: str,
                        since_snapshot_id: int,
                        to_snapshot_id: int | None = None,
-                       batch_rows: int = 2048) -> DataFrame:
+                       batch_rows: int = 2048,
+                       _preplanned: tuple | None = None) -> DataFrame:
     """Fused decode of ONLY the data appended to an Iceberg table after
     ``since_snapshot_id`` (a snapshot cursor the caller saved from its
     previous run) — metadata-only planning via
@@ -756,22 +756,23 @@ def decode_incremental(spark: SparkSession, path: str,
     Raises on non-append history in the range (the caller re-seeds from
     a full read).  Empty range returns an empty segments frame."""
     from . import iceberg
-    if to_snapshot_id is None:
-        # pin "current" ONCE so the file plan and the decode cannot
-        # resolve it to different snapshots when an append races in
-        to_snapshot_id = iceberg._load_metadata(path)[
-            "current-snapshot-id"]
-    # ONE manifest-tree walk serves the cursor diff AND the decode plan
-    # — incremental consumers are exactly the long-manifest-chain
-    # tables where each walk is expensive
-    fplan = iceberg.fused_plan(path, to_snapshot_id)
-    inc = iceberg.incremental_files(path, since_snapshot_id,
-                                    to_snapshot_id,
-                                    preloaded=(fplan[0], fplan[1]))
+    if _preplanned is not None:
+        fplan, inc = _preplanned
+    else:
+        if to_snapshot_id is None:
+            # pin "current" ONCE so the file plan and the decode cannot
+            # resolve it to different snapshots when an append races in
+            to_snapshot_id = iceberg._load_metadata(path)[
+                "current-snapshot-id"]
+        # ONE manifest-tree walk serves the cursor diff AND the decode
+        # plan — incremental consumers are exactly the
+        # long-manifest-chain tables where each walk is expensive
+        fplan = iceberg.fused_plan(path, to_snapshot_id)
+        inc = iceberg.incremental_files(path, since_snapshot_id,
+                                        to_snapshot_id,
+                                        preloaded=(fplan[0], fplan[1]))
     if not inc:
-        return spark.createDataFrame(
-            [], "doc_id string, source string, seg_id int, "
-                "tokens array<int>")
+        return spark.createDataFrame([], DECODED_SCHEMA)
     return decode_files(spark, path, batch_rows=batch_rows,
                         snapshot_id=to_snapshot_id,
                         files=[d["file_path"] for d in inc],
@@ -1112,7 +1113,7 @@ def contains_token(df_encoded: DataFrame, token: int) -> DataFrame:
             mask[hits] = True
             out = batch.filter(pa.array(mask))
             yield pa.RecordBatch.from_arrays(
-                [out.column(0), out.column(1)],
+                [out.column(0), out.column(1).cast(pa.int32())],
                 names=["doc_id", "seg_id"])
 
     return src.mapInArrow(fn, schema="doc_id string, seg_id int")

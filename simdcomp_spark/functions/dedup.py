@@ -237,8 +237,11 @@ def line_dedup(df: DataFrame, col: str = "text", max_df: int = 1,
     line-frequency aggregation (map-side combinable, shuffles distinct
     (line, doc) pairs) and one anti-join keyed on the line — only docs
     sharing a line ever meet, no pairwise comparison anywhere."""
+    import re
+    # F.split takes a Java REGEX but concat_ws uses sep literally: a
+    # metacharacter separator ('.', '|') would silently shred every doc
     lines = df.select(
-        "doc_id", F.posexplode(F.split(F.col(col), sep))
+        "doc_id", F.posexplode(F.split(F.col(col), re.escape(sep)))
         .alias("pos", "line"))
     hot = (lines.select("doc_id", "line").distinct()
            .groupBy("line").agg(F.count("*").alias("line_df"))

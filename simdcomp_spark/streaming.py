@@ -296,15 +296,9 @@ def consume_incremental(spark: SparkSession, table_dir: str,
         order = {s["snapshot-id"]: i
                  for i, s in enumerate(meta["snapshots"])}
         nfiles, nsnaps = len(inc), order[to_id] - order[cur]
-        if inc:
-            df = engine.decode_files(
-                spark, table_dir, batch_rows=batch_rows,
-                snapshot_id=to_id,
-                files=[d["file_path"] for d in inc], plan=fplan)
-        else:   # in-range commits added no files (e.g. manifest rewrite)
-            df = spark.createDataFrame(
-                [], "doc_id string, source string, seg_id int, "
-                    "tokens array<int>")
+        df = engine.decode_incremental(
+            spark, table_dir, cur, to_id, batch_rows=batch_rows,
+            _preplanned=(fplan, inc))
     process(df)
     fd, tmp = tempfile.mkstemp(dir=str(Path(cursor_path).parent),
                                prefix=".cursor.")

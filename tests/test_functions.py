@@ -713,3 +713,17 @@ def test_pii_scrub_and_repetition_stats(spark):
            for r in tf.repetition_stats(docs).collect()}
     assert rep["2"] == (6, 2)        # 'a b a' x3 + 'b a b' x3
     assert rep["3"] == (1, 1)        # short doc: whole text one gram
+
+
+def test_line_dedup_metacharacter_separator(spark):
+    """A regex-metacharacter separator must split literally (F.split
+    takes a regex; unescaped '.' would match every character and shred
+    the docs)."""
+    from simdcomp_spark.functions import dedup as ddp
+
+    docs = spark.createDataFrame(
+        [("1", "keep me.BOILER.also keep"), ("2", "BOILER.other")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in ddp.line_dedup(docs, sep=".").collect()}
+    assert got == {"1": "keep me.also keep", "2": "other"}

@@ -207,3 +207,8 @@ def test_contains_token_zone_prune(spark):
     got = {r["doc_id"]
            for r in engine.contains_token(enc_auto, 225).collect()}
     assert got == {"25"}
+    # widened seg_id (bigint) casts back instead of failing mapInArrow
+    wide = enc.withColumn("seg_id", F.col("seg_id").cast("long"))
+    got = {r["doc_id"]
+           for r in engine.contains_token(wide, 210).collect()}
+    assert got == {"10"}
