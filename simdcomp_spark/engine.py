@@ -1034,24 +1034,32 @@ def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
         fn, schema="doc_id string, seg_id int, n_tok int, n_in_range int")
 
 
-def contains_token(df_encoded: DataFrame, token: int) -> DataFrame:
+def contains_token(df_encoded: DataFrame,
+                   token: "int | list[int]") -> DataFrame:
     """Compressed-domain membership predicate: the (doc_id, seg_id) rows
-    whose token sequence contains ``token``, decoding ONLY rows whose
-    per-block ZONE MAPS admit it — the reference's zone-skip discipline
-    (simdsearchd1's per-block init/width pruning,
-    /root/reference/src/simdpackedsearch.c) lifted to a DataFrame
-    predicate.
+    whose token sequence contains ``token`` — or ANY of a list of tokens
+    (blocklist scans: flagged vocabulary, special-token leakage) —
+    decoding ONLY rows whose per-block ZONE MAPS admit a probe; the
+    reference's zone-skip discipline (simdsearchd1's per-block
+    init/width pruning, /root/reference/src/simdpackedsearch.c) lifted
+    to a DataFrame predicate.
 
     Prescreen per block from widths + inits alone (payload untouched):
     ``bitpack`` blocks can contain t only if t <= 2^w - 1; ``for``
     blocks only if init <= t <= init + 2^w - 1 (sound whatever the
-    data: the FOR frame stores block minima and non-negative deltas).
+    data: the FOR frame stores block minima and non-negative deltas) —
+    with a probe SET, a block survives only if some probe falls in its
+    envelope (one searchsorted over the sorted probes per block).
     ``d1`` (wrap-around delta semantics make init/width bounds unsound
     on unsorted rows) and the non-block codecs are conservatively
     candidates.  Candidate rows then decode through the shared grouped
-    core and are checked exactly — on token-id probes outside a
-    source's vocabulary range the scan never touches payload bytes."""
-    t = np.uint32(token)
+    core and are checked exactly — on probes outside a source's
+    vocabulary range the scan never touches payload bytes."""
+    probes = np.unique(np.asarray(
+        [token] if np.isscalar(token) else list(token),
+        dtype=np.int64)).astype(np.int64)
+    if probes.size == 0:
+        raise ValueError("contains_token: empty probe set")
     cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
             "payload"]
     src = df_encoded.select(*cols)
@@ -1087,7 +1095,10 @@ def contains_token(df_encoded: DataFrame, token: int) -> DataFrame:
                     ub = np.minimum(sub_init + ub, 0xFFFFFFFF)
                 else:
                     lb = np.zeros(sub_w.size, dtype=np.int64)
-                blk_ok = (int(t) >= lb) & (int(t) <= ub)
+                # block survives iff SOME probe lands in [lb, ub]: one
+                # searchsorted over the sorted probe set per bound
+                blk_ok = (np.searchsorted(probes, lb, side="left")
+                          < np.searchsorted(probes, ub, side="right"))
                 # per-row any() over variable-length block runs
                 ends = np.cumsum(wl[sel])
                 starts = ends - wl[sel]
@@ -1107,7 +1118,10 @@ def contains_token(df_encoded: DataFrame, token: int) -> DataFrame:
                     sub.column(5), sub.column(6))
                 flat, lens = _list_to_flat(toks)
                 row_of = np.repeat(np.arange(lens.size), lens)
-                got = np.unique(row_of[flat.view(np.uint32) == t])
+                vals = flat.view(np.uint32).astype(np.int64)
+                present = (np.searchsorted(probes, vals, "left")
+                           < np.searchsorted(probes, vals, "right"))
+                got = np.unique(row_of[present])
                 hits = idx[got]
             mask = np.zeros(n_toks.size, dtype=bool)
             mask[hits] = True

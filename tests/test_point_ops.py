@@ -212,3 +212,12 @@ def test_contains_token_zone_prune(spark):
     got = {r["doc_id"]
            for r in engine.contains_token(wide, 210).collect()}
     assert got == {"10"}
+    # probe SET (blocklist scan): union of single-probe results
+    got = {r["doc_id"] for r in
+           engine.contains_token(enc, [210, 305, 999999]).collect()}
+    assert got == {"10", "5"}
+    # all probes out of zone: poisoned payloads still never decode
+    assert engine.contains_token(poisoned, [1, 50, 1 << 20]).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty probe"):
+        engine.contains_token(enc, [])
