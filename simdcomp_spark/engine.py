@@ -1035,7 +1035,8 @@ def range_count(df_encoded: DataFrame, lo: int, hi: int) -> DataFrame:
 
 
 def contains_token(df_encoded: DataFrame,
-                   token: "int | list[int]") -> DataFrame:
+                   token: "int | list[int]",
+                   assume_sorted: bool = False) -> DataFrame:
     """Compressed-domain membership predicate: the (doc_id, seg_id) rows
     whose token sequence contains ``token`` — or ANY of a list of tokens
     (blocklist scans: flagged vocabulary, special-token leakage) —
@@ -1050,11 +1051,16 @@ def contains_token(df_encoded: DataFrame,
     data: the FOR frame stores block minima and non-negative deltas) —
     with a probe SET, a block survives only if some probe falls in its
     envelope (one searchsorted over the sorted probes per block).
-    ``d1`` (wrap-around delta semantics make init/width bounds unsound
-    on unsorted rows) and the non-block codecs are conservatively
-    candidates.  Candidate rows then decode through the shared grouped
-    core and are checked exactly — on probes outside a source's
-    vocabulary range the scan never touches payload bytes."""
+    ``d1`` rows are conservatively candidates by default (wrap-around
+    delta semantics make init/width bounds unsound on unsorted rows);
+    ``assume_sorted=True`` — the caller-asserted contract
+    :func:`search_sorted` already uses — enables EXACT-upper d1 zones:
+    block b's values lie in [init_b, init_{b+1}] (the next block's init
+    IS this block's last value), the row's last block bounded by
+    init + blen*(2^w-1).  Non-block codecs always decode.  Candidate
+    rows then decode through the shared grouped core and are checked
+    exactly — on probes outside a source's vocabulary range the scan
+    never touches payload bytes."""
     probes = np.unique(np.asarray(
         [token] if np.isscalar(token) else list(token),
         dtype=np.int64)).astype(np.int64)
@@ -1075,7 +1081,7 @@ def contains_token(df_encoded: DataFrame,
             w_off = np.cumsum(wl) - wl
             i_off = np.cumsum(il) - il
             for name, mode in _BLOCK_MODES.items():
-                if mode == "d1":
+                if mode == "d1" and not assume_sorted:
                     continue            # wrap semantics: no sound bound
                 sel = np.nonzero(cand & (codec_np == name))[0]
                 if sel.size == 0:
@@ -1083,18 +1089,33 @@ def contains_token(df_encoded: DataFrame,
                 from .kernels import multi_arange
                 sub_w = wf[multi_arange(w_off[sel], wl[sel])] \
                     .astype(np.int64)
-                ub = np.where(sub_w >= 32, np.int64(0xFFFFFFFF),
-                              (np.int64(1) << sub_w) - 1)
-                if mode == "for":
+                span = np.where(sub_w >= 32, np.int64(0xFFFFFFFF),
+                                (np.int64(1) << sub_w) - 1)
+                if mode in ("for", "d1"):
                     # inits are uint32 per block: gather the selected
                     # rows' init bytes and reinterpret
                     ib = inf_[multi_arange(i_off[sel], il[sel])]
                     sub_init = np.ascontiguousarray(ib).view(np.uint32) \
                         .astype(np.int64)
                     lb = sub_init
-                    ub = np.minimum(sub_init + ub, 0xFFFFFFFF)
+                    if mode == "for":
+                        ub = np.minimum(sub_init + span, 0xFFFFFFFF)
+                    else:
+                        # sorted d1: block b ends at block b+1's init;
+                        # the row's LAST block is bounded by its own
+                        # cumulative-delta span
+                        counts = wl[sel]
+                        b_ends = np.cumsum(counts)
+                        last_idx = b_ends - 1
+                        ub = np.empty_like(sub_init)
+                        ub[:-1] = sub_init[1:]
+                        blen_last = n_toks[sel] - 128 * (counts - 1)
+                        ub[last_idx] = np.minimum(
+                            sub_init[last_idx]
+                            + blen_last * span[last_idx], 0xFFFFFFFF)
                 else:
                     lb = np.zeros(sub_w.size, dtype=np.int64)
+                    ub = span
                 # block survives iff SOME probe lands in [lb, ub]: one
                 # searchsorted over the sorted probe set per bound
                 blk_ok = (np.searchsorted(probes, lb, side="left")

@@ -221,3 +221,31 @@ def test_contains_token_zone_prune(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty probe"):
         engine.contains_token(enc, [])
+
+
+def test_contains_token_sorted_d1_zone(spark):
+    """assume_sorted extends zone pruning to d1: probes above every
+    row's maximum never decode (poisoned payloads prove it), in-range
+    probes resolve exactly, and the default stays conservative."""
+    from pyspark.sql import functions as F
+    from simdcomp_spark import engine
+
+    rows = [(str(i), [1000 * i + 2 * j for j in range(300)], 300, "u")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = engine.encode(df, codec="d1", split_threshold=None).cache()
+    got = {r["doc_id"] for r in
+           engine.contains_token(enc, 3 * 1000 + 2 * 77,
+                                 assume_sorted=True).collect()}
+    assert got == {"3"}
+    # absent odd value inside the range: candidate, decodes, no hit
+    assert engine.contains_token(enc, 3 * 1000 + 1,
+                                 assume_sorted=True).count() == 0
+    poisoned = enc.withColumn("payload", F.lit(b"").cast("binary"))
+    assert engine.contains_token(poisoned, 1 << 22,
+                                 assume_sorted=True).count() == 0
+    # default: conservative (d1 decodes) — still exact
+    got = {r["doc_id"] for r in
+           engine.contains_token(enc, 5 * 1000).collect()}
+    assert got == {"5"}
