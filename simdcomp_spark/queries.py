@@ -667,6 +667,29 @@ def q_line_dedup(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL source format end-to-end: documents exported as JSON-lines
+    (escaping exercises quotes/unicode), re-ingested through the
+    schema-enforced PERMISSIVE reader (sources.read_documents_jsonl, no
+    schema inference, corrupt-line quarantine empty on clean data), and
+    reduced to per-doc token counts — values must match the oracle
+    computed straight from the raw table, proving the JSONL round trip
+    byte-preserving."""
+    import os
+    from . import sources
+    base = _stream_tmp(sf_dir, "jsonl")
+    path = os.path.join(base, "docs.jsonl")
+    sources.write_documents_jsonl(_t(spark, sf_dir, "documents"), path)
+    # cache: Spark disallows raw-file actions that prune to only the
+    # corrupt-record column (see sources.split_corrupt)
+    parsed = sources.read_documents_jsonl(spark, path).cache()
+    clean, bad = sources.split_corrupt(parsed)
+    if bad.count() != 0:
+        raise AssertionError("clean corpus produced corrupt records")
+    return clean.select("doc_id", textfn.ws_token_count("text"),
+                        "lang", "source")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction gate: emails + long digit runs injected
     deterministically into every doc (the synthetic corpus has none),
@@ -1380,6 +1403,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
+    "jsonl_ingest": q_jsonl_ingest,
     "bpe_token_count": q_bpe_token_count,
     "stopwords": q_stopwords,
     "quality": q_quality,
@@ -1626,6 +1650,11 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
+""",
+    "jsonl_ingest": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       lang, source
+FROM documents
 """,
     "pii_scrub": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -727,3 +727,38 @@ def test_line_dedup_metacharacter_separator(spark):
     got = {r["doc_id"]: r["text"]
            for r in ddp.line_dedup(docs, sep=".").collect()}
     assert got == {"1": "keep me.also keep", "2": "other"}
+
+
+def test_sources_jsonl_csv_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL and CSV ingestion round-trip adversarial strings (embedded
+    quotes, commas, newlines, unicode) byte-exactly under the explicit
+    schema, and a malformed JSONL line lands in quarantine instead of
+    vanishing."""
+    from simdcomp_spark import sources
+
+    rows = [(1, 'he said "hi, there"', "en", "web"),
+            (2, "line1\nline2,with,commas", "de", "book"),
+            (3, "unicode éü中文", "fr", "web")]
+    df = spark.createDataFrame(rows, sources.DOCUMENTS_SCHEMA)
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    sources.write_documents_jsonl(df, jp)
+    sources.write_documents_csv(df, cp)
+    back_j, _ = sources.split_corrupt(
+        sources.read_documents_jsonl(spark, jp).cache())
+    back_c, _ = sources.split_corrupt(
+        sources.read_documents_csv(spark, cp).cache())
+    want = {r[0]: r[1:] for r in rows}
+    for back in (back_j, back_c):
+        got = {r["doc_id"]: (r["text"], r["lang"], r["source"])
+               for r in back.collect()}
+        assert got == want
+    # inject a malformed JSONL line: quarantined, clean side unaffected
+    # (clear the cache first: Spark would otherwise serve the NEW scan
+    # from the identical pre-injection cached plan)
+    spark.catalog.clearCache()
+    (tmp_path / "j" / "part-junk.json").write_text(
+        '{"doc_id": 9, "text": unquoted garbage}\n')
+    parsed = sources.read_documents_jsonl(spark, jp).cache()
+    clean, bad = sources.split_corrupt(parsed)
+    assert clean.count() == 3
+    assert bad.count() == 1
