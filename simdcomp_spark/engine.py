@@ -1063,7 +1063,7 @@ def contains_token(df_encoded: DataFrame,
     never touches payload bytes."""
     probes = np.unique(np.asarray(
         [token] if np.isscalar(token) else list(token),
-        dtype=np.int64)).astype(np.int64)
+        dtype=np.int64))
     if probes.size == 0:
         raise ValueError("contains_token: empty probe set")
     cols = ["doc_id", "seg_id", "n_tok", "codec", "widths", "inits",
@@ -1139,9 +1139,15 @@ def contains_token(df_encoded: DataFrame,
                     sub.column(5), sub.column(6))
                 flat, lens = _list_to_flat(toks)
                 row_of = np.repeat(np.arange(lens.size), lens)
-                vals = flat.view(np.uint32).astype(np.int64)
-                present = (np.searchsorted(probes, vals, "left")
-                           < np.searchsorted(probes, vals, "right"))
+                u32 = flat.view(np.uint32)
+                if probes.size == 1 and 0 <= probes[0] <= 0xFFFFFFFF:
+                    # dominant single-probe path: straight vectorized
+                    # uint32 compare, no int64 widening copy
+                    present = u32 == np.uint32(probes[0])
+                else:
+                    vals = u32.astype(np.int64)
+                    present = (np.searchsorted(probes, vals, "left")
+                               < np.searchsorted(probes, vals, "right"))
                 got = np.unique(row_of[present])
                 hits = idx[got]
             mask = np.zeros(n_toks.size, dtype=bool)

@@ -680,14 +680,25 @@ def q_jsonl_ingest(spark, sf_dir):
     base = _stream_tmp(sf_dir, "jsonl")
     path = os.path.join(base, "docs.jsonl")
     sources.write_documents_jsonl(_t(spark, sf_dir, "documents"), path)
-    # cache: Spark disallows raw-file actions that prune to only the
-    # corrupt-record column (see sources.split_corrupt)
+    # cache: Spark disallows raw-file actions whose plan prunes to only
+    # the corrupt-record column (see sources.split_corrupt) — and a
+    # downstream .count() on the CLEAN side prunes the projection away,
+    # leaving just the corrupt-IS-NULL filter column, which trips the
+    # same rule.  So: quarantine-check under a cache, unpersist (don't
+    # pin a corpus-sized parse for the rest of the session), and return
+    # a plan with NO corrupt reference at all — sound because the check
+    # just proved the corrupt side is empty.
     parsed = sources.read_documents_jsonl(spark, path).cache()
-    clean, bad = sources.split_corrupt(parsed)
-    if bad.count() != 0:
-        raise AssertionError("clean corpus produced corrupt records")
-    return clean.select("doc_id", textfn.ws_token_count("text"),
-                        "lang", "source")
+    try:
+        _, bad = sources.split_corrupt(parsed)
+        if bad.count() != 0:
+            raise AssertionError("clean corpus produced corrupt records")
+    finally:
+        parsed.unpersist()
+    return (sources.read_documents_jsonl(spark, path)
+            .drop(sources._CORRUPT)
+            .select("doc_id", textfn.ws_token_count("text"),
+                    "lang", "source"))
 
 
 def q_pii_scrub(spark, sf_dir):

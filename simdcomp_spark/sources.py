@@ -13,7 +13,8 @@ make these safe at 100 TB:
   bias nobody can debug later).
 
 Both formats round-trip the documents shape byte-exactly (JSON escapes
-embedded quotes/newlines; the CSV writer quotes and escapes per RFC) —
+embedded quotes/newlines; the CSV writer quotes and escapes per RFC and
+uses the Hive ``\\N`` null sentinel so NULL and ``''`` stay distinct) —
 pinned by tests with adversarial strings.
 """
 
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DOCUMENTS_SCHEMA = ("doc_id long, text string, lang string, "
                     "source string")
 _CORRUPT = "_corrupt_record"
+_NULL_SENTINEL = "\\N"  # Hive/MySQL CSV convention for NULL
 
 
 def _permissive(reader, schema: str):
@@ -58,6 +60,11 @@ def read_documents_csv(spark: SparkSession, path: str,
             .option("header", str(header).lower())
             .option("multiLine", str(multi_line).lower())
             .option("quote", '"').option("escape", '"')
+            # Hive-style null sentinel: NULL ↔ \N, empty string ↔ "" —
+            # Spark's default dialect (both written as nothing) silently
+            # turns '' into NULL on a round trip.  write_documents_csv
+            # raises in-scan if a data value equals the sentinel.
+            .option("nullValue", _NULL_SENTINEL)
             .csv(path))
 
 
@@ -84,6 +91,26 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
 
 def write_documents_csv(df: DataFrame, path: str,
                         header: bool = True) -> None:
-    """CSV export with RFC quoting (quote char doubled via escape)."""
-    (df.write.mode("error").option("header", str(header).lower())
-     .option("quote", '"').option("escape", '"').csv(path))
+    """CSV export with RFC quoting (quote char doubled via escape).
+
+    NULLs are written as the Hive sentinel ``\\N`` and empty strings as
+    quoted ``""`` so :func:`read_documents_csv` can tell them apart (the
+    default dialect writes both as nothing — a round trip then silently
+    turns ``''`` into NULL).  The one ambiguity left is a DATA value
+    equal to the sentinel itself; rather than silently corrupt it to
+    NULL on read, the writer raises in-scan (a ``when`` inside the write
+    projection — no extra pass) and points the user at JSONL, which has
+    no such collision."""
+    cols = [F.when(F.col(f.name) == _NULL_SENTINEL,
+                   F.raise_error(F.lit(
+                       f"write_documents_csv: column {f.name!r} contains "
+                       f"the literal string {_NULL_SENTINEL!r}, which is "
+                       "this dialect's NULL sentinel and would read back "
+                       "as NULL. Use JSONL for this corpus.")))
+            .otherwise(F.col(f.name)).alias(f.name)
+            if f.dataType.simpleString() == "string" else F.col(f.name)
+            for f in df.schema.fields]
+    (df.select(cols).write.mode("error")
+     .option("header", str(header).lower())
+     .option("quote", '"').option("escape", '"')
+     .option("nullValue", _NULL_SENTINEL).csv(path))

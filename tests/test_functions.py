@@ -738,7 +738,9 @@ def test_sources_jsonl_csv_roundtrip_and_quarantine(spark, tmp_path):
 
     rows = [(1, 'he said "hi, there"', "en", "web"),
             (2, "line1\nline2,with,commas", "de", "book"),
-            (3, "unicode éü中文", "fr", "web")]
+            (3, "unicode éü中文", "fr", "web"),
+            (4, "", "en", "web"),        # empty string must NOT become
+            (5, None, "en", "web")]      # NULL (or vice versa) on a trip
     df = spark.createDataFrame(rows, sources.DOCUMENTS_SCHEMA)
     jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
     sources.write_documents_jsonl(df, jp)
@@ -760,5 +762,27 @@ def test_sources_jsonl_csv_roundtrip_and_quarantine(spark, tmp_path):
         '{"doc_id": 9, "text": unquoted garbage}\n')
     parsed = sources.read_documents_jsonl(spark, jp).cache()
     clean, bad = sources.split_corrupt(parsed)
-    assert clean.count() == 3
+    assert clean.count() == len(rows)
     assert bad.count() == 1
+    # CSV quarantine: a file whose row has too many unquoted fields for
+    # the schema is quarantined, clean files unaffected (multiLine mode
+    # parses per file, so the injection is its own file, like a real
+    # bad drop)
+    spark.catalog.clearCache()
+    (tmp_path / "c" / "part-junk.csv").write_text(
+        "doc_id,text,lang,source\nnot_a_long,x,en,web,EXTRA,EXTRA2\n")
+    parsed_c = sources.read_documents_csv(spark, cp).cache()
+    clean_c, bad_c = sources.split_corrupt(parsed_c)
+    assert clean_c.count() == len(rows)
+    assert bad_c.count() == 1
+
+
+def test_sources_csv_null_sentinel_collision_raises(spark, tmp_path):
+    """A data value equal to the CSV NULL sentinel (backslash-N) would
+    silently read back as NULL — the writer must refuse it in-scan."""
+    import pytest
+    from simdcomp_spark import sources
+    df = spark.createDataFrame([(1, "\\N", "en", "web")],
+                               sources.DOCUMENTS_SCHEMA)
+    with pytest.raises(Exception, match="NULL sentinel"):
+        sources.write_documents_csv(df, str(tmp_path / "c"))
