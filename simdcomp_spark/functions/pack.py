@@ -1,0 +1,113 @@
+"""Sequence packing: fold a token corpus into fixed-length training
+examples.
+
+The last stage of a pretraining-data pipeline concatenates documents in
+a deterministic order and slices the stream into context-length chunks
+("sequence packing").  Semantics here are the simple deterministic
+variant every trainer can replay: documents concatenated in ``order_col``
+order, stream cut every ``chunk_len`` tokens (chunks may span document
+boundaries; the final chunk may be short).  Greedy bin-packing variants
+trade determinism for fewer boundary crossings — this one is exactly
+reproducible in ANY engine (the DuckDB oracle replays it in pure SQL),
+which is what a 100 TB rerun needs.
+
+Scale shape (two shuffles, both keyed and skew-free):
+
+1. **Skinny global cumsum** — the running token offset needs a total
+   order, but only over ``(order, n_tok)`` (≈12 bytes/row): the window
+   sort never touches token arrays.  The window has no PARTITION BY, so
+   Spark plans a single-partition sort for the FRAME — fine for the
+   per-doc metadata of even a 100 TB corpus (billions of rows × 12 B);
+   for corpora beyond driver-window comfort, the same offsets come from
+   a two-level cumsum (per-range sums, then prefix over ranges) with
+   identical semantics.
+2. **One array-moving shuffle** — token arrays move exactly once, keyed
+   by destination chunk: each doc joins its start offset (hash join on
+   the doc key; if the corpus is already hash-partitioned by doc the
+   arrays do not even move here), is sliced IN PLACE into per-chunk
+   pieces (``slice`` on the array column — no token explode), and only
+   then shuffles on ``chunk_id`` for reassembly.  Chunk keys are dense
+   integers — uniform by construction, no salting needed.
+
+Reference analog: the d1 block layout chops a sorted stream into
+128-value blocks with per-block inits (reference/src/simdcomp.c,
+simdpackd1 framing); pack_chunks is the same fixed-width reframing at
+corpus scope, with documents instead of deltas as the unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_chunks(df_tokens: DataFrame, chunk_len: int,
+                order_col: str = "doc_id") -> DataFrame:
+    """Pack ``(doc_id, tokens)`` rows into fixed-``chunk_len`` examples.
+
+    Returns ``(chunk_id long, tokens array<int>, n_tok int)`` where
+    chunk ``c`` holds tokens ``[c*L, (c+1)*L)`` of the corpus stream in
+    ``order_col`` order.  Every chunk except possibly the last has
+    exactly ``chunk_len`` tokens; empty documents contribute nothing.
+    ``order_col`` must be duplicate-free (it defines THE stream order);
+    ties would make the packing nondeterministic, so a duplicated order
+    key raises in-plan.  If the input carries an ``n_tok`` column it is
+    trusted as ``size(tokens)`` (engine tables stamp it at encode) so
+    the skinny pass never reads the arrays; pass a frame without it if
+    yours is not authoritative.
+    """
+    if chunk_len <= 0:
+        raise ValueError(f"chunk_len must be positive, got {chunk_len}")
+    L = F.lit(int(chunk_len)).cast("long")
+    # prefer a pre-stamped n_tok (engine decode/encode tables carry one):
+    # the skinny stage-1 scan then prunes to (order, n_tok) ≈ 12 B/row
+    # and never touches the array column at all on that pass
+    n_tok = (F.coalesce(F.col("n_tok").cast("long"), F.lit(0))
+             if "n_tok" in df_tokens.columns
+             else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
+
+    # stage 1: skinny cumsum — (order, n_tok) only, arrays untouched
+    dup_guard = F.when(
+        F.count("*").over(Window.partitionBy("_ord")) > 1,
+        F.raise_error(F.lit(
+            "pack_chunks: duplicate order key — stream order would be "
+            "nondeterministic"))).otherwise(F.lit(0))
+    offs = (df_tokens
+            .select(F.col(order_col).alias("_ord"), n_tok.alias("_n"))
+            .where(F.col("_n") > 0)
+            .select("_ord", "_n", dup_guard.alias("_g"))
+            .withColumn("_start", F.sum("_n").over(
+                Window.orderBy("_ord")) - F.col("_n") + F.col("_g")))
+
+    # stage 2: join offsets back (skinny side carries 3 longs), slice
+    # docs into per-chunk pieces in place, reassemble keyed by chunk
+    docs = (df_tokens.select(F.col(order_col).alias("_ord"), "tokens")
+            .join(offs, "_ord"))
+    first_c = (F.col("_start") / L).cast("long")
+    last_c = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")
+    pieces = (docs
+              .select("_ord", "tokens", "_start", "_n",
+                      F.explode(F.sequence(first_c, last_c))
+                      .alias("chunk_id"))
+              .select(
+                  "chunk_id",
+                  F.col("_start").alias("_doc_start"),
+                  F.slice(
+                      "tokens",
+                      # F.slice is 1-based; piece covers the overlap of
+                      # [start, start+n) with [cL, (c+1)L)
+                      (F.greatest(F.col("chunk_id") * L, F.col("_start"))
+                       - F.col("_start") + 1).cast("int"),
+                      (F.least((F.col("chunk_id") + 1) * L,
+                               F.col("_start") + F.col("_n"))
+                       - F.greatest(F.col("chunk_id") * L,
+                                    F.col("_start"))).cast("int"))
+                  .alias("piece")))
+    return (pieces
+            .groupBy("chunk_id")
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_doc_start").alias("s"),
+                             F.col("piece").alias("p")))),
+                lambda x: x.p)).alias("tokens"))
+            .select("chunk_id", "tokens",
+                    F.size("tokens").alias("n_tok")))

@@ -701,6 +701,33 @@ def q_jsonl_ingest(spark, sf_dir):
                     "lang", "source"))
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing end-to-end THROUGH the engine: lineitem token
+    arrays are encoded (auto codec), decoded, and packed into
+    512-token training chunks in doc_id order; the oracle recomputes
+    the chunk stream straight from the raw table in pure SQL
+    (row_number over the global order // 512).  Per-chunk n_tok +
+    order-weighted checksums pin both content and intra-chunk order."""
+    from .functions import pack
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_linenumber", "l_partkey", "lineitem")
+    enc = engine.encode(tok, codec="auto", split_threshold=None,
+                        salt=False)
+    dec = engine.decode(enc, reassemble=False)
+    packed = pack.pack_chunks(
+        dec.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   "tokens"), 512)
+    return packed.select(
+        "chunk_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
+               " (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(zip_with(tokens,"
+               " sequence(0, size(tokens) - 1),"
+               " (t, i) -> CAST(t AS BIGINT) * i),"
+               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction gate: emails + long digit runs injected
     deterministically into every doc (the synthetic corpus has none),
@@ -1412,6 +1439,7 @@ QUERIES = {
     "training_mix": q_training_mix,
     "contains_token": q_contains_token,
     "line_dedup": q_line_dedup,
+    "pack_chunks": q_pack_chunks,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "jsonl_ingest": q_jsonl_ingest,
@@ -1666,6 +1694,18 @@ LIMIT 100
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
        lang, source
 FROM documents
+""",
+    "pack_chunks": """
+WITH t AS (
+  SELECT CAST(l_partkey AS BIGINT) AS tok,
+         row_number() OVER (
+             ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS gp
+  FROM lineitem)
+SELECT CAST(gp // 512 AS BIGINT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tok,
+       CAST(sum(tok) AS BIGINT) AS tok_sum,
+       CAST(sum(tok * (gp % 512)) AS BIGINT) AS tok_wsum
+FROM t GROUP BY gp // 512
 """,
     "pii_scrub": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

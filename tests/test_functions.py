@@ -786,3 +786,47 @@ def test_sources_csv_null_sentinel_collision_raises(spark, tmp_path):
                                sources.DOCUMENTS_SCHEMA)
     with pytest.raises(Exception, match="NULL sentinel"):
         sources.write_documents_csv(df, str(tmp_path / "c"))
+
+
+def test_pack_chunks_stream_identity(spark):
+    """Chunks concatenated in chunk order reproduce the corpus stream in
+    doc order exactly; every chunk but the last is full; empty docs
+    contribute nothing; a chunk spanning 3+ docs reassembles in order."""
+    import numpy as np
+    from simdcomp_spark.functions import pack
+    rng = np.random.default_rng(11)
+    docs = [(i, rng.integers(0, 1 << 20,
+                             rng.integers(0, 40)).astype(int).tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    L = 32
+    out = sorted(pack.pack_chunks(df, L).collect(),
+                 key=lambda r: r["chunk_id"])
+    stream = [t for _, toks in sorted(docs) for t in toks]
+    got = [t for r in out for t in r["tokens"]]
+    assert got == stream
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    assert all(r["n_tok"] == L for r in out[:-1])
+    assert 0 < out[-1]["n_tok"] <= L
+
+
+def test_pack_chunks_edges(spark):
+    from simdcomp_spark.functions import pack
+    import pytest
+    # chunk bigger than the whole corpus -> one short chunk
+    df = spark.createDataFrame([(1, [1, 2]), (2, [3])],
+                               "doc_id long, tokens array<int>")
+    rows = pack.pack_chunks(df, 1000).collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [1, 2, 3]
+    # chunk_len=1: one chunk per token
+    rows = sorted(pack.pack_chunks(df, 1).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["tokens"] for r in rows] == [[1], [2], [3]]
+    with pytest.raises(ValueError, match="chunk_len"):
+        pack.pack_chunks(df, 0)
+    # duplicate order keys raise rather than pack nondeterministically
+    dup = spark.createDataFrame([(1, [1]), (1, [2])],
+                                "doc_id long, tokens array<int>")
+    with pytest.raises(Exception, match="duplicate order key"):
+        dup2 = pack.pack_chunks(dup, 4)
+        dup2.collect()
