@@ -31,3 +31,53 @@ def training_mix(df: DataFrame, rates: dict[str, int],
                                F.lit(kv[1])).otherwise(acc),
         rates.items(), F.lit(-1))
     return df.where(coin < rate)
+
+
+def corpus_shuffle(df: DataFrame, seed: int, id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of the corpus: attach
+    ``shuffle_key = xxhash64(seed, id)`` and return the frame globally
+    ordered by it (ties broken by id).
+
+    Training-data order must be (1) uniformly random-looking, (2) exactly
+    reproducible across reruns/engines/partitionings, and (3) cheap to
+    change per epoch — a different ``seed`` is a completely new order.
+    ``orderBy`` here is Spark's distributed range sort (sampled range
+    exchange + per-partition sort) — NOT a single-partition window; a
+    writer downstream preserves the order file-by-file.  Consumers that
+    need dense positions can zipWithIndex the written files; the key
+    itself is the portable artifact (the DuckDB oracle replays it
+    bit-exactly via generated XXH64 SQL)."""
+    key = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
+    return (df.withColumn("shuffle_key", key)
+            .orderBy("shuffle_key", id_col))
+
+
+def split_corpus(df: DataFrame, fractions: dict[str, float], seed: int,
+                 id_col: str = "doc_id", resolution: int = 10000
+                 ) -> DataFrame:
+    """Assign every doc to a named split ("train"/"val"/"test"...) by a
+    content-stable seeded coin: ``pmod(xxhash64(seed, id), resolution)``
+    against cumulative integer thresholds (``round(frac*resolution)``).
+
+    Same properties as :func:`training_mix`: shuffle-free rowwise JVM
+    predicate, bit-reproducible anywhere with an XXH64, docs keep their
+    split under any repartitioning or incremental corpus extension.
+    ``fractions`` must sum to 1 (exactly, after integer rounding — a
+    silent gap would leak docs into no split)."""
+    cum, thresholds = 0, []
+    for name, frac in fractions.items():
+        cum += int(round(frac * resolution))
+        thresholds.append((name, cum))
+    if thresholds[-1][1] != resolution:
+        raise ValueError(
+            f"fractions must sum to 1 (got cumulative "
+            f"{thresholds[-1][1]}/{resolution} after rounding)")
+    coin = F.pmod(F.xxhash64(F.lit(int(seed)).cast("long"),
+                             F.col(id_col)), F.lit(int(resolution)))
+    # ascending-threshold first-match when-chain
+    expr = None
+    for name, t in thresholds:
+        cond = coin < F.lit(t)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

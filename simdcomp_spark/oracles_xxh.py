@@ -337,6 +337,63 @@ WHERE x.doc_id < y.doc_id
 """
 
 
+def to_py_signed(x: int) -> int:
+    """Unsigned 64-bit value → python int with Spark's signed semantics."""
+    x %= M64
+    return x - M64 if x >= 1 << 63 else x
+
+
+def _rotl_i(x: int, r: int) -> int:
+    x %= M64
+    return ((x << r) | (x >> (64 - r))) % M64
+
+
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """Pure-python XXH64.hashLong (the 8-byte path Spark's ``xxhash64``
+    uses for LONG fields) — for precomputing chained-field seeds so the
+    generated SQL only has to replay the LAST field's hash.  Pinned
+    bit-exact against Spark in tests/test_oracles_xxh.py."""
+    h = (seed + P5 + 8) % M64
+    k = _rotl_i((value % M64) * P2 % M64, 31) * P1 % M64
+    h ^= k
+    h = (_rotl_i(h, 27) * P1 + P4) % M64
+    h ^= h >> 33
+    h = h * P2 % M64
+    h ^= h >> 29
+    h = h * P3 % M64
+    h ^= h >> 32
+    return h
+
+
+def corpus_shuffle_oracle(seed: int) -> str:
+    """Replay functions.mix.corpus_shuffle's key: Spark's
+    ``xxhash64(seed_lit, doc_id)`` chains fields, so the constant first
+    field reduces to a precomputed seed for hashLong(doc_id, ·)."""
+    h1 = xxh64_long(int(seed), 42)
+    sql = layered_select(
+        "SELECT doc_id, " + to_unsigned("doc_id") + " AS ub "
+        "FROM documents",
+        hash_long_layers("ub", _u(h1), "h64"))
+    return (f"SELECT doc_id, {to_signed('h64')} AS shuffle_key "
+            f"FROM ({sql})")
+
+
+def split_corpus_oracle(seed: int, thresholds: list[tuple[str, int]],
+                        resolution: int) -> str:
+    """Replay functions.mix.split_corpus: same chained hash, bucket =
+    pmod(signed hash, resolution), ascending-threshold CASE."""
+    h1 = xxh64_long(int(seed), 42)
+    sql = layered_select(
+        "SELECT doc_id, " + to_unsigned("doc_id") + " AS ub "
+        "FROM documents",
+        hash_long_layers("ub", _u(h1), "h64"))
+    signed = to_signed("h64")
+    bucket = f"((({signed}) % {resolution}) + {resolution}) % {resolution}"
+    cases = " ".join(f"WHEN ({bucket}) < {t} THEN '{name}'"
+                     for name, t in thresholds)
+    return (f"SELECT doc_id, CASE {cases} END AS split FROM ({sql})")
+
+
 def training_mix_oracle(rates: dict[str, int]) -> str:
     """DuckDB replay of functions.mix.training_mix over documents:
     pmod(xxhash64(doc_id), 100) < rates[source], the hash being Spark's

@@ -649,6 +649,32 @@ def q_training_mix(spark, sf_dir):
         .select("doc_id", "source")
 
 
+SPLIT_FRACTIONS = {"train": 0.96, "val": 0.03, "test": 0.01}
+SHUFFLE_SEED = 20260818
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle: the per-doc shuffle key
+    (xxhash64(seed, doc_id)) the corpus is range-sorted by — the oracle
+    replays the chained XXH64 bit-exactly, pinning the order any engine
+    would reproduce.  The sort itself is Spark's distributed range
+    exchange (no single-partition stage)."""
+    from .functions import mix
+    return (mix.corpus_shuffle(_t(spark, sf_dir, "documents"),
+                               seed=SHUFFLE_SEED)
+            .select("doc_id", "shuffle_key"))
+
+
+def q_split_corpus(spark, sf_dir):
+    """Hash-based train/val/test assignment (96/3/1): shuffle-free
+    rowwise coin, stable under repartitioning and corpus growth; the
+    oracle replays the coin and thresholds exactly."""
+    from .functions import mix
+    return (mix.split_corpus(_t(spark, sf_dir, "documents"),
+                             SPLIT_FRACTIONS, seed=SHUFFLE_SEED)
+            .select("doc_id", "split"))
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style line-level boilerplate removal: every doc gets
     a shared footer line and a per-language line appended (the synthetic
@@ -1438,6 +1464,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "training_mix": q_training_mix,
     "contains_token": q_contains_token,
+    "corpus_shuffle": q_corpus_shuffle,
+    "split_corpus": q_split_corpus,
     "line_dedup": q_line_dedup,
     "pack_chunks": q_pack_chunks,
     "pii_scrub": q_pii_scrub,
@@ -2076,6 +2104,10 @@ ORACLES["lang_id"] = _lang_id_oracle()
 # max_hamming ≤ bands-1 + exact bit_count verify); minhash_lsh is a full
 # replication of the banded bucket join.
 ORACLES["training_mix"] = oracles_xxh.training_mix_oracle(MIX_RATES)
+ORACLES["corpus_shuffle"] = oracles_xxh.corpus_shuffle_oracle(SHUFFLE_SEED)
+ORACLES["split_corpus"] = oracles_xxh.split_corpus_oracle(
+    SHUFFLE_SEED,
+    [("train", 9600), ("val", 9900), ("test", 10000)], 10000)
 ORACLES["simhash"] = oracles_xxh.simhash_oracle()
 ORACLES["simhash_neardup"] = oracles_xxh.simhash_neardup_oracle()
 ORACLES["fingerprint"] = oracles_xxh.fingerprint_oracle()

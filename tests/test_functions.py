@@ -830,3 +830,31 @@ def test_pack_chunks_edges(spark):
     with pytest.raises(Exception, match="duplicate order key"):
         dup2 = pack.pack_chunks(dup, 4)
         dup2.collect()
+
+
+def test_corpus_shuffle_and_split_determinism(spark):
+    """corpus_shuffle: same seed → identical order under any input
+    partitioning; different seed → different order.  split_corpus:
+    every doc lands in exactly one split, observed fractions track the
+    requested ones, assignment is partitioning-invariant, and fractions
+    that don't sum to 1 raise."""
+    from simdcomp_spark.functions import mix
+    import pytest
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    o1 = [r["doc_id"] for r in mix.corpus_shuffle(df, seed=7).collect()]
+    o2 = [r["doc_id"]
+          for r in mix.corpus_shuffle(df.repartition(13), seed=7).collect()]
+    o3 = [r["doc_id"] for r in mix.corpus_shuffle(df, seed=8).collect()]
+    assert o1 == o2 and o1 != o3 and sorted(o1) == list(range(2000))
+
+    fr = {"train": 0.9, "val": 0.08, "test": 0.02}
+    s1 = {r["doc_id"]: r["split"]
+          for r in mix.split_corpus(df, fr, seed=7).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in mix.split_corpus(df.repartition(11), fr, seed=7).collect()}
+    assert s1 == s2 and len(s1) == 2000
+    counts = {k: sum(1 for v in s1.values() if v == k) for k in fr}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.05
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix.split_corpus(df, {"train": 0.5, "val": 0.4}, seed=7)

@@ -131,3 +131,22 @@ def test_to_unsigned_roundtrip():
         f"{OX.to_signed(OX.to_unsigned(f'CAST({v} AS BIGINT)'))}"
         for v in vals)
     assert list(con.execute(f"SELECT {q}").fetchone()) == vals
+
+
+def test_xxh64_long_py_matches_spark(spark):
+    """The pure-python hashLong (used to precompute chained-field seeds
+    for corpus_shuffle/split_corpus oracles) is bit-identical to Spark's
+    xxhash64 on LONG fields, including the two-field chain."""
+    from pyspark.sql import functions as F
+    import simdcomp_spark.oracles_xxh as OX
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got1 = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    want1 = [OX.to_py_signed(OX.xxh64_long(v, 42)) for v in vals]
+    assert got1 == want1
+    seed = 20260818
+    got2 = [r[0] for r in
+            df.select(F.xxhash64(F.lit(seed).cast("long"), "v")).collect()]
+    h1 = OX.xxh64_long(seed, 42)
+    want2 = [OX.to_py_signed(OX.xxh64_long(v, h1)) for v in vals]
+    assert got2 == want2
