@@ -41,13 +41,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pack_chunks(df_tokens: DataFrame, chunk_len: int,
-                order_col: str = "doc_id") -> DataFrame:
+                order_col: str = "doc_id",
+                with_boundaries: bool = False) -> DataFrame:
     """Pack ``(doc_id, tokens)`` rows into fixed-``chunk_len`` examples.
 
     Returns ``(chunk_id long, tokens array<int>, n_tok int)`` where
     chunk ``c`` holds tokens ``[c*L, (c+1)*L)`` of the corpus stream in
     ``order_col`` order.  Every chunk except possibly the last has
     exactly ``chunk_len`` tokens; empty documents contribute nothing.
+    ``with_boundaries=True`` adds ``doc_starts array<int>`` — the
+    in-chunk positions where a DOCUMENT begins (sorted; empty when the
+    whole chunk continues a document begun earlier) — what a trainer
+    needs to build cross-document attention masks over packed examples.
     ``order_col`` must be duplicate-free (it defines THE stream order);
     ties would make the packing nondeterministic, so a duplicated order
     key raises in-plan.  If the input carries an ``n_tok`` column it is
@@ -102,12 +107,19 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                        - F.greatest(F.col("chunk_id") * L,
                                     F.col("_start"))).cast("int"))
                   .alias("piece")))
-    return (pieces
-            .groupBy("chunk_id")
-            .agg(F.flatten(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("_doc_start").alias("s"),
-                             F.col("piece").alias("p")))),
-                lambda x: x.p)).alias("tokens"))
-            .select("chunk_id", "tokens",
-                    F.size("tokens").alias("n_tok")))
+    aggs = [F.flatten(F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("_doc_start").alias("s"),
+                     F.col("piece").alias("p")))),
+        lambda x: x.p)).alias("tokens")]
+    cols = ["chunk_id", "tokens", F.size("tokens").alias("n_tok")]
+    if with_boundaries:
+        # a piece that begins its document (doc start >= chunk start)
+        # marks a boundary at the doc's in-chunk offset; collect_list
+        # drops the NULLs of continuation pieces
+        aggs.append(F.sort_array(F.collect_list(
+            F.when(F.col("_doc_start") >= F.col("chunk_id") * L,
+                   (F.col("_doc_start") - F.col("chunk_id") * L)
+                   .cast("int")))).alias("doc_starts"))
+        cols.append("doc_starts")
+    return pieces.groupBy("chunk_id").agg(*aggs).select(*cols)

@@ -742,7 +742,7 @@ def q_pack_chunks(spark, sf_dir):
     dec = engine.decode(enc, reassemble=False)
     packed = pack.pack_chunks(
         dec.select(F.col("doc_id").cast("long").alias("doc_id"),
-                   "tokens"), 512)
+                   "tokens"), 512, with_boundaries=True)
     return packed.select(
         "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
@@ -751,7 +751,10 @@ def q_pack_chunks(spark, sf_dir):
         F.expr("aggregate(zip_with(tokens,"
                " sequence(0, size(tokens) - 1),"
                " (t, i) -> CAST(t AS BIGINT) * i),"
-               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"),
+        F.size("doc_starts").alias("n_docs_started"),
+        F.expr("aggregate(doc_starts, CAST(0 AS BIGINT),"
+               " (a, x) -> a + x)").alias("starts_sum"))
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1728,12 +1731,25 @@ WITH t AS (
   SELECT CAST(l_partkey AS BIGINT) AS tok,
          row_number() OVER (
              ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS gp
-  FROM lineitem)
-SELECT CAST(gp // 512 AS BIGINT) AS chunk_id,
-       CAST(count(*) AS INT) AS n_tok,
-       CAST(sum(tok) AS BIGINT) AS tok_sum,
-       CAST(sum(tok * (gp % 512)) AS BIGINT) AS tok_wsum
-FROM t GROUP BY gp // 512
+  FROM lineitem),
+chunks AS (
+  SELECT CAST(gp // 512 AS BIGINT) AS chunk_id,
+         CAST(count(*) AS INT) AS n_tok,
+         CAST(sum(tok) AS BIGINT) AS tok_sum,
+         CAST(sum(tok * (gp % 512)) AS BIGINT) AS tok_wsum
+  FROM t GROUP BY gp // 512),
+doc_starts AS (
+  SELECT CAST(s // 512 AS BIGINT) AS chunk_id,
+         CAST(count(*) AS INT) AS n_docs_started,
+         CAST(sum(s % 512) AS BIGINT) AS starts_sum
+  FROM (SELECT sum(n) OVER (ORDER BY doc) - n AS s
+        FROM (SELECT l_orderkey AS doc, count(*) AS n
+              FROM lineitem GROUP BY l_orderkey))
+  GROUP BY s // 512)
+SELECT c.chunk_id, c.n_tok, c.tok_sum, c.tok_wsum,
+       CAST(coalesce(d.n_docs_started, 0) AS INT) AS n_docs_started,
+       CAST(coalesce(d.starts_sum, 0) AS BIGINT) AS starts_sum
+FROM chunks c LEFT JOIN doc_starts d USING (chunk_id)
 """,
     "pii_scrub": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

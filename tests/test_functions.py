@@ -800,7 +800,7 @@ def test_pack_chunks_stream_identity(spark):
             for i in range(60)]
     df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
     L = 32
-    out = sorted(pack.pack_chunks(df, L).collect(),
+    out = sorted(pack.pack_chunks(df, L, with_boundaries=True).collect(),
                  key=lambda r: r["chunk_id"])
     stream = [t for _, toks in sorted(docs) for t in toks]
     got = [t for r in out for t in r["tokens"]]
@@ -808,6 +808,17 @@ def test_pack_chunks_stream_identity(spark):
     assert [r["chunk_id"] for r in out] == list(range(len(out)))
     assert all(r["n_tok"] == L for r in out[:-1])
     assert 0 < out[-1]["n_tok"] <= L
+    # doc_starts: every non-empty doc starts exactly once, at its global
+    # offset mod L in chunk offset//L
+    want_bounds: dict[int, list[int]] = {}
+    off = 0
+    for _, toks in sorted(docs):
+        if toks:
+            want_bounds.setdefault(off // L, []).append(off % L)
+            off += len(toks)
+    for r in out:
+        assert r["doc_starts"] == sorted(
+            want_bounds.get(r["chunk_id"], []))
 
 
 def test_pack_chunks_edges(spark):
