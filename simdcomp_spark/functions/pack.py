@@ -13,14 +13,17 @@ which is what a 100 TB rerun needs.
 
 Scale shape (two shuffles, both keyed and skew-free):
 
-1. **Skinny global cumsum** — the running token offset needs a total
-   order, but only over ``(order, n_tok)`` (≈12 bytes/row): the window
-   sort never touches token arrays.  The window has no PARTITION BY, so
-   Spark plans a single-partition sort for the FRAME — fine for the
-   per-doc metadata of even a 100 TB corpus (billions of rows × 12 B);
-   for corpora beyond driver-window comfort, the same offsets come from
-   a two-level cumsum (per-range sums, then prefix over ranges) with
-   identical semantics.
+1. **Skinny distributed cumsum** — the running token offset needs a
+   total order, but only over ``(order, n_tok)`` (≈12 bytes/row): the
+   offset stage never touches token arrays.  It is a TWO-LEVEL cumsum,
+   fully distributed — ``repartitionByRange`` on the order key (range
+   partitioner assigns ascending key ranges to ascending partition
+   ids), a per-partition running sum (window PARTITIONed BY the range
+   partition id — every frame is one partition's rows, no global sort),
+   and per-partition token totals (one tiny row per partition)
+   prefix-summed into base offsets and broadcast back.  No
+   single-partition stage anywhere; the only driver materialization is
+   ≤ one 8-byte total per partition.
 2. **One array-moving shuffle** — token arrays move exactly once, keyed
    by destination chunk: each doc joins its start offset (hash join on
    the doc key; if the corpus is already hash-partitioned by doc the
@@ -70,18 +73,43 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
              if "n_tok" in df_tokens.columns
              else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
 
-    # stage 1: skinny cumsum — (order, n_tok) only, arrays untouched
+    # stage 1: skinny two-level cumsum — (order, n_tok) only, arrays
+    # untouched, no single-partition stage (see module docstring).
+    # repartitionByRange keys equal _ord values into one partition, so
+    # the lag-based duplicate guard cannot miss a boundary-straddling
+    # pair; its deterministic sampling makes partition ids stable
+    # across retries.
+    spark = df_tokens.sparkSession
+    # explicit partition count so AQE never re-coalesces the range
+    # exchange; both consumers below share the SAME exchange within one
+    # query (canonical-plan stage reuse), so partition ids agree by
+    # construction — a separate driver job over a re-executed exchange
+    # would not be guaranteed the same range cuts
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    skinny = (df_tokens
+              .select(F.col(order_col).alias("_ord"), n_tok.alias("_n"))
+              .where(F.col("_n") > 0)
+              .repartitionByRange(n_parts, "_ord")
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy("_ord")
     dup_guard = F.when(
-        F.count("*").over(Window.partitionBy("_ord")) > 1,
+        F.lag("_ord").over(w_local) == F.col("_ord"),
         F.raise_error(F.lit(
             "pack_chunks: duplicate order key — stream order would be "
             "nondeterministic"))).otherwise(F.lit(0))
-    offs = (df_tokens
-            .select(F.col(order_col).alias("_ord"), n_tok.alias("_n"))
-            .where(F.col("_n") > 0)
-            .select("_ord", "_n", dup_guard.alias("_g"))
-            .withColumn("_start", F.sum("_n").over(
-                Window.orderBy("_ord")) - F.col("_n") + F.col("_g")))
+    local = skinny.withColumn(
+        "_local", F.sum("_n").over(w_local) - F.col("_n")
+        + dup_guard)
+    # per-partition totals (≤ n_parts rows) prefix-summed into base
+    # offsets — the only single-partition window runs over those
+    # n_parts rows, never the data
+    pbase = (skinny.groupBy("_pid").agg(F.sum("_n").alias("_t"))
+             .withColumn("_base", F.sum("_t").over(
+                 Window.orderBy("_pid")) - F.col("_t"))
+             .select("_pid", "_base"))
+    offs = (local.join(F.broadcast(pbase), "_pid")
+            .select("_ord", "_n",
+                    (F.col("_base") + F.col("_local")).alias("_start")))
 
     # stage 2: join offsets back (skinny side carries 3 longs), slice
     # docs into per-chunk pieces in place, reassemble keyed by chunk
