@@ -195,7 +195,8 @@ def run_bench() -> dict:
     # driver-facing queries on the sf dir
     for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
                  "auto_roundtrip", "compressed_size", "exact_dedup",
-                 "token_count", "ann_topk", "fsst_roundtrip"):
+                 "token_count", "ann_topk", "fsst_roundtrip",
+                 "pack_chunks"):
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(spark, SF_DIR).count()
