@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def training_mix(df: DataFrame, rates: dict[str, int],
@@ -81,3 +81,49 @@ def split_corpus(df: DataFrame, fractions: dict[str, float], seed: int,
         cond = coin < F.lit(t)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, k: int, seed: int,
+                      id_col: str = "doc_id", source_col: str = "source",
+                      oversample: int = 8) -> DataFrame:
+    """EXACTLY ``min(k, |source|)`` docs per source — the seeded
+    fixed-budget subset ("10k eval docs from every source"): per source,
+    the ``k`` smallest by the content-stable key
+    ``(xxhash64(seed, id), id)``.  Deterministic across reruns, engines
+    and partitionings, and a different ``seed`` is a fresh draw.
+
+    Scale shape: a plain per-source window would put EVERY doc of a
+    source into one task (source cardinality is tiny at corpus scale —
+    the definition of skew).  Instead a shuffle-free hash prefilter
+    keeps ≈ ``oversample*k`` docs per source (coin on the same hash, so
+    the true top-k always survive it *if* enough rows pass), and the
+    window runs on that bounded remainder.  An in-plan guard compares
+    each source's survivor count against ``min(k, n_source)`` and
+    raises if the prefilter undershot (P(undershoot) ≈ Chernoff tail at
+    ``oversample``× the mean — ~e^-3k at 8×; loud, never silently
+    wrong; retry with a larger ``oversample``)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_src"))
+    # content-stable coin on the SAME ordering hash: survivors are
+    # exactly the docs whose hash falls in the smallest p-fraction, so
+    # the per-source top-k by hash survive whenever ≥ min(k, n) do
+    u = (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    p = F.least(F.lit(1.0),
+                F.lit(float(oversample * k)) / F.col("_n_src"))
+    cand = (df.join(F.broadcast(counts), source_col)
+            .where(u < p))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col))
+    n_cand = F.count("*").over(Window.partitionBy(source_col))
+    guard = F.when(
+        n_cand < F.least(F.lit(k), F.col("_n_src")),
+        F.raise_error(F.lit(
+            "stratified_sample: hash prefilter undershot min(k, n) for "
+            "a source (astronomically unlikely at the default "
+            "oversample=8) — rerun with a larger oversample"))
+    ).otherwise(F.lit(0))
+    return (cand
+            .withColumn("_rk", F.row_number().over(w) + guard)
+            .where(F.col("_rk") <= k)
+            .drop("_rk", "_n_src"))

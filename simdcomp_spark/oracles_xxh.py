@@ -394,6 +394,21 @@ def split_corpus_oracle(seed: int, thresholds: list[tuple[str, int]],
     return (f"SELECT doc_id, CASE {cases} END AS split FROM ({sql})")
 
 
+def stratified_sample_oracle(seed: int, k: int) -> str:
+    """Replay functions.mix.stratified_sample exactly: per source, the
+    k smallest docs by (signed xxhash64(seed, doc_id), doc_id)."""
+    h1 = xxh64_long(int(seed), 42)
+    sql = layered_select(
+        "SELECT doc_id, source, " + to_unsigned("doc_id") + " AS ub "
+        "FROM documents",
+        hash_long_layers("ub", _u(h1), "h64"))
+    signed = to_signed("h64")
+    return (f"SELECT doc_id, source FROM ("
+            f"SELECT doc_id, source, row_number() OVER ("
+            f"PARTITION BY source ORDER BY {signed}, doc_id) AS rk "
+            f"FROM ({sql})) WHERE rk <= {int(k)}")
+
+
 def training_mix_oracle(rates: dict[str, int]) -> str:
     """DuckDB replay of functions.mix.training_mix over documents:
     pmod(xxhash64(doc_id), 100) < rates[source], the hash being Spark's

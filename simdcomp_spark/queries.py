@@ -665,6 +665,17 @@ def q_corpus_shuffle(spark, sf_dir):
             .select("doc_id", "shuffle_key"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Seeded exact-k-per-source subset: k smallest docs per source by
+    the content-stable hash order, skew-safe via the shuffle-free hash
+    prefilter (the window runs on ≈8k rows per source, never the whole
+    source); the oracle recomputes the exact per-source top-k."""
+    from .functions import mix
+    return (mix.stratified_sample(_t(spark, sf_dir, "documents"), k=7,
+                                  seed=SHUFFLE_SEED)
+            .select("doc_id", "source"))
+
+
 def q_split_corpus(spark, sf_dir):
     """Hash-based train/val/test assignment (96/3/1): shuffle-free
     rowwise coin, stable under repartitioning and corpus growth; the
@@ -1469,6 +1480,7 @@ QUERIES = {
     "contains_token": q_contains_token,
     "corpus_shuffle": q_corpus_shuffle,
     "split_corpus": q_split_corpus,
+    "stratified_sample": q_stratified_sample,
     "line_dedup": q_line_dedup,
     "pack_chunks": q_pack_chunks,
     "pii_scrub": q_pii_scrub,
@@ -2121,6 +2133,8 @@ ORACLES["lang_id"] = _lang_id_oracle()
 # replication of the banded bucket join.
 ORACLES["training_mix"] = oracles_xxh.training_mix_oracle(MIX_RATES)
 ORACLES["corpus_shuffle"] = oracles_xxh.corpus_shuffle_oracle(SHUFFLE_SEED)
+ORACLES["stratified_sample"] = oracles_xxh.stratified_sample_oracle(
+    SHUFFLE_SEED, 7)
 ORACLES["split_corpus"] = oracles_xxh.split_corpus_oracle(
     SHUFFLE_SEED,
     [("train", 9600), ("val", 9900), ("test", 10000)], 10000)

@@ -869,3 +869,32 @@ def test_corpus_shuffle_and_split_determinism(spark):
     assert counts["train"] + counts["val"] + counts["test"] == 2000
     with pytest.raises(ValueError, match="sum to 1"):
         mix.split_corpus(df, {"train": 0.5, "val": 0.4}, seed=7)
+
+
+def test_stratified_sample_exact_k_per_source(spark):
+    """Exactly min(k, n_source) docs per source, deterministic under
+    repartitioning, different seed -> different subset; the prefilter
+    never changes the answer (oversample variations agree)."""
+    from simdcomp_spark.functions import mix
+    import pytest
+    rows = [(i, f"s{i % 5}") for i in range(1000)] + [(5000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mix.stratified_sample(df, k=11, seed=3).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {
+        **{f"s{i}": 11 for i in range(5)}, "tiny": 1}
+    again = sorted((r["doc_id"], r["source"]) for r in
+                   mix.stratified_sample(df.repartition(17), k=11,
+                                         seed=3).collect())
+    assert again == sorted((r["doc_id"], r["source"]) for r in got)
+    other = sorted((r["doc_id"], r["source"]) for r in
+                   mix.stratified_sample(df, k=11, seed=4).collect())
+    assert other != again
+    huge = sorted((r["doc_id"], r["source"]) for r in
+                  mix.stratified_sample(df, k=11, seed=3,
+                                        oversample=1000).collect())
+    assert huge == again
+    with pytest.raises(ValueError, match="k must be positive"):
+        mix.stratified_sample(df, k=0, seed=3)
