@@ -835,6 +835,17 @@ def test_pack_chunks_edges(spark):
     assert [r["tokens"] for r in rows] == [[1], [2], [3]]
     with pytest.raises(ValueError, match="chunk_len"):
         pack.pack_chunks(df, 0)
+    # one doc spanning many chunks: interior chunks have no doc start
+    big = spark.createDataFrame(
+        [(1, [7] * 3), (2, list(range(300))), (3, [9] * 5)],
+        "doc_id long, tokens array<int>")
+    rows = sorted(pack.pack_chunks(big, 32, with_boundaries=True)
+                  .collect(), key=lambda r: r["chunk_id"])
+    stream = [7] * 3 + list(range(300)) + [9] * 5
+    assert [t for r in rows for t in r["tokens"]] == stream
+    assert rows[0]["doc_starts"] == [0, 3]      # docs 1 and 2
+    assert all(r["doc_starts"] == [] for r in rows[1:9])  # doc 2 interior
+    assert rows[9]["doc_starts"] == [303 % 32]  # doc 3 starts in chunk 9
     # duplicate order keys raise rather than pack nondeterministically
     dup = spark.createDataFrame([(1, [1]), (1, [2])],
                                 "doc_id long, tokens array<int>")
