@@ -9,27 +9,30 @@ order, stream cut every ``chunk_len`` tokens (chunks may span document
 boundaries; the final chunk may be short).  Greedy bin-packing variants
 trade determinism for fewer boundary crossings — this one is exactly
 reproducible in ANY engine (the DuckDB oracle replays it in pure SQL),
-which is what a 100 TB rerun needs.
+which is what a 100 TB rerun needs.  ``partition_col`` packs each
+domain/source as its OWN stream (chunks never mix domains — the usual
+shape when domains are trained with different weights), adding
+domain-parallelism on top of the shapes below.
 
 Scale shape (two shuffles, both keyed and skew-free):
 
 1. **Skinny distributed cumsum** — the running token offset needs a
    total order, but only over ``(order, n_tok)`` (≈12 bytes/row): the
    offset stage never touches token arrays.  It is a TWO-LEVEL cumsum,
-   fully distributed — ``repartitionByRange`` on the order key (range
-   partitioner assigns ascending key ranges to ascending partition
-   ids), a per-partition running sum (window PARTITIONed BY the range
-   partition id — every frame is one partition's rows, no global sort),
-   and per-partition token totals (one tiny row per partition)
+   fully distributed — ``repartitionByRange`` on the (group, order) key
+   (range partitioner assigns ascending key ranges to ascending
+   partition ids, so groups stay contiguous), a per-partition running
+   sum (window PARTITIONed BY the range partition id + group — every
+   frame is one partition's slice of one group, no global sort), and
+   per-(partition, group) token totals (one tiny row each)
    prefix-summed into base offsets and broadcast back.  No
-   single-partition stage anywhere; the only driver materialization is
-   ≤ one 8-byte total per partition.
+   single-partition stage over data anywhere.
 2. **One array-moving shuffle** — token arrays move exactly once, keyed
    by destination chunk: each doc joins its start offset (hash join on
    the doc key; if the corpus is already hash-partitioned by doc the
    arrays do not even move here), is sliced IN PLACE into per-chunk
    pieces (``slice`` on the array column — no token explode), and only
-   then shuffles on ``chunk_id`` for reassembly.  Chunk keys are dense
+   then shuffles on the chunk key for reassembly.  Chunk keys are dense
    integers — uniform by construction, no salting needed.
 
 Reference analog: the d1 block layout chops a sorted stream into
@@ -45,7 +48,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                 order_col: str = "doc_id",
-                with_boundaries: bool = False) -> DataFrame:
+                with_boundaries: bool = False,
+                partition_col: str | None = None) -> DataFrame:
     """Pack ``(doc_id, tokens)`` rows into fixed-``chunk_len`` examples.
 
     Returns ``(chunk_id long, tokens array<int>, n_tok int)`` where
@@ -56,12 +60,16 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     in-chunk positions where a DOCUMENT begins (sorted; empty when the
     whole chunk continues a document begun earlier) — what a trainer
     needs to build cross-document attention masks over packed examples.
-    ``order_col`` must be duplicate-free (it defines THE stream order);
-    ties would make the packing nondeterministic, so a duplicated order
-    key raises in-plan.  If the input carries an ``n_tok`` column it is
-    trusted as ``size(tokens)`` (engine tables stamp it at encode) so
-    the skinny pass never reads the arrays; pass a frame without it if
-    yours is not authoritative.
+    ``partition_col`` packs every value of that column as an
+    independent stream: the output carries the column plus a per-group
+    ``chunk_id`` (each group's final chunk may be short).
+    ``order_col`` must be duplicate-free (within a group when
+    ``partition_col`` is set — it defines THE stream order); ties would
+    make the packing nondeterministic, so a duplicated order key raises
+    in-plan.  If the input carries an ``n_tok`` column it is trusted as
+    ``size(tokens)`` (engine tables stamp it at encode) so the skinny
+    pass never reads the arrays; pass a frame without it if yours is
+    not authoritative.
     """
     if chunk_len <= 0:
         raise ValueError(f"chunk_len must be positive, got {chunk_len}")
@@ -72,13 +80,20 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     n_tok = (F.coalesce(F.col("n_tok").cast("long"), F.lit(0))
              if "n_tok" in df_tokens.columns
              else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
+    # NULL group values would vanish at the offs equi-join (null keys
+    # never match) — refuse them loudly instead of silently dropping docs
+    grp = (F.when(F.col(partition_col).isNull(),
+                  F.raise_error(F.lit(
+                      f"pack_chunks: {partition_col} contains NULL — "
+                      "assign every doc a group before packing")))
+           .otherwise(F.col(partition_col))
+           if partition_col is not None else F.lit(0))
 
-    # stage 1: skinny two-level cumsum — (order, n_tok) only, arrays
-    # untouched, no single-partition stage (see module docstring).
-    # repartitionByRange keys equal _ord values into one partition, so
-    # the lag-based duplicate guard cannot miss a boundary-straddling
-    # pair; its deterministic sampling makes partition ids stable
-    # across retries.
+    # stage 1: skinny two-level cumsum — (group, order, n_tok) only,
+    # arrays untouched, no single-partition stage over data (see module
+    # docstring).  repartitionByRange keys equal (_grp, _ord) values
+    # into one partition, so the lag-based duplicate guard cannot miss
+    # a boundary-straddling pair.
     spark = df_tokens.sparkSession
     # explicit partition count so AQE never re-coalesces the range
     # exchange; both consumers below share the SAME exchange within one
@@ -87,11 +102,12 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     # would not be guaranteed the same range cuts
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     skinny = (df_tokens
-              .select(F.col(order_col).alias("_ord"), n_tok.alias("_n"))
+              .select(grp.alias("_grp"),
+                      F.col(order_col).alias("_ord"), n_tok.alias("_n"))
               .where(F.col("_n") > 0)
-              .repartitionByRange(n_parts, "_ord")
+              .repartitionByRange(n_parts, "_grp", "_ord")
               .withColumn("_pid", F.spark_partition_id()))
-    w_local = Window.partitionBy("_pid").orderBy("_ord")
+    w_local = Window.partitionBy("_pid", "_grp").orderBy("_ord")
     dup_guard = F.when(
         F.lag("_ord").over(w_local) == F.col("_ord"),
         F.raise_error(F.lit(
@@ -100,29 +116,30 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     local = skinny.withColumn(
         "_local", F.sum("_n").over(w_local) - F.col("_n")
         + dup_guard)
-    # per-partition totals (≤ n_parts rows) prefix-summed into base
-    # offsets — the only single-partition window runs over those
-    # n_parts rows, never the data
-    pbase = (skinny.groupBy("_pid").agg(F.sum("_n").alias("_t"))
+    # per-(partition, group) totals prefix-summed into base offsets —
+    # contiguous ranges mean ≤ n_parts + n_groups such rows; the only
+    # single-partition work is the window over THOSE rows, never data
+    pbase = (skinny.groupBy("_pid", "_grp").agg(F.sum("_n").alias("_t"))
              .withColumn("_base", F.sum("_t").over(
-                 Window.orderBy("_pid")) - F.col("_t"))
-             .select("_pid", "_base"))
-    offs = (local.join(F.broadcast(pbase), "_pid")
-            .select("_ord", "_n",
+                 Window.partitionBy("_grp").orderBy("_pid")) - F.col("_t"))
+             .select("_pid", "_grp", "_base"))
+    offs = (local.join(F.broadcast(pbase), ["_pid", "_grp"])
+            .select("_grp", "_ord", "_n",
                     (F.col("_base") + F.col("_local")).alias("_start")))
 
     # stage 2: join offsets back (skinny side carries 3 longs), slice
     # docs into per-chunk pieces in place, reassemble keyed by chunk
-    docs = (df_tokens.select(F.col(order_col).alias("_ord"), "tokens")
-            .join(offs, "_ord"))
+    docs = (df_tokens.select(grp.alias("_grp"),
+                             F.col(order_col).alias("_ord"), "tokens")
+            .join(offs, ["_grp", "_ord"]))
     first_c = (F.col("_start") / L).cast("long")
     last_c = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")
     pieces = (docs
-              .select("_ord", "tokens", "_start", "_n",
+              .select("_grp", "tokens", "_start", "_n",
                       F.explode(F.sequence(first_c, last_c))
                       .alias("chunk_id"))
               .select(
-                  "chunk_id",
+                  "_grp", "chunk_id",
                   F.col("_start").alias("_doc_start"),
                   F.slice(
                       "tokens",
@@ -140,7 +157,10 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
             F.struct(F.col("_doc_start").alias("s"),
                      F.col("piece").alias("p")))),
         lambda x: x.p)).alias("tokens")]
-    cols = ["chunk_id", "tokens", F.size("tokens").alias("n_tok")]
+    out_key = ([F.col("_grp").alias(partition_col)]
+               if partition_col is not None else [])
+    cols = out_key + ["chunk_id", "tokens",
+                      F.size("tokens").alias("n_tok")]
     if with_boundaries:
         # a piece that begins its document (doc start >= chunk start)
         # marks a boundary at the doc's in-chunk offset; collect_list
@@ -150,4 +170,4 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                    (F.col("_doc_start") - F.col("chunk_id") * L)
                    .cast("int")))).alias("doc_starts"))
         cols.append("doc_starts")
-    return pieces.groupBy("chunk_id").agg(*aggs).select(*cols)
+    return pieces.groupBy("_grp", "chunk_id").agg(*aggs).select(*cols)

@@ -768,6 +768,31 @@ def q_pack_chunks(spark, sf_dir):
                " (a, x) -> a + x)").alias("starts_sum"))
 
 
+def q_pack_by_source(spark, sf_dir):
+    """Per-domain sequence packing: each group (l_orderkey % 4 as a
+    synthetic domain) packs as its own stream — chunks never mix
+    domains, each domain's last chunk may be short.  Oracle replays the
+    per-group chunking with a partitioned row_number."""
+    from .functions import pack
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_linenumber", "l_partkey", "lineitem")
+    tok = tok.withColumn(
+        "grp", (F.col("doc_id").cast("long") % 4))
+    packed = pack.pack_chunks(
+        tok.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   "tokens", "grp"),
+        256, partition_col="grp")
+    return packed.select(
+        F.col("grp").cast("long").alias("grp"), "chunk_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
+               " (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(zip_with(tokens,"
+               " sequence(0, size(tokens) - 1),"
+               " (t, i) -> CAST(t AS BIGINT) * i),"
+               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction gate: emails + long digit runs injected
     deterministically into every doc (the synthetic corpus has none),
@@ -1483,6 +1508,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "line_dedup": q_line_dedup,
     "pack_chunks": q_pack_chunks,
+    "pack_by_source": q_pack_by_source,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "jsonl_ingest": q_jsonl_ingest,
@@ -1762,6 +1788,20 @@ SELECT c.chunk_id, c.n_tok, c.tok_sum, c.tok_wsum,
        CAST(coalesce(d.n_docs_started, 0) AS INT) AS n_docs_started,
        CAST(coalesce(d.starts_sum, 0) AS BIGINT) AS starts_sum
 FROM chunks c LEFT JOIN doc_starts d USING (chunk_id)
+""",
+    "pack_by_source": """
+WITH t AS (
+  SELECT CAST(l_orderkey % 4 AS BIGINT) AS grp,
+         CAST(l_partkey AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY l_orderkey % 4
+             ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS gp
+  FROM lineitem)
+SELECT grp,
+       CAST(gp // 256 AS BIGINT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tok,
+       CAST(sum(tok) AS BIGINT) AS tok_sum,
+       CAST(sum(tok * (gp % 256)) AS BIGINT) AS tok_wsum
+FROM t GROUP BY grp, gp // 256
 """,
     "pii_scrub": r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

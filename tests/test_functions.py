@@ -909,3 +909,28 @@ def test_stratified_sample_exact_k_per_source(spark):
     assert huge == again
     with pytest.raises(ValueError, match="k must be positive"):
         mix.stratified_sample(df, k=0, seed=3)
+
+
+def test_pack_chunks_per_group(spark):
+    """partition_col packs each group independently: per-group streams,
+    per-group chunk ids, no cross-group mixing; NULL groups raise."""
+    from simdcomp_spark.functions import pack
+    import pytest
+    rows = [(1, "a", [1, 2, 3]), (2, "b", [10]), (3, "a", [4, 5]),
+            (4, "b", [11, 12, 13, 14])]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, src string, tokens array<int>")
+    out = pack.pack_chunks(df, 4, partition_col="src",
+                           with_boundaries=True).collect()
+    got = {(r["src"], r["chunk_id"]): (r["tokens"], r["doc_starts"])
+           for r in out}
+    assert got == {
+        ("a", 0): ([1, 2, 3, 4], [0, 3]),
+        ("a", 1): ([5], []),      # continues doc 3 (started at a/0 pos 3)
+        ("b", 0): ([10, 11, 12, 13], [0, 1]),
+        ("b", 1): ([14], []),
+    }
+    withnull = spark.createDataFrame(
+        [(1, None, [1])], "doc_id long, src string, tokens array<int>")
+    with pytest.raises(Exception, match="contains NULL"):
+        pack.pack_chunks(withnull, 4, partition_col="src").collect()
