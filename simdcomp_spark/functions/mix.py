@@ -49,7 +49,20 @@ def corpus_shuffle(df: DataFrame, seed: int, id_col: str = "doc_id"
     itself is the portable artifact (the DuckDB oracle replays it
     bit-exactly via generated XXH64 SQL)."""
     key = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
-    return (df.withColumn("shuffle_key", key)
+    # duplicate ids would leave the relative order of their rows
+    # unpinned (identical sort keys) — breaking the reproducibility
+    # contract silently; detect with one skinny map-side-combinable
+    # count and a broadcast 1-row cross join, raising in-plan
+    mx = df.groupBy(id_col).count().agg(F.max("count").alias("_mx"))
+    guard = F.when(
+        F.col("_mx") > 1,
+        F.raise_error(F.lit(
+            f"corpus_shuffle: duplicate {id_col} values — identical "
+            "sort keys make the order nondeterministic"))
+    ).otherwise(F.lit(0))
+    return (df.crossJoin(F.broadcast(mx))
+            .withColumn("shuffle_key", key + guard)
+            .drop("_mx")
             .orderBy("shuffle_key", id_col))
 
 
@@ -65,14 +78,18 @@ def split_corpus(df: DataFrame, fractions: dict[str, float], seed: int,
     split under any repartitioning or incremental corpus extension.
     ``fractions`` must sum to 1 (exactly, after integer rounding — a
     silent gap would leak docs into no split)."""
-    cum, thresholds = 0, []
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    # round the CUMULATIVE fraction so independently-rounded splits
+    # (e.g. three 1/3s) can't miss the resolution by an off-by-one
+    cum, thresholds = 0.0, []
     for name, frac in fractions.items():
-        cum += int(round(frac * resolution))
-        thresholds.append((name, cum))
-    if thresholds[-1][1] != resolution:
-        raise ValueError(
-            f"fractions must sum to 1 (got cumulative "
-            f"{thresholds[-1][1]}/{resolution} after rounding)")
+        cum += frac
+        thresholds.append((name, int(round(cum * resolution))))
+    thresholds[-1] = (thresholds[-1][0], resolution)
     coin = F.pmod(F.xxhash64(F.lit(int(seed)).cast("long"),
                              F.col(id_col)), F.lit(int(resolution)))
     # ascending-threshold first-match when-chain
@@ -108,22 +125,32 @@ def stratified_sample(df: DataFrame, k: int, seed: int,
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n_src"))
     # content-stable coin on the SAME ordering hash: survivors are
     # exactly the docs whose hash falls in the smallest p-fraction, so
-    # the per-source top-k by hash survive whenever ≥ min(k, n) do
+    # the per-source top-k by hash survive whenever ≥ min(k, n) do.
+    # p >= 1.0 keeps ALL rows explicitly: the double cast of an int64
+    # hash can round u up to exactly 1.0, which would otherwise drop a
+    # row even from a keep-everything source
     u = (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
     p = F.least(F.lit(1.0),
                 F.lit(float(oversample * k)) / F.col("_n_src"))
     cand = (df.join(F.broadcast(counts), source_col)
-            .where(u < p))
+            .where((u < p) | (p >= 1.0)))
+    # undershoot guard over EVERY source (a per-row guard can't fire
+    # for a source whose prefilter kept zero rows): survivor counts
+    # right-joined to the full source list, raise if any fall short —
+    # tiny frames, and the broadcast keeps the window input unshuffled
+    svc = cand.groupBy(source_col).agg(F.count("*").alias("_n_cand"))
+    checked = (counts.join(svc, source_col, "left")
+               .select(source_col, F.when(
+                   F.coalesce(F.col("_n_cand"), F.lit(0))
+                   < F.least(F.lit(k), F.col("_n_src")),
+                   F.raise_error(F.lit(
+                       "stratified_sample: hash prefilter undershot "
+                       "min(k, n) for a source (astronomically "
+                       "unlikely at the default oversample=8) — rerun "
+                       "with a larger oversample"))
+               ).otherwise(F.lit(0)).alias("_g")))
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col))
-    n_cand = F.count("*").over(Window.partitionBy(source_col))
-    guard = F.when(
-        n_cand < F.least(F.lit(k), F.col("_n_src")),
-        F.raise_error(F.lit(
-            "stratified_sample: hash prefilter undershot min(k, n) for "
-            "a source (astronomically unlikely at the default "
-            "oversample=8) — rerun with a larger oversample"))
-    ).otherwise(F.lit(0))
-    return (cand
-            .withColumn("_rk", F.row_number().over(w) + guard)
+    return (cand.join(F.broadcast(checked), source_col)
+            .withColumn("_rk", F.row_number().over(w) + F.col("_g"))
             .where(F.col("_rk") <= k)
-            .drop("_rk", "_n_src"))
+            .drop("_rk", "_g", "_n_src"))

@@ -100,10 +100,23 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     # query (canonical-plan stage reuse), so partition ids agree by
     # construction — a separate driver job over a re-executed exchange
     # would not be guaranteed the same range cuts
+    if spark.conf.get("spark.sql.exchange.reuse", "true") != "true":
+        raise ValueError(
+            "pack_chunks requires spark.sql.exchange.reuse=true: the "
+            "offset stage's two consumers must read ONE execution of "
+            "the range exchange — re-executions may sample different "
+            "range bounds and silently corrupt offsets")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # a NULL order key would inflate stage-1 offsets then vanish at the
+    # stage-2 equi-join (and NULL==NULL defeats the lag guard): refuse
+    ord_guard = F.when(
+        F.col(order_col).isNull(),
+        F.raise_error(F.lit(
+            f"pack_chunks: {order_col} contains NULL — every doc needs "
+            "an order key"))).otherwise(F.col(order_col))
     skinny = (df_tokens
               .select(grp.alias("_grp"),
-                      F.col(order_col).alias("_ord"), n_tok.alias("_n"))
+                      ord_guard.alias("_ord"), n_tok.alias("_n"))
               .where(F.col("_n") > 0)
               .repartitionByRange(n_parts, "_grp", "_ord")
               .withColumn("_pid", F.spark_partition_id()))

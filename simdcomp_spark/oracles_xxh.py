@@ -365,16 +365,23 @@ def xxh64_long(value: int, seed: int = 42) -> int:
     return h
 
 
-def corpus_shuffle_oracle(seed: int) -> str:
-    """Replay functions.mix.corpus_shuffle's key: Spark's
-    ``xxhash64(seed_lit, doc_id)`` chains fields, so the constant first
-    field reduces to a precomputed seed for hashLong(doc_id, ·)."""
+def _seeded_doc_hash_sql(seed: int, extra_cols: str = "") -> tuple[str, str]:
+    """(subquery, signed-hash expr) computing Spark's chained
+    ``xxhash64(seed_lit, doc_id)`` over documents: the constant first
+    field reduces to a precomputed seed for hashLong(doc_id, ·) — the
+    one shared preamble of every seeded-operator oracle below."""
     h1 = xxh64_long(int(seed), 42)
     sql = layered_select(
-        "SELECT doc_id, " + to_unsigned("doc_id") + " AS ub "
+        f"SELECT doc_id{extra_cols}, " + to_unsigned("doc_id") + " AS ub "
         "FROM documents",
         hash_long_layers("ub", _u(h1), "h64"))
-    return (f"SELECT doc_id, {to_signed('h64')} AS shuffle_key "
+    return sql, to_signed("h64")
+
+
+def corpus_shuffle_oracle(seed: int) -> str:
+    """Replay functions.mix.corpus_shuffle's key bit-exactly."""
+    sql, signed = _seeded_doc_hash_sql(seed)
+    return (f"SELECT doc_id, {signed} AS shuffle_key "
             f"FROM ({sql})")
 
 
@@ -382,12 +389,7 @@ def split_corpus_oracle(seed: int, thresholds: list[tuple[str, int]],
                         resolution: int) -> str:
     """Replay functions.mix.split_corpus: same chained hash, bucket =
     pmod(signed hash, resolution), ascending-threshold CASE."""
-    h1 = xxh64_long(int(seed), 42)
-    sql = layered_select(
-        "SELECT doc_id, " + to_unsigned("doc_id") + " AS ub "
-        "FROM documents",
-        hash_long_layers("ub", _u(h1), "h64"))
-    signed = to_signed("h64")
+    sql, signed = _seeded_doc_hash_sql(seed)
     bucket = f"((({signed}) % {resolution}) + {resolution}) % {resolution}"
     cases = " ".join(f"WHEN ({bucket}) < {t} THEN '{name}'"
                      for name, t in thresholds)
@@ -397,12 +399,7 @@ def split_corpus_oracle(seed: int, thresholds: list[tuple[str, int]],
 def stratified_sample_oracle(seed: int, k: int) -> str:
     """Replay functions.mix.stratified_sample exactly: per source, the
     k smallest docs by (signed xxhash64(seed, doc_id), doc_id)."""
-    h1 = xxh64_long(int(seed), 42)
-    sql = layered_select(
-        "SELECT doc_id, source, " + to_unsigned("doc_id") + " AS ub "
-        "FROM documents",
-        hash_long_layers("ub", _u(h1), "h64"))
-    signed = to_signed("h64")
+    sql, signed = _seeded_doc_hash_sql(seed, extra_cols=", source")
     return (f"SELECT doc_id, source FROM ("
             f"SELECT doc_id, source, row_number() OVER ("
             f"PARTITION BY source ORDER BY {signed}, doc_id) AS rk "

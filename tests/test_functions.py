@@ -880,6 +880,17 @@ def test_corpus_shuffle_and_split_determinism(spark):
     assert counts["train"] + counts["val"] + counts["test"] == 2000
     with pytest.raises(ValueError, match="sum to 1"):
         mix.split_corpus(df, {"train": 0.5, "val": 0.4}, seed=7)
+    with pytest.raises(ValueError, match="at least one"):
+        mix.split_corpus(df, {}, seed=7)
+    # thirds sum to 1.0 exactly in float; cumulative rounding must
+    # accept them (independent rounding would reject 3x3333)
+    thirds = mix.split_corpus(df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3},
+                              seed=7).collect()
+    assert len(thirds) == 2000 and all(r["split"] for r in thirds)
+    # duplicate doc ids break order reproducibility: loud, not silent
+    dup = spark.createDataFrame([(1,), (1,)], "doc_id long")
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        mix.corpus_shuffle(dup, seed=7).collect()
 
 
 def test_stratified_sample_exact_k_per_source(spark):
