@@ -768,6 +768,33 @@ def q_pack_chunks(spark, sf_dir):
                " (a, x) -> a + x)").alias("starts_sum"))
 
 
+def q_tokenize(spark, sf_dir):
+    """Raw text → token ids → ENGINE round-trip: documents tokenized by
+    the greedy longest-match subword tokenizer (Arrow-batched UDF with
+    per-batch word memo), encoded with the auto codec, decoded, and
+    reduced to per-doc count + order-weighted checksums.  The oracle
+    replays the tokenizer exactly with a recursive CTE over the same
+    vocabulary — the full text→tokens→encode→decode chain is pinned
+    end-to-end."""
+    from .functions import tokenize
+    toks = tokenize.wordpiece_tokenize(_t(spark, sf_dir, "documents"))
+    toks = toks.where(F.col("n_tok") > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens",
+        "n_tok", F.lit("documents").alias("source"))
+    enc = engine.encode(toks, codec="auto", split_threshold=None,
+                        salt=False)
+    dec = engine.decode(enc, reassemble=False)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").alias("n_tokens"),
+        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
+               " (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(zip_with(tokens,"
+               " sequence(0, size(tokens) - 1),"
+               " (t, i) -> CAST(t AS BIGINT) * i),"
+               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+
+
 def q_pack_by_source(spark, sf_dir):
     """Per-domain sequence packing: each group (l_orderkey % 4 as a
     synthetic domain) packs as its own stream — chunks never mix
@@ -1509,6 +1536,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pack_chunks": q_pack_chunks,
     "pack_by_source": q_pack_by_source,
+    "tokenize": q_tokenize,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "jsonl_ingest": q_jsonl_ingest,
@@ -2172,6 +2200,14 @@ ORACLES["lang_id"] = _lang_id_oracle()
 # max_hamming ≤ bands-1 + exact bit_count verify); minhash_lsh is a full
 # replication of the banded bucket join.
 ORACLES["training_mix"] = oracles_xxh.training_mix_oracle(MIX_RATES)
+
+
+def _tokenize_oracle() -> str:
+    from .functions import tokenize
+    return tokenize.tokenize_oracle_sql("documents")
+
+
+ORACLES["tokenize"] = _tokenize_oracle()
 ORACLES["corpus_shuffle"] = oracles_xxh.corpus_shuffle_oracle(SHUFFLE_SEED)
 ORACLES["stratified_sample"] = oracles_xxh.stratified_sample_oracle(
     SHUFFLE_SEED, 7)

@@ -945,3 +945,23 @@ def test_pack_chunks_per_group(spark):
         [(1, None, [1])], "doc_id long, src string, tokens array<int>")
     with pytest.raises(Exception, match="contains NULL"):
         pack.pack_chunks(withnull, 4, partition_col="src").collect()
+
+
+def test_wordpiece_tokenize(spark):
+    """Greedy longest-match semantics: merges beat singles, UNK covers
+    out-of-vocab chars, empty/NULL text yields empty arrays, and the
+    UDF path equals the scalar reference on every doc."""
+    from simdcomp_spark.functions import tokenize as tk
+    assert tk.tokenize_word("the") == [tk.VOCAB["the"]]
+    assert tk.tokenize_word("then") == [tk.VOCAB["the"], tk.VOCAB["n"]]
+    assert tk.tokenize_word("x€y") == [tk.VOCAB["x"], tk.UNK_ID,
+                                       tk.VOCAB["y"]]
+    rows = [(1, "the cat"), (2, ""), (3, None), (4, "  a  "),
+            (5, "renting entire trains")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"])
+           for r in tk.wordpiece_tokenize(df).collect()}
+    for d, t in rows:
+        want = [i for w in (t or "").split(" ") if w
+                for i in tk.tokenize_word(w)]
+        assert got[d] == (want, len(want)), d
