@@ -133,7 +133,12 @@ def stratified_sample(df: DataFrame, k: int, seed: int,
     p = F.least(F.lit(1.0),
                 F.lit(float(oversample * k)) / F.col("_n_src"))
     cand = (df.join(F.broadcast(counts), source_col)
-            .where((u < p) | (p >= 1.0)))
+            .where((u < p) | (p >= 1.0))
+            # persisted: the guard and the window are two consumers of
+            # this prefilter — without the cache each would re-scan the
+            # corpus; the pinned data is only the survivors
+            # (≈ oversample·k rows per source)
+            .persist())
     # undershoot guard over EVERY source (a per-row guard can't fire
     # for a source whose prefilter kept zero rows): survivor counts
     # right-joined to the full source list, raise if any fall short —

@@ -100,7 +100,8 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     # query (canonical-plan stage reuse), so partition ids agree by
     # construction — a separate driver job over a re-executed exchange
     # would not be guaranteed the same range cuts
-    if spark.conf.get("spark.sql.exchange.reuse", "true") != "true":
+    if spark.conf.get("spark.sql.exchange.reuse",
+                      "true").lower() != "true":
         raise ValueError(
             "pack_chunks requires spark.sql.exchange.reuse=true: the "
             "offset stage's two consumers must read ONE execution of "

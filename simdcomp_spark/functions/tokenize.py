@@ -15,9 +15,9 @@ Spark shape: a Pandas UDF (Arrow-batched) — genuine per-character
 control flow is the sanctioned UDF case; there is no JVM expression
 for longest-match scanning.  The UDF is embarrassingly parallel
 (zero exchanges, whole-stage scan → udf → output) and keeps a
-word → ids memo per batch: corpus word frequency is Zipfian, so the
-memo turns the per-character loop into a dict hit for the bulk of
-occurrences.  The vocabulary here is a fixed demo table (ASCII singles
+size-capped word → ids memo per partition: corpus word frequency is
+Zipfian, so the memo turns the per-character loop into a dict hit for
+the bulk of occurrences while the cap bounds worker memory.  The vocabulary here is a fixed demo table (ASCII singles
 + common English merges); a production run swaps in a learned one —
 every code path is vocabulary-agnostic.
 """
@@ -70,7 +70,11 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
     or NULL text yields an empty array (documents are never dropped)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-PARTITION word memo, size-capped: Zipfian reuse makes most
+        # occurrences a dict hit, while the cap bounds worker memory on
+        # web-scale partitions full of distinct "words" (URLs, hashes)
         memo: dict[str, list[int]] = {}
+        MEMO_CAP = 1 << 20
 
         def doc_tokens(text) -> list[int]:
             if text is None:
@@ -82,7 +86,8 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
                 ids = memo.get(w)
                 if ids is None:
                     ids = tokenize_word(w)
-                    memo[w] = ids
+                    if len(memo) < MEMO_CAP:
+                        memo[w] = ids
                 out.extend(ids)
             return out
 
@@ -94,7 +99,8 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
                 "n_tok": toks.map(len).astype("int32"),
             })
 
-    out_schema = f"{id_col} long, tokens array<int>, n_tok int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, tokens array<int>, n_tok int"
     return df.select(id_col, col).mapInPandas(fn, schema=out_schema)
 
 
