@@ -104,17 +104,18 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
     return df.select(id_col, col).mapInPandas(fn, schema=out_schema)
 
 
-def tokenize_oracle_sql(table: str = "documents") -> str:
-    """DuckDB replay of :func:`wordpiece_tokenize` over ``table`` via a
-    recursive CTE: one state per (doc, word, cursor), each step taking
-    the longest vocabulary entry matching at the cursor (LATERAL top-1
-    by length) or UNK+1.  Returns per-doc ``n_tokens`` plus order- and
-    content-sensitive checksums (sum and position-weighted sum of ids,
-    positions ordered by (word index, step))."""
+def tokenize_oracle_ctes(table: str = "documents") -> str:
+    """The recursive-CTE bodies replaying :func:`wordpiece_tokenize` in
+    DuckDB over ``table`` (which needs ``doc_id`` and ``text``): one
+    state per (doc, word, cursor), each step taking the longest
+    vocabulary entry matching at the cursor (LATERAL top-1 by length)
+    or UNK+advance-1.  Returned WITHOUT the ``WITH RECURSIVE`` keyword
+    so composite oracles can prepend their own CTEs; the final relation
+    is ``step(doc_id, wi, w, pos, tid, ord)`` with one token per row
+    where ``tid IS NOT NULL``, ordered within a doc by (wi, ord)."""
     vals = ", ".join("('%s', %d)" % (t.replace("'", "''"), i)
                      for t, i in VOCAB.items())
-    return f"""
-WITH RECURSIVE vocab(tok, id) AS (VALUES {vals}),
+    return f"""vocab(tok, id) AS (VALUES {vals}),
 words AS (
   SELECT doc_id, w, wi FROM (
     SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
@@ -132,7 +133,16 @@ step(doc_id, wi, w, pos, tid, ord) AS (
       FROM vocab v
       WHERE v.tok = substr(s.w, s.pos + 1, length(v.tok))
       ORDER BY length(v.tok) DESC LIMIT 1) m ON true
-    WHERE s.pos < length(s.w))),
+    WHERE s.pos < length(s.w)))"""
+
+
+def tokenize_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`wordpiece_tokenize` over ``table``:
+    per-doc token count plus order- and content-sensitive checksums
+    (sum and position-weighted sum of ids, positions ordered by
+    (word index, step))."""
+    return f"""
+WITH RECURSIVE {tokenize_oracle_ctes(table)},
 toks AS (
   SELECT doc_id, CAST(tid AS BIGINT) AS tid,
          row_number() OVER (PARTITION BY doc_id ORDER BY wi, ord) - 1

@@ -795,6 +795,40 @@ def q_tokenize(spark, sf_dir):
                " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
 
 
+def q_corpus_build(spark, sf_dir):
+    """The FULL corpus-construction pipeline as one gate: raw documents
+    → exact dedup (keep lowest doc_id per text) → training-mix rate
+    sampling (content-stable hash coin) → subword tokenize → auto-codec
+    ENCODE → DECODE → pack into 512-token training chunks.  Every stage
+    is an operator with its own oracle-paired gate; this one pins their
+    COMPOSITION — the DuckDB oracle replays dedup, mix coin, tokenizer
+    recursion, and chunking in a single composed query."""
+    from .functions import dedup, mix, pack, tokenize
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_keep_first(docs)
+    mixed = mix.training_mix(kept, MIX_RATES)
+    toks = (tokenize.wordpiece_tokenize(mixed)
+            .where(F.col("n_tok") > 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "tokens", "n_tok",
+                    F.lit("documents").alias("source")))
+    enc = engine.encode(toks, codec="auto", split_threshold=None,
+                        salt=False)
+    dec = engine.decode(enc, reassemble=False)
+    packed = pack.pack_chunks(
+        dec.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   "tokens"), 512)
+    return packed.select(
+        "chunk_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
+               " (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(zip_with(tokens,"
+               " sequence(0, size(tokens) - 1),"
+               " (t, i) -> CAST(t AS BIGINT) * i),"
+               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+
+
 def q_pack_by_source(spark, sf_dir):
     """Per-domain sequence packing: each group (l_orderkey % 4 as a
     synthetic domain) packs as its own stream — chunks never mix
@@ -1537,6 +1571,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "pack_by_source": q_pack_by_source,
     "tokenize": q_tokenize,
+    "corpus_build": q_corpus_build,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "jsonl_ingest": q_jsonl_ingest,
@@ -2207,7 +2242,34 @@ def _tokenize_oracle() -> str:
     return tokenize.tokenize_oracle_sql("documents")
 
 
+def _corpus_build_oracle() -> str:
+    """Compose the stage oracles: dedup keep-min-doc-per-text, the mix
+    coin (training_mix_oracle restricted to kept docs), the tokenizer
+    recursion over the surviving corpus, then global 512-chunking."""
+    from .functions import tokenize
+    mix_sql = oracles_xxh.training_mix_oracle(MIX_RATES)
+    return f"""
+WITH RECURSIVE
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+mixsel AS (SELECT doc_id FROM ({mix_sql})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN keep USING (doc_id) JOIN mixsel USING (doc_id)),
+{tokenize.tokenize_oracle_ctes("corpus")},
+toks AS (
+  SELECT CAST(tid AS BIGINT) AS tid,
+         row_number() OVER (ORDER BY doc_id, wi, ord) - 1 AS gp
+  FROM step WHERE tid IS NOT NULL)
+SELECT CAST(gp // 512 AS BIGINT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tok,
+       CAST(sum(tid) AS BIGINT) AS tok_sum,
+       CAST(sum(tid * (gp % 512)) AS BIGINT) AS tok_wsum
+FROM toks GROUP BY gp // 512
+"""
+
+
 ORACLES["tokenize"] = _tokenize_oracle()
+ORACLES["corpus_build"] = _corpus_build_oracle()
 ORACLES["corpus_shuffle"] = oracles_xxh.corpus_shuffle_oracle(SHUFFLE_SEED)
 ORACLES["stratified_sample"] = oracles_xxh.stratified_sample_oracle(
     SHUFFLE_SEED, 7)
