@@ -129,3 +129,31 @@ def test_dict_rle_streams_native_numpy_property(seed, nrows, maxbits):
         assert np.array_equal(a, b)
     for a, b in zip(c_rle, n_rle):
         assert np.array_equal(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_tokenize_word_reconstructs_property(w):
+    """Greedy longest-match is a total, lossless segmentation: mapping
+    ids back through the vocabulary (UNK = the original char, which is
+    exactly the chars not in the vocab) reconstructs the word, and every
+    non-UNK id is the longest possible match at its position."""
+    from simdcomp_spark.functions import tokenize as tk
+    rev = {i: t for t, i in tk.VOCAB.items()}
+    ids = tk.tokenize_word(w)
+    pos, rebuilt = 0, []
+    for tid in ids:
+        if tid == tk.UNK_ID:
+            assert w[pos] not in tk.VOCAB  # UNK only for OOV chars
+            rebuilt.append(w[pos])
+            pos += 1
+        else:
+            t = rev[tid]
+            assert w[pos:pos + len(t)] == t
+            # greediness: no longer vocab entry matched here
+            for ln in range(len(t) + 1, tk._MAX_LEN + 1):
+                assert w[pos:pos + ln] not in tk.VOCAB or \
+                    pos + ln > len(w)
+            rebuilt.append(t)
+            pos += len(t)
+    assert "".join(rebuilt) == w and pos == len(w)
