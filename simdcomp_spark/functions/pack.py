@@ -27,13 +27,17 @@ Scale shape (two shuffles, both keyed and skew-free):
    per-(partition, group) token totals (one tiny row each)
    prefix-summed into base offsets and broadcast back.  No
    single-partition stage over data anywhere.
-2. **One array-moving shuffle** — token arrays move exactly once, keyed
-   by destination chunk: each doc joins its start offset (hash join on
-   the doc key; if the corpus is already hash-partitioned by doc the
-   arrays do not even move here), is sliced IN PLACE into per-chunk
-   pieces (``slice`` on the array column — no token explode), and only
-   then shuffles on the chunk key for reassembly.  Chunk keys are dense
-   integers — uniform by construction, no salting needed.
+2. **Array-moving shuffles, at most two** — each doc joins its start
+   offset with a SHUFFLED HASH join building on the skinny side (the
+   offsets can never be broadcast at corpus scale, and letting AQE
+   guess invites it to broadcast the unestimatable array side — seen
+   collecting the corpus to the driver on the 4B-token soak), is
+   sliced IN PLACE into per-chunk pieces (``slice`` on the array
+   column — no token explode), and then shuffles on the chunk key for
+   reassembly.  A corpus already hash-partitioned by the order key
+   skips the join-side array move, leaving the single chunk-keyed
+   exchange.  Chunk keys are dense integers — uniform by construction,
+   no salting needed.
 
 Reference analog: the d1 block layout chops a sorted stream into
 128-value blocks with per-block inits (reference/src/simdcomp.c,
@@ -142,10 +146,15 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                     (F.col("_base") + F.col("_local")).alias("_start")))
 
     # stage 2: join offsets back (skinny side carries 3 longs), slice
-    # docs into per-chunk pieces in place, reassemble keyed by chunk
+    # docs into per-chunk pieces in place, reassemble keyed by chunk.
+    # shuffle_hash with the SKINNY side as build: AQE cannot size a
+    # mapInArrow/decode input and has been observed electing to
+    # broadcast the ARRAY side of this join (collecting the corpus to
+    # the driver — maxResultSize abort on the 4B-token soak); a
+    # shuffled hash join is the only shape that survives any input size
     docs = (df_tokens.select(grp.alias("_grp"),
                              F.col(order_col).alias("_ord"), "tokens")
-            .join(offs, ["_grp", "_ord"]))
+            .join(offs.hint("shuffle_hash"), ["_grp", "_ord"]))
     first_c = (F.col("_start") / L).cast("long")
     last_c = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")
     pieces = (docs
