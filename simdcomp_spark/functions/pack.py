@@ -67,10 +67,12 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     ``partition_col`` packs every value of that column as an
     independent stream: the output carries the column plus a per-group
     ``chunk_id`` (each group's final chunk may be short).
-    ``order_col`` must be duplicate-free (within a group when
-    ``partition_col`` is set — it defines THE stream order); ties would
-    make the packing nondeterministic, so a duplicated order key raises
-    in-plan.  If the input carries an ``n_tok`` column it is trusted as
+    ``order_col`` may be one column name or a list (composite keys —
+    e.g. ``["doc_id", "seg_id"]`` for segment-split engine tables,
+    ordered lexicographically as a struct) and must be duplicate-free
+    (within a group when ``partition_col`` is set — it defines THE
+    stream order); ties would make the packing nondeterministic, so a
+    duplicated order key raises in-plan.  If the input carries an ``n_tok`` column it is trusted as
     ``size(tokens)`` (engine tables stamp it at encode) so the skinny
     pass never reads the arrays; pass a frame without it if yours is
     not authoritative.
@@ -112,13 +114,23 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
             "the range exchange — re-executions may sample different "
             "range bounds and silently corrupt offsets")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ord_cols = ([order_col] if isinstance(order_col, str)
+                else list(order_col))
+    ord_expr = (F.col(ord_cols[0]) if len(ord_cols) == 1
+                else F.struct(*[F.col(c) for c in ord_cols]))
     # a NULL order key would inflate stage-1 offsets then vanish at the
-    # stage-2 equi-join (and NULL==NULL defeats the lag guard): refuse
+    # stage-2 equi-join (and NULL==NULL defeats the lag guard): refuse.
+    # For composite keys, any NULL member makes the struct equality
+    # three-valued at the join — guard each member.
+    null_any = None
+    for c in ord_cols:
+        cond = F.col(c).isNull()
+        null_any = cond if null_any is None else (null_any | cond)
     ord_guard = F.when(
-        F.col(order_col).isNull(),
+        null_any,
         F.raise_error(F.lit(
-            f"pack_chunks: {order_col} contains NULL — every doc needs "
-            "an order key"))).otherwise(F.col(order_col))
+            f"pack_chunks: {ord_cols} contains NULL — every doc needs "
+            "an order key"))).otherwise(ord_expr)
     skinny = (df_tokens
               .select(grp.alias("_grp"),
                       ord_guard.alias("_ord"), n_tok.alias("_n"))
@@ -153,7 +165,7 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     # the driver — maxResultSize abort on the 4B-token soak); a
     # shuffled hash join is the only shape that survives any input size
     docs = (df_tokens.select(grp.alias("_grp"),
-                             F.col(order_col).alias("_ord"), "tokens")
+                             ord_expr.alias("_ord"), "tokens")
             .join(offs.hint("shuffle_hash"), ["_grp", "_ord"]))
     first_c = (F.col("_start") / L).cast("long")
     last_c = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")

@@ -965,3 +965,26 @@ def test_wordpiece_tokenize(spark):
         want = [i for w in (t or "").split(" ") if w
                 for i in tk.tokenize_word(w)]
         assert got[d] == (want, len(want)), d
+
+
+def test_pack_chunks_composite_order_key(spark):
+    """Segment-split tables pack in (doc_id, seg_id) order via a list
+    order_col; per-doc segments stay adjacent and in order, NULL members
+    raise, duplicate composite keys raise."""
+    from simdcomp_spark.functions import pack
+    import pytest
+    rows = [(2, 0, [4, 5]), (1, 1, [2, 3]), (1, 0, [1]), (2, 1, [6])]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, seg_id int, tokens array<int>")
+    out = sorted(pack.pack_chunks(df, 4, order_col=["doc_id", "seg_id"])
+                 .collect(), key=lambda r: r["chunk_id"])
+    assert [t for r in out for t in r["tokens"]] == [1, 2, 3, 4, 5, 6]
+    dup = spark.createDataFrame([(1, 0, [1]), (1, 0, [2])],
+                                "doc_id long, seg_id int, tokens array<int>")
+    with pytest.raises(Exception, match="duplicate order key"):
+        pack.pack_chunks(dup, 4, order_col=["doc_id", "seg_id"]).collect()
+    withnull = spark.createDataFrame(
+        [(1, None, [1])], "doc_id long, seg_id int, tokens array<int>")
+    with pytest.raises(Exception, match="contains NULL"):
+        pack.pack_chunks(withnull, 4,
+                         order_col=["doc_id", "seg_id"]).collect()
