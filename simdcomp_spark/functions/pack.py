@@ -14,7 +14,8 @@ domain/source as its OWN stream (chunks never mix domains — the usual
 shape when domains are trained with different weights), adding
 domain-parallelism on top of the shapes below.
 
-Scale shape (two shuffles, both keyed and skew-free):
+Scale shape (up to three shuffles — one skinny range exchange plus at
+most two array-moving exchanges — all keyed and skew-free):
 
 1. **Skinny distributed cumsum** — the running token offset needs a
    total order, but only over ``(order, n_tok)`` (≈12 bytes/row): the
@@ -51,7 +52,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pack_chunks(df_tokens: DataFrame, chunk_len: int,
-                order_col: str = "doc_id",
+                order_col: str | list[str] = "doc_id",
                 with_boundaries: bool = False,
                 partition_col: str | None = None) -> DataFrame:
     """Pack ``(doc_id, tokens)`` rows into fixed-``chunk_len`` examples.
@@ -116,6 +117,8 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ord_cols = ([order_col] if isinstance(order_col, str)
                 else list(order_col))
+    if not ord_cols:
+        raise ValueError("order_col must name at least one column")
     ord_expr = (F.col(ord_cols[0]) if len(ord_cols) == 1
                 else F.struct(*[F.col(c) for c in ord_cols]))
     # a NULL order key would inflate stage-1 offsets then vanish at the

@@ -738,6 +738,34 @@ def q_jsonl_ingest(spark, sf_dir):
                     "lang", "source"))
 
 
+
+def _tok_sum():
+    """Content checksum: sum of token ids of an array column."""
+    return F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
+                  " (a, x) -> a + x)").alias("tok_sum")
+
+
+def _tok_wsum():
+    """Order checksum: sum of id * in-array position — any reorder or
+    substitution moves it (shared by every chunk/roundtrip gate)."""
+    return F.expr("aggregate(zip_with(tokens,"
+                  " sequence(0, size(tokens) - 1),"
+                  " (t, i) -> CAST(t AS BIGINT) * i),"
+                  " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum")
+
+
+def _engine_roundtrip(toks):
+    """Cast a (doc_id, tokens, n_tok) frame to the engine schema and run
+    the auto-codec encode -> decode (single segment per doc, so
+    reassemble=False is row-for-row)."""
+    toks = toks.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "tokens", "n_tok",
+                       F.lit("documents").alias("source"))
+    enc = engine.encode(toks, codec="auto", split_threshold=None,
+                        salt=False)
+    return engine.decode(enc, reassemble=False)
+
+
 def q_pack_chunks(spark, sf_dir):
     """Sequence packing end-to-end THROUGH the engine: lineitem token
     arrays are encoded (auto codec), decoded, and packed into
@@ -757,12 +785,8 @@ def q_pack_chunks(spark, sf_dir):
     return packed.select(
         "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
-        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
-               " (a, x) -> a + x)").alias("tok_sum"),
-        F.expr("aggregate(zip_with(tokens,"
-               " sequence(0, size(tokens) - 1),"
-               " (t, i) -> CAST(t AS BIGINT) * i),"
-               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"),
+        _tok_sum(),
+        _tok_wsum(),
         F.size("doc_starts").alias("n_docs_started"),
         F.expr("aggregate(doc_starts, CAST(0 AS BIGINT),"
                " (a, x) -> a + x)").alias("starts_sum"))
@@ -777,22 +801,14 @@ def q_tokenize(spark, sf_dir):
     vocabulary — the full text→tokens→encode→decode chain is pinned
     end-to-end."""
     from .functions import tokenize
-    toks = tokenize.wordpiece_tokenize(_t(spark, sf_dir, "documents"))
-    toks = toks.where(F.col("n_tok") > 0).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "tokens",
-        "n_tok", F.lit("documents").alias("source"))
-    enc = engine.encode(toks, codec="auto", split_threshold=None,
-                        salt=False)
-    dec = engine.decode(enc, reassemble=False)
+    dec = _engine_roundtrip(
+        tokenize.wordpiece_tokenize(_t(spark, sf_dir, "documents"))
+        .where(F.col("n_tok") > 0))
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size("tokens").alias("n_tokens"),
-        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
-               " (a, x) -> a + x)").alias("tok_sum"),
-        F.expr("aggregate(zip_with(tokens,"
-               " sequence(0, size(tokens) - 1),"
-               " (t, i) -> CAST(t AS BIGINT) * i),"
-               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+        _tok_sum(),
+        _tok_wsum())
 
 
 def q_corpus_build(spark, sf_dir):
@@ -807,26 +823,16 @@ def q_corpus_build(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.dedup_keep_first(docs)
     mixed = mix.training_mix(kept, MIX_RATES)
-    toks = (tokenize.wordpiece_tokenize(mixed)
-            .where(F.col("n_tok") > 0)
-            .select(F.col("doc_id").cast("string").alias("doc_id"),
-                    "tokens", "n_tok",
-                    F.lit("documents").alias("source")))
-    enc = engine.encode(toks, codec="auto", split_threshold=None,
-                        salt=False)
-    dec = engine.decode(enc, reassemble=False)
+    dec = _engine_roundtrip(tokenize.wordpiece_tokenize(mixed)
+                            .where(F.col("n_tok") > 0))
     packed = pack.pack_chunks(
         dec.select(F.col("doc_id").cast("long").alias("doc_id"),
                    "tokens"), 512)
     return packed.select(
         "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
-        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
-               " (a, x) -> a + x)").alias("tok_sum"),
-        F.expr("aggregate(zip_with(tokens,"
-               " sequence(0, size(tokens) - 1),"
-               " (t, i) -> CAST(t AS BIGINT) * i),"
-               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+        _tok_sum(),
+        _tok_wsum())
 
 
 def q_pack_by_source(spark, sf_dir):
@@ -846,12 +852,8 @@ def q_pack_by_source(spark, sf_dir):
     return packed.select(
         F.col("grp").cast("long").alias("grp"), "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
-        F.expr("aggregate(tokens, CAST(0 AS BIGINT),"
-               " (a, x) -> a + x)").alias("tok_sum"),
-        F.expr("aggregate(zip_with(tokens,"
-               " sequence(0, size(tokens) - 1),"
-               " (t, i) -> CAST(t AS BIGINT) * i),"
-               " CAST(0 AS BIGINT), (a, x) -> a + x)").alias("tok_wsum"))
+        _tok_sum(),
+        _tok_wsum())
 
 
 def q_pii_scrub(spark, sf_dir):
