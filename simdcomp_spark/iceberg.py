@@ -797,7 +797,9 @@ def _attach_snapshot(table_dir: str, prev_meta: dict, snapshot: dict
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = snapshot["sequence-number"]
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    refs = dict(prev_meta.get("refs", {}))  # tags survive every commit
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    meta["refs"] = refs
     _publish_metadata(_meta_dir(table_dir), meta, version, snap_id)
     return meta
 
@@ -1507,7 +1509,8 @@ def read_table_with_pos(spark: SparkSession, table_dir: str,
 
 def read_table(spark: SparkSession, table_dir: str,
                snapshot_id: int | None = None,
-               between: tuple | None = None) -> DataFrame:
+               between: tuple | None = None,
+               ref: str | None = None) -> DataFrame:
     """Load an Iceberg table's current (or a historic) snapshot as a
     DataFrame.  File pruning happens at the metadata layer — only the
     snapshot's live files are handed to the parquet scan.  ``between =
@@ -1517,7 +1520,12 @@ def read_table(spark: SparkSession, table_dir: str,
     DELETE files in the snapshot are applied — position deletes by
     anti-join on the (file, row-ordinal) coordinates, equality deletes
     by null-safe key anti-join under the sequence-number rule; both
-    broadcast when small."""
+    broadcast when small.  ``ref`` reads the snapshot a named tag (or
+    ``"main"``) points at — mutually exclusive with ``snapshot_id``."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass ref OR snapshot_id, not both")
+        snapshot_id = resolve_ref(table_dir, ref)
     meta, data, dels = _snapshot_entries(table_dir, snapshot_id)
     if between is not None:
         col, lo, hi = between
@@ -2219,6 +2227,68 @@ def rewrite_manifests(table_dir: str,
             "manifests_after": len(new_mlist)}
 
 
+def resolve_ref(table_dir: str, name: str) -> int:
+    """Snapshot id a named ref (tag or branch) points at."""
+    meta = _load_metadata(table_dir)
+    ref = meta.get("refs", {}).get(name)
+    if ref is None:
+        raise ValueError(
+            f"{table_dir}: no ref {name!r} "
+            f"(have {sorted(meta.get('refs', {}))})")
+    return ref["snapshot-id"]
+
+
+def create_tag(table_dir: str, name: str,
+               snapshot_id: int | None = None) -> dict:
+    """Metadata-only commit adding a named TAG ref (Iceberg v2 ``refs``
+    map) pinning ``snapshot_id`` (default: current) — the reproducibility
+    primitive: a training run tags the exact corpus snapshot it consumed
+    ("run-2026-08-18"), later commits never move it,
+    :func:`expire_snapshots` never expires it, and
+    :func:`read_table`\\ ``(ref=...)`` reads exactly it forever (until
+    :func:`remove_tag`)."""
+    if name == "main":
+        raise ValueError("'main' is the reserved branch ref")
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    sid = snapshot_id if snapshot_id is not None \
+        else meta["current-snapshot-id"]
+    if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
+        raise ValueError(f"{table_dir}: snapshot {sid} not in the log")
+    refs = dict(meta.get("refs", {}))
+    if name in refs:
+        raise ValueError(
+            f"{table_dir}: ref {name!r} already exists "
+            f"(-> {refs[name]['snapshot-id']}); tags are immutable — "
+            "remove_tag first to repoint")
+    meta = dict(meta)
+    refs[name] = {"snapshot-id": sid, "type": "tag"}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"tag-{name}")
+    return meta
+
+
+def remove_tag(table_dir: str, name: str) -> dict:
+    """Metadata-only commit dropping a tag ref (the snapshot itself
+    stays in the log until :func:`expire_snapshots` takes it)."""
+    if name == "main":
+        raise ValueError("'main' is the reserved branch ref")
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"{table_dir}: no ref {name!r}")
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"untag-{name}")
+    return meta
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     """Metadata commit that drops all but the last ``keep_last`` snapshots
     from the log (standard Iceberg expire semantics: time travel to the
@@ -2241,7 +2311,14 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return {"expired": 0, "retained": len(snaps)}
-    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    # ref-protected snapshots (tags pin training-run inputs) never expire
+    pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    expired = [s for s in snaps[:-keep_last]
+               if s["snapshot-id"] not in pinned]
+    if not expired:
+        return {"expired": 0, "retained": len(snaps)}
+    gone = {s["snapshot-id"] for s in expired}
+    kept = [s for s in snaps if s["snapshot-id"] not in gone]
     if meta["current-snapshot-id"] not in {s["snapshot-id"] for s in kept}:
         raise ValueError("refusing to expire the current snapshot")
     meta = dict(meta)
@@ -2364,18 +2441,26 @@ def rollback_last_snapshot(table_dir: str) -> dict:
     if not meta["snapshots"]:
         raise ValueError(f"{table_dir}: no snapshot to roll back")
     dropped = meta["snapshots"][-1]
+    for name, r in meta.get("refs", {}).items():
+        if name != "main" and r["snapshot-id"] == dropped["snapshot-id"]:
+            raise ValueError(
+                f"refusing to roll back snapshot "
+                f"{dropped['snapshot-id']}: ref {name!r} pins it "
+                "(remove_tag first if the pin is stale)")
     meta = dict(meta)
     meta["snapshots"] = meta["snapshots"][:-1]
     keep_ids = {s["snapshot-id"] for s in meta["snapshots"]}
     meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
                             if e["snapshot-id"] in keep_ids]
+    refs = {n: r for n, r in meta.get("refs", {}).items()
+            if n != "main"}  # tags point at retained snapshots (guarded)
     if meta["snapshots"]:
         cur = meta["snapshots"][-1]["snapshot-id"]
         meta["current-snapshot-id"] = cur
-        meta["refs"] = {"main": {"snapshot-id": cur, "type": "branch"}}
+        refs["main"] = {"snapshot-id": cur, "type": "branch"}
     else:
         meta["current-snapshot-id"] = -1      # spec: no current snapshot
-        meta["refs"] = {}
+    meta["refs"] = refs
     meta["last-updated-ms"] = time.time_ns() // 1_000_000
     _publish_metadata(_meta_dir(table_dir), meta, version + 1,
                       f"rollback-{dropped['snapshot-id']}")

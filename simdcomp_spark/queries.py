@@ -1264,6 +1264,39 @@ def q_iceberg_incremental(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_tag(spark, sf_dir):
+    """Named tag refs pin training-run inputs: the even-custkey batch is
+    published and tagged 'run-a', the odd batch appended, and
+    expire_snapshots(keep_last=1) run — the gate asserts the tag
+    PROTECTED its snapshot from expiry (expired == 0) and reads the
+    table back through ref='run-a', which must reproduce exactly the
+    first batch however many commits follow.  Oracle: the even-custkey
+    rows spelled out over raw orders."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icetag")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    even = tok.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = tok.where(F.col("doc_id").cast("long") % 2 == 1)
+    iceberg.export_encoded(
+        engine.encode(even, codec="d1", split_threshold=None), table)
+    iceberg.create_tag(table, "run-a")
+    iceberg.append(
+        engine.encode(odd, codec="d1", split_threshold=None), table)
+    report = iceberg.expire_snapshots(table, keep_last=1)
+    if report["expired"] != 0:
+        raise AssertionError(
+            f"tagged snapshot was expired: {report}")
+    back = iceberg.read_table(spark, table, ref="run-a")
+    dec = engine.decode(back, reassemble=False)
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_iceberg_maintenance(spark, sf_dir):
     """The full table-maintenance chain is data-preserving: orders tokens
     published in THREE appends (custkey % 3 buckets), then
@@ -1599,6 +1632,7 @@ QUERIES = {
     "iceberg_pos_delete": q_iceberg_pos_delete,
     "iceberg_eq_delete": q_iceberg_eq_delete,
     "iceberg_incremental": q_iceberg_incremental,
+    "iceberg_tag": q_iceberg_tag,
     "iceberg_maintenance": q_iceberg_maintenance,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
@@ -2036,6 +2070,14 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS INT) AS tok
 FROM orders
 WHERE o_custkey % 2 = 1
+""",
+    "iceberg_tag": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
+WHERE o_custkey % 2 = 0
 """,
     "iceberg_maintenance": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

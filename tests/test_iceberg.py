@@ -919,3 +919,50 @@ def test_maintenance_cycle_reclaims_rewritten_manifests(spark, tmp_path):
     dec = engine.reassemble_segments(engine.decode_files(spark, t))
     assert engine.verify_roundtrip(_docs(spark, 0, 12), dec) == 0
     assert iceberg.read_table(spark, t).count() == dec.count()
+
+
+def test_tags_pin_snapshots_through_commits_and_expiry(spark, unit_df,
+                                                       tmp_path):
+    """Named tag refs (v2 refs map): a tag pins its snapshot across
+    later appends, reads by ref forever, survives expire_snapshots
+    (which drops untagged old snapshots), and blocks
+    rollback_last_snapshot; removal re-enables expiry.  Tags are
+    immutable; 'main' is reserved; unknown refs raise."""
+    table = str(tmp_path / "tagged")
+    enc1 = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                         codec="bitpack", split_threshold=None)
+    enc2 = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                         codec="d1", split_threshold=None)
+    meta1 = iceberg.export_encoded(enc1, table)
+    snap1 = meta1["current-snapshot-id"]
+    n1 = iceberg.read_table(spark, table).count()
+    iceberg.create_tag(table, "run-a")           # pins snap1 (current)
+    meta2 = iceberg.append(enc2, table)          # tag must survive
+    assert iceberg.resolve_ref(table, "run-a") == snap1
+    assert iceberg.resolve_ref(table, "main") == \
+        meta2["current-snapshot-id"]
+    assert iceberg.read_table(spark, table, ref="run-a").count() == n1
+    # expiry keeps the tagged snapshot, reports nothing expired
+    assert iceberg.expire_snapshots(table, keep_last=1)["expired"] == 0
+    assert iceberg.read_table(spark, table, ref="run-a").count() == n1
+    # a tagged HEAD blocks rollback
+    iceberg.append(enc1, table)
+    iceberg.create_tag(table, "run-b")
+    with pytest.raises(ValueError, match="run-b"):
+        iceberg.rollback_last_snapshot(table)
+    iceberg.remove_tag(table, "run-b")
+    iceberg.rollback_last_snapshot(table)
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg.create_tag(table, "run-a")
+    with pytest.raises(ValueError, match="reserved"):
+        iceberg.create_tag(table, "main")
+    with pytest.raises(ValueError, match="no ref"):
+        iceberg.read_table(spark, table, ref="nope")
+    with pytest.raises(ValueError, match="not in the log"):
+        iceberg.create_tag(table, "ghost", snapshot_id=12345)
+    # untag -> the old snapshot becomes expirable
+    iceberg.remove_tag(table, "run-a")
+    assert iceberg.expire_snapshots(table, keep_last=1)["expired"] >= 1
+    with pytest.raises(ValueError, match="no ref"):
+        iceberg.resolve_ref(table, "run-a")
