@@ -1707,6 +1707,19 @@ def incremental_files(table_dir: str, from_snapshot_id: int,
         raise ValueError(
             f"{table_dir}: to_snapshot {to_id} precedes from_snapshot "
             f"{from_snapshot_id}")
+    # tag-pinned expiry can leave GAPS in the retained log (a pinned old
+    # snapshot survives while untagged ones between it and the head are
+    # expired); sequence numbers are consecutive per commit, so any jump
+    # inside the range means expired snapshots whose files this walk
+    # would silently skip — refuse like a stale cursor
+    span = meta["snapshots"][i0:i1 + 1]
+    for a, b in zip(span, span[1:]):
+        if b.get("sequence-number") != a.get("sequence-number", 0) + 1:
+            raise ValueError(
+                f"{table_dir}: snapshots between "
+                f"{a['snapshot-id']} and {b['snapshot-id']} were "
+                "expired (tag-gapped history) — the incremental range "
+                "is incomplete; re-seed the cursor from a full read")
     rng = meta["snapshots"][i0 + 1:i1 + 1]
     # a manifest rewrite (operation=replace + rewrite-manifests marker)
     # adds no files and preserves every entry's original snapshot id —
@@ -2227,6 +2240,16 @@ def rewrite_manifests(table_dir: str,
             "manifests_after": len(new_mlist)}
 
 
+def _check_ref_name(name: str) -> None:
+    if name == "main":
+        raise ValueError("'main' is the reserved branch ref")
+    if not name or not all(c.isalnum() or c in "._-" for c in name):
+        # the name lands in commit-artifact filenames; path separators
+        # or emptiness would fail deep in _publish_metadata instead
+        raise ValueError(
+            f"invalid ref name {name!r}: need [A-Za-z0-9._-]+")
+
+
 def resolve_ref(table_dir: str, name: str) -> int:
     """Snapshot id a named ref (tag or branch) points at."""
     meta = _load_metadata(table_dir)
@@ -2247,8 +2270,7 @@ def create_tag(table_dir: str, name: str,
     :func:`expire_snapshots` never expires it, and
     :func:`read_table`\\ ``(ref=...)`` reads exactly it forever (until
     :func:`remove_tag`)."""
-    if name == "main":
-        raise ValueError("'main' is the reserved branch ref")
+    _check_ref_name(name)
     meta = _load_metadata(table_dir)
     version = meta.pop("__loaded_version")
     sid = snapshot_id if snapshot_id is not None \
@@ -2273,8 +2295,7 @@ def create_tag(table_dir: str, name: str,
 def remove_tag(table_dir: str, name: str) -> dict:
     """Metadata-only commit dropping a tag ref (the snapshot itself
     stays in the log until :func:`expire_snapshots` takes it)."""
-    if name == "main":
-        raise ValueError("'main' is the reserved branch ref")
+    _check_ref_name(name)
     meta = _load_metadata(table_dir)
     version = meta.pop("__loaded_version")
     refs = dict(meta.get("refs", {}))
@@ -2455,7 +2476,16 @@ def rollback_last_snapshot(table_dir: str) -> dict:
     refs = {n: r for n, r in meta.get("refs", {}).items()
             if n != "main"}  # tags point at retained snapshots (guarded)
     if meta["snapshots"]:
-        cur = meta["snapshots"][-1]["snapshot-id"]
+        prev = meta["snapshots"][-1]
+        if prev.get("sequence-number") != \
+                dropped.get("sequence-number", 0) - 1:
+            raise ValueError(
+                f"refusing to roll back snapshot "
+                f"{dropped['snapshot-id']}: its parent was expired "
+                "(tag-gapped history) — restoring the older retained "
+                f"snapshot {prev['snapshot-id']} would silently drop "
+                "the expired commits' rows from the current view")
+        cur = prev["snapshot-id"]
         meta["current-snapshot-id"] = cur
         refs["main"] = {"snapshot-id": cur, "type": "branch"}
     else:

@@ -966,3 +966,37 @@ def test_tags_pin_snapshots_through_commits_and_expiry(spark, unit_df,
     assert iceberg.expire_snapshots(table, keep_last=1)["expired"] >= 1
     with pytest.raises(ValueError, match="no ref"):
         iceberg.resolve_ref(table, "run-a")
+
+
+def test_tag_gapped_history_guards(spark, unit_df, tmp_path):
+    """Tag-pinned expiry leaves GAPS in the snapshot log; the consumers
+    that assumed a contiguous suffix must refuse rather than silently
+    skip the expired middle: incremental_files raises on a range
+    crossing a gap, rollback refuses when the head's parent was
+    expired, and ref names that can't ride in commit filenames raise
+    up front."""
+    table = str(tmp_path / "gapped")
+    halves = [unit_df.where(F.col("n_tok") <= 1000),
+              unit_df.where(F.col("n_tok") > 1000)]
+    enc = [engine.encode(h, codec="bitpack", split_threshold=None)
+           for h in halves]
+    meta1 = iceberg.export_encoded(enc[0], table)   # s1
+    s1 = meta1["current-snapshot-id"]
+    iceberg.create_tag(table, "pin")                # pins s1
+    iceberg.append(enc[1], table)                   # s2
+    iceberg.append(enc[0], table)                   # s3 (head)
+    # expire: s2 goes (untagged), s1 stays (pinned), s3 stays (current)
+    assert iceberg.expire_snapshots(table, keep_last=1)["expired"] == 1
+    ids = [s["snapshot-id"] for s in iceberg.snapshots(table)]
+    assert ids[0] == s1 and len(ids) == 2
+    # incremental read across the gap must refuse, not skip s2's files
+    with pytest.raises(ValueError, match="expired"):
+        iceberg.incremental_files(table, s1)
+    # rolling back s3 would restore s1 as current, silently dropping
+    # s2's rows — refused
+    with pytest.raises(ValueError, match="parent was expired"):
+        iceberg.rollback_last_snapshot(table)
+    # ref-name hygiene: path separators / empty names raise up front
+    for bad in ("run/2026", "", "a b"):
+        with pytest.raises(ValueError, match="invalid ref name"):
+            iceberg.create_tag(table, bad)
