@@ -571,7 +571,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
                     prev_meta: dict | None,
                     operation: str = "append",
                     partition_by: str | None = None,
-                    extra_summary: dict[str, str] | None = None) -> dict:
+                    extra_summary: dict[str, str] | None = None,
+                    branch: str = "main") -> dict:
     """Write data files + manifest + manifest list, then COMMIT by
     atomically publishing the new metadata json (see module docstring for
     the protocol).  ``operation`` is "append" (manifest list carries
@@ -729,7 +730,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
         cur_meta = prev_meta
         for attempt in range(retries + 1):
             try:
-                return _attach_snapshot(table_dir, cur_meta, snapshot)
+                return _attach_snapshot(table_dir, cur_meta, snapshot,
+                                        branch=branch)
             except RuntimeError as e:
                 if "commit conflict" not in str(e) or attempt == retries:
                     raise
@@ -741,7 +743,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
             snapshot = _mk_snapshot(
                 cur_meta, cur_meta.get("last-sequence-number", 0) + 1)
     if prev_meta:
-        return _attach_snapshot(table_dir, prev_meta, snapshot)
+        return _attach_snapshot(table_dir, prev_meta, snapshot,
+                                branch=branch)
     else:
         # last-column-id is the HIGHEST assigned field id including list
         # element-ids (v2 spec) — excluding them invites id collisions
@@ -778,27 +781,60 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     return meta
 
 
-def _attach_snapshot(table_dir: str, prev_meta: dict, snapshot: dict
-                     ) -> dict:
+def _attach_snapshot(table_dir: str, prev_meta: dict, snapshot: dict,
+                     branch: str = "main") -> dict:
     """Shared commit tail for every snapshot-producing operation on an
     EXISTING table (append/overwrite/delete/replace): attach ``snapshot``
     (whose manifest-list avro is already on disk) to ``prev_meta``,
-    advance the current pointer / refs / sequence counters, and publish
-    the next metadata version atomically (:func:`_publish_metadata`)."""
+    advance the target ref / sequence counters, and publish the next
+    metadata version atomically (:func:`_publish_metadata`).
+
+    ``branch`` targets a staging ref (write-audit-publish): the
+    snapshot joins the log and moves ONLY that ref — ``main`` and
+    ``current-snapshot-id`` stay put, so readers are unaffected until
+    :func:`fast_forward` publishes.  While a staging branch is ahead,
+    main-targeted commits refuse (the linear log cannot represent a
+    true divergence — publish or :func:`drop_branch` first)."""
     snap_id = snapshot["snapshot-id"]
+    refs = dict(prev_meta.get("refs", {}))  # tags survive every commit
+    staged = [n for n, r in refs.items()
+              if r.get("type") == "branch" and n != "main"]
     meta = dict(prev_meta)
     meta.pop("__loaded_version", None)
+    if branch == "main":
+        if staged:
+            raise ValueError(
+                f"{table_dir}: staging branch(es) {staged} are ahead of "
+                "main — fast_forward (publish) or drop_branch first; a "
+                "linear snapshot log cannot hold a divergent main commit")
+        parent = prev_meta.get("current-snapshot-id")
+    else:
+        ref = refs.get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(
+                f"{table_dir}: no branch ref {branch!r} (create_branch "
+                "first)")
+        parent = ref["snapshot-id"]
+        if prev_meta["snapshots"] and \
+                prev_meta["snapshots"][-1]["snapshot-id"] != parent:
+            raise ValueError(
+                f"{table_dir}: branch {branch!r} head is not the log "
+                "tail — concurrent commit? reload and retry")
+    if parent is not None and parent != -1:
+        snapshot = {**snapshot, "parent-snapshot-id": parent}
     meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
     meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
         {"snapshot-id": snap_id,
          "timestamp-ms": snapshot["timestamp-ms"]}]
     version = prev_meta.get("__loaded_version",
                             _current_version(table_dir)) + 1
-    meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = snapshot["sequence-number"]
     meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    refs = dict(prev_meta.get("refs", {}))  # tags survive every commit
-    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    if branch == "main":
+        meta["current-snapshot-id"] = snap_id
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    else:
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
     meta["refs"] = refs
     _publish_metadata(_meta_dir(table_dir), meta, version, snap_id)
     return meta
@@ -855,17 +891,19 @@ def export_encoded(df: DataFrame, table_dir: str,
 
 
 def append(df: DataFrame, table_dir: str,
-           extra_summary: dict[str, str] | None = None) -> dict:
+           extra_summary: dict[str, str] | None = None,
+           branch: str = "main") -> dict:
     """Commit an append snapshot to an existing table (schema must match).
     Readers of the previous snapshot are unaffected (snapshot isolation);
     ``read_table(snapshot_id=...)`` time-travels to any snapshot.
     ``extra_summary`` adds application keys to the snapshot summary (the
     spec's summary map is string->string; e.g. the resumable encoder's
-    shard lineage)."""
+    shard lineage).  ``branch`` stages the append on a write-audit-
+    publish ref instead of main (see :func:`create_branch`)."""
     prev = _load_metadata(table_dir)
     _check_same_schema(prev, df, "append")
     return _write_snapshot(df.sparkSession, table_dir, df, prev,
-                           extra_summary=extra_summary)
+                           extra_summary=extra_summary, branch=branch)
 
 
 def add_column(table_dir: str, name: str, ftype: str) -> dict:
@@ -1709,12 +1747,13 @@ def incremental_files(table_dir: str, from_snapshot_id: int,
             f"{from_snapshot_id}")
     # tag-pinned expiry can leave GAPS in the retained log (a pinned old
     # snapshot survives while untagged ones between it and the head are
-    # expired); sequence numbers are consecutive per commit, so any jump
-    # inside the range means expired snapshots whose files this walk
-    # would silently skip — refuse like a stale cursor
+    # expired); every adjacent pair in the range must be parent-linked
+    # (spec parent-snapshot-id; consecutive-sequence fallback for
+    # legacy snapshots), else this walk would silently skip the expired
+    # snapshots' files — refuse like a stale cursor
     span = meta["snapshots"][i0:i1 + 1]
     for a, b in zip(span, span[1:]):
-        if b.get("sequence-number") != a.get("sequence-number", 0) + 1:
+        if not _is_parent(a, b):
             raise ValueError(
                 f"{table_dir}: snapshots between "
                 f"{a['snapshot-id']} and {b['snapshot-id']} were "
@@ -2240,6 +2279,17 @@ def rewrite_manifests(table_dir: str,
             "manifests_after": len(new_mlist)}
 
 
+def _is_parent(a: dict, b: dict) -> bool:
+    """Is snapshot ``a`` the direct parent of ``b``?  By the spec's
+    parent-snapshot-id when stamped; consecutive sequence numbers for
+    legacy snapshots (correct pre-branch/rollback, when the log was
+    always a contiguous chain)."""
+    pid = b.get("parent-snapshot-id")
+    if pid is not None:
+        return pid == a["snapshot-id"]
+    return b.get("sequence-number") == a.get("sequence-number", 0) + 1
+
+
 def _check_ref_name(name: str) -> None:
     if name == "main":
         raise ValueError("'main' is the reserved branch ref")
@@ -2307,6 +2357,110 @@ def remove_tag(table_dir: str, name: str) -> dict:
     meta["last-updated-ms"] = time.time_ns() // 1_000_000
     _publish_metadata(_meta_dir(table_dir), meta, version + 1,
                       f"untag-{name}")
+    return meta
+
+
+def create_branch(table_dir: str, name: str) -> dict:
+    """Metadata-only commit opening a write-audit-publish STAGING branch
+    at the current snapshot: ``append(..., branch=name)`` then commits
+    to the branch (readers of main unaffected), auditors read it with
+    ``read_table(ref=name)``, and :func:`fast_forward` publishes it to
+    main (or :func:`drop_branch` discards it).  One staging branch at a
+    time — the linear snapshot log cannot represent true divergence, so
+    main-targeted commits refuse while a branch exists."""
+    _check_ref_name(name)
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    refs = dict(meta.get("refs", {}))
+    if name in refs:
+        raise ValueError(f"{table_dir}: ref {name!r} already exists")
+    existing = [n for n, r in refs.items()
+                if r.get("type") == "branch" and n != "main"]
+    if existing:
+        raise ValueError(
+            f"{table_dir}: staging branch {existing[0]!r} already open "
+            "— one at a time (linear log)")
+    if meta["current-snapshot-id"] in (None, -1):
+        raise ValueError(f"{table_dir}: empty table has no snapshot "
+                         "to branch from")
+    meta = dict(meta)
+    refs[name] = {"snapshot-id": meta["current-snapshot-id"],
+                  "type": "branch"}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"branch-{name}")
+    return meta
+
+
+def fast_forward(table_dir: str, branch: str) -> dict:
+    """PUBLISH a staging branch: metadata-only commit pointing main (and
+    the current snapshot) at the branch head and dropping the branch
+    ref — the audited snapshots become main history atomically; readers
+    switch from pre-branch main to the full staged state in one
+    metadata swap."""
+    _check_ref_name(branch)
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    refs = dict(meta.get("refs", {}))
+    ref = refs.get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"{table_dir}: no branch ref {branch!r}")
+    head = ref["snapshot-id"]
+    if not meta["snapshots"] or \
+            meta["snapshots"][-1]["snapshot-id"] != head:
+        raise ValueError(
+            f"{table_dir}: branch {branch!r} head is not the log tail "
+            "— cannot fast-forward")
+    meta = dict(meta)
+    del refs[branch]
+    refs["main"] = {"snapshot-id": head, "type": "branch"}
+    meta["refs"] = refs
+    meta["current-snapshot-id"] = head
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"publish-{branch}")
+    return meta
+
+
+def drop_branch(table_dir: str, name: str) -> dict:
+    """DISCARD a staging branch: metadata-only commit removing the
+    branch ref AND its unpublished snapshots from the log (so the log
+    stays exactly main's history — abandoned snapshots lingering after
+    main would be silently swept into later incremental ranges).  The
+    dropped snapshots' files become orphans (remove_orphan_files
+    reclaims them); a tag pinning one of them blocks the drop."""
+    _check_ref_name(name)
+    meta = _load_metadata(table_dir)
+    version = meta.pop("__loaded_version")
+    refs = dict(meta.get("refs", {}))
+    ref = refs.get(name)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"{table_dir}: no branch ref {name!r}")
+    cur = meta["current-snapshot-id"]
+    keep, dropping = [], []
+    past_main = False
+    for s in meta["snapshots"]:
+        (dropping if past_main else keep).append(s)
+        if s["snapshot-id"] == cur:
+            past_main = True
+    for s in dropping:
+        pins = [n for n, r in refs.items()
+                if n != name and r["snapshot-id"] == s["snapshot-id"]]
+        if pins:
+            raise ValueError(
+                f"{table_dir}: ref(s) {pins} pin staged snapshot "
+                f"{s['snapshot-id']} — remove them before drop_branch")
+    meta = dict(meta)
+    del refs[name]
+    meta["refs"] = refs
+    meta["snapshots"] = keep
+    keep_ids = {s["snapshot-id"] for s in keep}
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] in keep_ids]
+    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    _publish_metadata(_meta_dir(table_dir), meta, version + 1,
+                      f"dropbranch-{name}")
     return meta
 
 
@@ -2477,8 +2631,7 @@ def rollback_last_snapshot(table_dir: str) -> dict:
             if n != "main"}  # tags point at retained snapshots (guarded)
     if meta["snapshots"]:
         prev = meta["snapshots"][-1]
-        if prev.get("sequence-number") != \
-                dropped.get("sequence-number", 0) - 1:
+        if not _is_parent(prev, dropped):
             raise ValueError(
                 f"refusing to roll back snapshot "
                 f"{dropped['snapshot-id']}: its parent was expired "

@@ -1297,6 +1297,38 @@ def q_iceberg_tag(spark, sf_dir):
                      F.col("tok").cast("int").alias("tok"))
 
 
+def q_iceberg_wap(spark, sf_dir):
+    """Write-audit-publish: the odd-custkey batch is STAGED on a branch
+    (the gate asserts main still serves only the even batch while the
+    audit ref already sees both), then fast_forward publishes it in one
+    metadata swap and the fused decode of main must reproduce the full
+    table.  Oracle: all orders rows."""
+    import os
+    from . import iceberg
+    base = _stream_tmp(sf_dir, "icewap")
+    table = os.path.join(base, "table")
+    tok = tokens_table(spark, sf_dir, "orders", "o_custkey",
+                       "o_orderkey", "o_orderkey", "orders")
+    even = tok.where(F.col("doc_id").cast("long") % 2 == 0)
+    odd = tok.where(F.col("doc_id").cast("long") % 2 == 1)
+    iceberg.export_encoded(
+        engine.encode(even, codec="d1", split_threshold=None), table)
+    n_main = iceberg.read_table(spark, table).count()
+    iceberg.create_branch(table, "audit")
+    iceberg.append(engine.encode(odd, codec="d1", split_threshold=None),
+                   table, branch="audit")
+    if iceberg.read_table(spark, table).count() != n_main:
+        raise AssertionError("staged append leaked into main")
+    if iceberg.read_table(spark, table, ref="audit").count() <= n_main:
+        raise AssertionError("audit ref does not see the staged batch")
+    iceberg.fast_forward(table, "audit")
+    dec = engine.reassemble_segments(engine.decode_files(spark, table))
+    ex = dec.select(F.col("doc_id").cast("long").alias("o_custkey"),
+                    F.posexplode("tokens").alias("pos", "tok"))
+    return ex.select("o_custkey", F.col("pos").cast("int").alias("pos"),
+                     F.col("tok").cast("int").alias("tok"))
+
+
 def q_iceberg_maintenance(spark, sf_dir):
     """The full table-maintenance chain is data-preserving: orders tokens
     published in THREE appends (custkey % 3 buckets), then
@@ -1633,6 +1665,7 @@ QUERIES = {
     "iceberg_eq_delete": q_iceberg_eq_delete,
     "iceberg_incremental": q_iceberg_incremental,
     "iceberg_tag": q_iceberg_tag,
+    "iceberg_wap": q_iceberg_wap,
     "iceberg_maintenance": q_iceberg_maintenance,
     "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
@@ -2078,6 +2111,13 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS INT) AS tok
 FROM orders
 WHERE o_custkey % 2 = 0
+""",
+    "iceberg_wap": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey, o_orderkey) - 1 AS INT) AS pos,
+       CAST(o_orderkey AS INT) AS tok
+FROM orders
 """,
     "iceberg_maintenance": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -1000,3 +1000,57 @@ def test_tag_gapped_history_guards(spark, unit_df, tmp_path):
     for bad in ("run/2026", "", "a b"):
         with pytest.raises(ValueError, match="invalid ref name"):
             iceberg.create_tag(table, bad)
+
+
+def test_write_audit_publish_branch(spark, unit_df, tmp_path):
+    """WAP lifecycle: stage appends on a branch (main readers see
+    nothing), audit by ref, fast_forward publishes atomically; main
+    commits refuse while a branch is open; drop_branch discards the
+    staged snapshots so later incremental ranges can't sweep them in;
+    one staging branch at a time."""
+    table = str(tmp_path / "wap")
+    lo = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                       codec="bitpack", split_threshold=None)
+    hi = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                       codec="d1", split_threshold=None)
+    meta1 = iceberg.export_encoded(lo, table)
+    s1, n1 = meta1["current-snapshot-id"], lo.count()
+    iceberg.create_branch(table, "audit")
+    iceberg.append(hi, table, branch="audit")       # staged, not live
+    assert iceberg.read_table(spark, table).count() == n1
+    assert iceberg.read_table(spark, table, ref="audit").count() == \
+        n1 + hi.count()
+    # main is frozen while the branch is open
+    with pytest.raises(ValueError, match="staging branch"):
+        iceberg.append(lo, table)
+    with pytest.raises(ValueError, match="one at a time"):
+        iceberg.create_branch(table, "audit2")
+    # publish: one metadata swap makes the staged state current
+    iceberg.fast_forward(table, "audit")
+    assert iceberg.read_table(spark, table).count() == n1 + hi.count()
+    assert iceberg.resolve_ref(table, "main") != s1
+    with pytest.raises(ValueError, match="no ref"):
+        iceberg.resolve_ref(table, "audit")
+    # staged history is parent-linked: incremental from s1 sees the
+    # published batch (no false gap)
+    assert len(iceberg.incremental_files(table, s1)) > 0
+    # discard path: staged snapshots leave the log entirely
+    iceberg.create_branch(table, "audit")
+    iceberg.append(lo, table, branch="audit")
+    staged_head = iceberg.resolve_ref(table, "audit")
+    iceberg.drop_branch(table, "audit")
+    assert staged_head not in {s["snapshot-id"]
+                               for s in iceberg.snapshots(table)}
+    # main commits work again, and the incremental chain stays sound
+    cursor = iceberg.resolve_ref(table, "main")
+    iceberg.append(lo, table)
+    assert len(iceberg.incremental_files(table, cursor)) > 0
+    # a tag on a staged snapshot blocks the drop
+    iceberg.create_branch(table, "audit")
+    iceberg.append(hi, table, branch="audit")
+    iceberg.create_tag(table, "keepme",
+                       snapshot_id=iceberg.resolve_ref(table, "audit"))
+    with pytest.raises(ValueError, match="keepme"):
+        iceberg.drop_branch(table, "audit")
+    iceberg.remove_tag(table, "keepme")
+    iceberg.drop_branch(table, "audit")
