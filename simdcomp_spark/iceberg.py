@@ -704,7 +704,17 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
         alone, so rewriting it is safe)."""
         prev_manifests = []
         if base_meta and operation == "append":
-            prev_manifests = _prev_manifest_records(base_meta)
+            base_sid = None
+            if branch != "main":
+                ref = base_meta.get("refs", {}).get(branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise ValueError(
+                        f"{table_dir}: no branch ref {branch!r} "
+                        "(create_branch first)")
+                # carry forward the BRANCH head's manifests — main's
+                # would silently drop every earlier staged batch
+                base_sid = ref["snapshot-id"]
+            prev_manifests = _prev_manifest_records(base_meta, base_sid)
         mlist = prev_manifests + [_mlist_record(
             manifest_path, 0, 0, seq_, seq_, snap_id,
             len(stats), added_rows)]
@@ -823,9 +833,15 @@ def _attach_snapshot(table_dir: str, prev_meta: dict, snapshot: dict,
     if parent is not None and parent != -1:
         snapshot = {**snapshot, "parent-snapshot-id": parent}
     meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
-    meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id,
-         "timestamp-ms": snapshot["timestamp-ms"]}]
+    if branch == "main":
+        # spec: snapshot-log records changes to the CURRENT snapshot —
+        # staged branch commits don't change it (fast_forward logs the
+        # publish); a spec-conformant external reader doing
+        # timestamp-based time travel must never resolve to unaudited
+        # staged state
+        meta["snapshot-log"] = prev_meta.get("snapshot-log", []) + [
+            {"snapshot-id": snap_id,
+             "timestamp-ms": snapshot["timestamp-ms"]}]
     version = prev_meta.get("__loaded_version",
                             _current_version(table_dir)) + 1
     meta["last-sequence-number"] = snapshot["sequence-number"]
@@ -1824,11 +1840,17 @@ def _mlist_record(manifest_path: str, spec_id: int, content: int,
             "deleted_rows_count": 0}
 
 
-def _prev_manifest_records(prev_meta: dict) -> list[dict]:
-    """The current snapshot's manifest-list records (data AND delete
-    manifests), for carry-forward commits."""
-    cur = [s for s in prev_meta["snapshots"]
-           if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
+def _prev_manifest_records(prev_meta: dict,
+                           base_snapshot_id: int | None = None
+                           ) -> list[dict]:
+    """A snapshot's manifest-list records (data AND delete manifests),
+    for carry-forward commits.  Default base = the current snapshot;
+    branch-targeted appends pass the BRANCH head — carrying forward
+    main's manifests instead would silently drop every earlier staged
+    batch from the published table."""
+    sid = (base_snapshot_id if base_snapshot_id is not None
+           else prev_meta["current-snapshot-id"])
+    cur = [s for s in prev_meta["snapshots"] if s["snapshot-id"] == sid]
     if not cur:
         return []
     _, records = _avro_read(cur[0]["manifest-list"])
@@ -2351,6 +2373,14 @@ def remove_tag(table_dir: str, name: str) -> dict:
     refs = dict(meta.get("refs", {}))
     if name not in refs:
         raise ValueError(f"{table_dir}: no ref {name!r}")
+    if refs[name].get("type") == "branch":
+        # deleting just the ref would orphan the staged snapshots IN the
+        # log (time travel would expose unpublished data, and the
+        # main-commit freeze would silently lift)
+        raise ValueError(
+            f"{table_dir}: {name!r} is a staging BRANCH — use "
+            "drop_branch (removes its staged snapshots too) or "
+            "fast_forward (publishes them)")
     del refs[name]
     meta = dict(meta)
     meta["refs"] = refs
@@ -2417,7 +2447,12 @@ def fast_forward(table_dir: str, branch: str) -> dict:
     refs["main"] = {"snapshot-id": head, "type": "branch"}
     meta["refs"] = refs
     meta["current-snapshot-id"] = head
-    meta["last-updated-ms"] = time.time_ns() // 1_000_000
+    now = time.time_ns() // 1_000_000
+    # the publish is when CURRENT changes — log it now (staged commits
+    # deliberately skipped snapshot-log; see _attach_snapshot)
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": head, "timestamp-ms": now}]
+    meta["last-updated-ms"] = now
     _publish_metadata(_meta_dir(table_dir), meta, version + 1,
                       f"publish-{branch}")
     return meta
@@ -2486,9 +2521,17 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return {"expired": 0, "retained": len(snaps)}
-    # ref-protected snapshots (tags pin training-run inputs) never expire
+    # ref-protected snapshots (tags pin training-run inputs) never
+    # expire, and neither does the STAGED region of an open branch (the
+    # snapshots after current): expiring a staged intermediate would
+    # both gap the chain fast_forward publishes and fold a
+    # never-published batch's resume lineage into properties as done
     pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
-    expired = [s for s in snaps[:-keep_last]
+    cur_idx = next((i for i, s in enumerate(snaps)
+                    if s["snapshot-id"] == meta["current-snapshot-id"]),
+                   len(snaps) - 1)
+    main_hist = snaps[:cur_idx + 1]
+    expired = [s for s in main_hist[:-keep_last]
                if s["snapshot-id"] not in pinned]
     if not expired:
         return {"expired": 0, "retained": len(snaps)}

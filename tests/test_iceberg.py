@@ -1054,3 +1054,37 @@ def test_write_audit_publish_branch(spark, unit_df, tmp_path):
         iceberg.drop_branch(table, "audit")
     iceberg.remove_tag(table, "keepme")
     iceberg.drop_branch(table, "audit")
+
+
+def test_wap_multi_append_staging(spark, unit_df, tmp_path):
+    """Accumulating MULTIPLE audited batches on one branch: every staged
+    batch survives to publish (reproduced data loss: carry-forward from
+    main's head instead of the branch head dropped all but the last
+    staged batch); expire during staging touches nothing of the staged
+    chain; remove_tag refuses to delete a branch ref."""
+    table = str(tmp_path / "wapmulti")
+    lo = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                       codec="bitpack", split_threshold=None)
+    hi = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                       codec="d1", split_threshold=None)
+    meta1 = iceberg.export_encoded(lo, table)
+    s1 = meta1["current-snapshot-id"]
+    n_lo, n_hi = lo.count(), hi.count()
+    iceberg.create_branch(table, "audit")
+    iceberg.append(hi, table, branch="audit")   # staged batch A
+    iceberg.append(lo, table, branch="audit")   # staged batch B
+    # expire mid-staging: main history is just s1 -> nothing to expire,
+    # and the staged chain must be untouched
+    assert iceberg.expire_snapshots(table, keep_last=1)["expired"] == 0
+    with pytest.raises(ValueError, match="drop_branch"):
+        iceberg.remove_tag(table, "audit")
+    assert iceberg.read_table(spark, table, ref="audit").count() == \
+        2 * n_lo + n_hi
+    iceberg.fast_forward(table, "audit")
+    # EVERY staged batch present after publish
+    assert iceberg.read_table(spark, table).count() == 2 * n_lo + n_hi
+    # the published chain is parent-linked from the pre-branch cursor
+    assert len(iceberg.incremental_files(table, s1)) > 0
+    # fused decode agrees (manifest list carries all staged manifests)
+    n_fused = engine.decode_files(spark, table).count()
+    assert n_fused == 2 * n_lo + n_hi
