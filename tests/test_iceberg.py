@@ -1088,3 +1088,25 @@ def test_wap_multi_append_staging(spark, unit_df, tmp_path):
     # fused decode agrees (manifest list carries all staged manifests)
     n_fused = engine.decode_files(spark, table).count()
     assert n_fused == 2 * n_lo + n_hi
+
+
+def test_wap_fused_audit_read(spark, unit_df, tmp_path):
+    """The audit step at scale uses the FUSED reader on the staged
+    snapshot (resolve_ref + decode_files(snapshot_id=)): it must see the
+    staged batches while the fused read of MAIN still serves only the
+    published state."""
+    table = str(tmp_path / "wapfused")
+    lo = engine.encode(unit_df.where(F.col("n_tok") <= 1000),
+                       codec="bitpack", split_threshold=None)
+    hi = engine.encode(unit_df.where(F.col("n_tok") > 1000),
+                       codec="d1", split_threshold=None)
+    iceberg.export_encoded(lo, table)
+    iceberg.create_branch(table, "audit")
+    iceberg.append(hi, table, branch="audit")
+    staged = iceberg.resolve_ref(table, "audit")
+    n_main = engine.decode_files(spark, table).count()
+    n_staged = engine.decode_files(spark, table,
+                                   snapshot_id=staged).count()
+    assert n_main == lo.count()
+    assert n_staged == lo.count() + hi.count()
+    iceberg.drop_branch(table, "audit")
