@@ -251,3 +251,65 @@ def line_dedup(df: DataFrame, col: str = "text", max_df: int = 1,
             .agg(F.concat_ws(sep, F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s.line)).alias(col)))
+
+
+def source_overlap(df: DataFrame, col: str = "text", k: int = 3,
+                   source_col: str = "source") -> DataFrame:
+    """Corpus analytics for mix design: EXACT word-k-gram shingle
+    overlap between SOURCES — "how much of source A's content also
+    appears in source B" (near-duplicate feeds, mirrored crawls,
+    re-scraped dumps).  Returns ``(src_a, src_b, inter, n_a, n_b)``
+    with integer counts (union = n_a + n_b - inter); source pairs
+    sharing nothing are absent.
+
+    Scale shape: the per-SOURCE distinct projection comes first (one
+    map-side-combinable shuffle keyed by (source, shingle)); after it a
+    shingle occurs at most once per source, so the shingle-keyed
+    self-join fans out at most C(n_sources, 2) rows per shingle —
+    bounded by source cardinality, never corpus size, which is why this
+    needs no ``max_df`` cap (unlike the doc-level
+    :func:`ngram_jaccard_pairs`).  For corpora where even the distinct
+    shingle set is too large to join, :func:`source_overlap_sketch`
+    estimates the same numbers from a fixed-size signature."""
+    sh = (df.select(F.col(source_col).alias("src"),
+                    F.explode(_shingles(col, k)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("src").agg(F.count("*").alias("n"))
+    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
+             .where(F.col("a.src") < F.col("b.src"))
+             .groupBy(F.col("a.src").alias("src_a"),
+                      F.col("b.src").alias("src_b"))
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(na), "src_a")
+            .join(F.broadcast(nb), "src_b")
+            .select("src_a", "src_b", "inter", "n_a", "n_b"))
+
+
+def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
+                          source_col: str = "source",
+                          num_hashes: int = 128) -> DataFrame:
+    """MinHash estimate of :func:`source_overlap`'s Jaccard at any
+    scale: per source, the min of ``num_hashes`` seeded XXH64s over its
+    shingles (one aggregation, map-side combinable — the shuffle moves
+    ``num_hashes`` longs per source, independent of corpus size), then
+    signatures compare pairwise.  Returns ``(src_a, src_b, matches,
+    num_hashes)``: matches/num_hashes estimates Jaccard with standard
+    error ~= sqrt(J(1-J)/num_hashes).  Property-tested against the
+    exact operator."""
+    sh = df.select(F.col(source_col).alias("src"),
+                   F.explode(_shingles(col, k)).alias("sh"))
+    sig = sh.groupBy("src").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"_h{i}")
+        for i in range(num_hashes)])
+    a = sig.alias("a")
+    b = sig.alias("b")
+    matches = sum(
+        (F.col(f"a._h{i}") == F.col(f"b._h{i}")).cast("int")
+        for i in range(num_hashes))
+    return (a.join(b, F.col("a.src") < F.col("b.src"))
+            .select(F.col("a.src").alias("src_a"),
+                    F.col("b.src").alias("src_b"),
+                    matches.alias("matches"),
+                    F.lit(num_hashes).alias("num_hashes")))

@@ -909,6 +909,19 @@ def q_quality(spark, sf_dir):
     return textfn.quality_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-SOURCE shingle overlap (mix-design analytics): every doc
+    gets a deterministic shared suffix so all sources overlap on its
+    shingles plus whatever they share naturally; exact integer counts
+    per source pair, replayed verbatim by the oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" the shared benchmark suffix sentence"))
+        .alias("text"), "source")
+    return dedup.source_overlap(docs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # max_df bounds hot-shingle join fan-out (exact over the df≤50 subset;
     # the oracle applies the identical cap)
@@ -1646,6 +1659,7 @@ QUERIES = {
     "stopwords": q_stopwords,
     "quality": q_quality,
     "ngram_jaccard": q_ngram_jaccard,
+    "source_overlap": q_source_overlap,
     "ann_topk": q_ann_topk,
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
@@ -2034,6 +2048,28 @@ SELECT doc_id,
        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
        CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper
 FROM documents
+""",
+    "source_overlap": """
+WITH docs AS (
+  SELECT source, text || ' the shared benchmark suffix sentence' AS text
+  FROM documents),
+words AS (SELECT source, string_split(text, ' ') AS w FROM docs),
+sh AS (
+  SELECT DISTINCT source AS src,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS sh
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i)),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY src),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b
+FROM pairs
+JOIN sizes na ON na.src = src_a
+JOIN sizes nb ON nb.src = src_b
 """,
     "ngram_jaccard": """
 WITH words AS (

@@ -988,3 +988,35 @@ def test_pack_chunks_composite_order_key(spark):
     with pytest.raises(Exception, match="contains NULL"):
         pack.pack_chunks(withnull, 4,
                          order_col=["doc_id", "seg_id"]).collect()
+
+
+def test_source_overlap_exact_and_sketch(spark):
+    """Exact cross-source overlap counts are right on constructed data,
+    and the MinHash sketch estimate lands near the exact Jaccard (the
+    scale path: the shuffle moves num_hashes longs per source)."""
+    from simdcomp_spark.functions import dedup as ddp
+    # sources: a and b share half their sentences; c is disjoint
+    shared = [f"common sentence number {i} shared by both feeds"
+              for i in range(30)]
+    only = {s: [f"{s}{i}x {s}{i}y {s}{i}z {s}{i}w {s}{i}v"
+                for i in range(30)] for s in ("a", "b", "c")}
+    rows = []
+    did = 0
+    for s in ("a", "b", "c"):
+        texts = only[s] + (shared if s in ("a", "b") else [])
+        for t in texts:
+            rows.append((did, t, s))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    exact = {(r["src_a"], r["src_b"]): (r["inter"], r["n_a"], r["n_b"])
+             for r in ddp.source_overlap(df).collect()}
+    assert ("a", "b") in exact
+    inter, n_a, n_b = exact[("a", "b")]
+    assert inter > 0 and n_a == n_b
+    j_exact = inter / (n_a + n_b - inter)
+    # c shares nothing: absent from the exact output entirely
+    assert not any("c" in pair for pair in exact)
+    sk = {(r["src_a"], r["src_b"]): r["matches"] / r["num_hashes"]
+          for r in ddp.source_overlap_sketch(df, num_hashes=256).collect()}
+    assert abs(sk[("a", "b")] - j_exact) < 0.12
+    assert sk[("a", "c")] < 0.1 and sk[("b", "c")] < 0.1
