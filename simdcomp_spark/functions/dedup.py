@@ -57,18 +57,32 @@ def ngram_jaccard_pairs(df: DataFrame, col: str = "text", k: int = 3,
         keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                 .where(F.col("df") <= max_df).select("sh"))
         sh = sh.join(keep, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-            .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("inter"))
+    out = _overlap_pairs(sh, "doc_id", "doc_a", "doc_b")
+    return (out
+            .withColumn("union_sz",
+                        F.col("n_a") + F.col("n_b") - F.col("inter"))
             .where(F.col("inter") * 100 >= min_pct * F.col("union_sz"))
             .select("doc_a", "doc_b", "inter", "union_sz"))
+
+
+def _overlap_pairs(sh: DataFrame, key: str, a_name: str, b_name: str
+                   ) -> DataFrame:
+    """Shared exact-overlap core over a DISTINCT (key, sh) frame:
+    per-key set sizes + the sh-keyed a<b self-join →
+    (a_name, b_name, inter, n_a, n_b) — used by both the doc-level
+    Jaccard and the source-level overlap so the machinery (and any
+    future null/skew handling) lives once."""
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
+    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
+             .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+             .groupBy(F.col(f"a.{key}").alias(a_name),
+                      F.col(f"b.{key}").alias(b_name))
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col(key).alias(a_name), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(key).alias(b_name), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(na), a_name)
+            .join(F.broadcast(nb), b_name)
+            .select(a_name, b_name, "inter", "n_a", "n_b"))
 
 
 def minhash_signatures(df: DataFrame, col: str = "text", k: int = 3,
@@ -274,17 +288,7 @@ def source_overlap(df: DataFrame, col: str = "text", k: int = 3,
     sh = (df.select(F.col(source_col).alias("src"),
                     F.explode(_shingles(col, k)).alias("sh"))
           .distinct())
-    sizes = sh.groupBy("src").agg(F.count("*").alias("n"))
-    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
-             .where(F.col("a.src") < F.col("b.src"))
-             .groupBy(F.col("a.src").alias("src_a"),
-                      F.col("b.src").alias("src_b"))
-             .agg(F.count("*").alias("inter")))
-    na = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
-    return (pairs.join(F.broadcast(na), "src_a")
-            .join(F.broadcast(nb), "src_b")
-            .select("src_a", "src_b", "inter", "n_a", "n_b"))
+    return _overlap_pairs(sh, "src", "src_a", "src_b")
 
 
 def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
@@ -300,8 +304,10 @@ def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
     exact operator."""
     sh = df.select(F.col(source_col).alias("src"),
                    F.explode(_shingles(col, k)).alias("sh"))
+    # same seeded family as minhash_signatures (xxhash64(sh, i)), so
+    # doc-level and source-level signatures stay comparable
     sig = sh.groupBy("src").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"_h{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)])
     a = sig.alias("a")
     b = sig.alias("b")

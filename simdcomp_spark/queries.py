@@ -916,7 +916,7 @@ def q_source_overlap(spark, sf_dir):
     per source pair, replayed verbatim by the oracle."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(F.col("text"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
                  F.lit(" the shared benchmark suffix sentence"))
         .alias("text"), "source")
     return dedup.source_overlap(docs)
@@ -2051,7 +2051,8 @@ FROM documents
 """,
     "source_overlap": """
 WITH docs AS (
-  SELECT source, text || ' the shared benchmark suffix sentence' AS text
+  SELECT source, coalesce(text, '')
+             || ' the shared benchmark suffix sentence' AS text
   FROM documents),
 words AS (SELECT source, string_split(text, ' ') AS w FROM docs),
 sh AS (
