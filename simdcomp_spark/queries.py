@@ -1611,57 +1611,51 @@ def q_streaming_window(spark, sf_dir):
         "source", "tokens", "docs")
 
 
+def q_fastset_family(spark, sf_dir):
+    """All three in-place point-write families in one gate (SURVEY §2.2 #14,
+    §2.3 #21, §2.4 #29): simdfastset / simdfastsetFOR / simdfastsetd1, each
+    a point write into the packed block followed by a full decode, unioned
+    with a ``mode`` discriminator.  Folds the former ``fastset`` /
+    ``fastset_for`` / ``fastset_d1`` micro-gates (same oracles, composed) so
+    the driver window covers more distinct operators per round."""
+    parts = []
+    for mode, fn in (("plain", q_fastset), ("for", q_fastset_for),
+                     ("d1", q_fastset_d1)):
+        parts.append(fn(spark, sf_dir).select(
+            F.col("o_custkey").alias("key"), F.lit(mode).alias("mode"),
+            "pos", "tok"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_masked_family(spark, sf_dir):
+    """Both MASKED pack variants in one gate (SURVEY §2.2 #8, §2.4 #22):
+    simdpack truncates values to b bits; simdpackd1 truncates deltas.  Folds
+    the former ``masked_pack`` / ``masked_d1`` micro-gates."""
+    a = q_masked_pack(spark, sf_dir).select(
+        F.col("user_id").alias("key"), F.lit("plain").alias("mode"),
+        "pos", "tok")
+    b = q_masked_d1(spark, sf_dir).select(
+        F.col("o_custkey").alias("key"), F.lit("d1").alias("mode"),
+        "pos", "tok")
+    return a.unionByName(b)
+
+
+# Driver-window ordering contract: the correctness driver runs the FIRST 50
+# entries of this dict each round.  Order is therefore a verification
+# posture, not cosmetics (VERDICT r5 "What's wrong" #1):
+#   1. gates with no prior driver-green row (round-5 additions: similarity,
+#      multimodal, all Iceberg, all streaming) come FIRST,
+#   2. then gates NEW or CHANGED this round,
+#   3. then the highest-value stable gates (roundtrips, dedup, corpus ops),
+#   4. the tail (>50) holds only gates with a green CORRECTNESS_r05 row,
+#      so r5 ∪ r6 covers every registered gate.
+# COVERAGE.md records per-gate "last driver-green" so window gaps stay
+# visible in-repo.
 QUERIES = {
-    "bitpack_roundtrip": q_bitpack_roundtrip,
-    "for_roundtrip": q_for_roundtrip,
-    "d1_roundtrip": q_d1_roundtrip,
-    "rle_roundtrip": q_rle_roundtrip,
-    "dict_roundtrip": q_dict_roundtrip,
-    "auto_roundtrip": q_auto_roundtrip,
-    "maxbits": q_maxbits,
-    "maxbits_d1": q_maxbits_d1,
-    "compressed_size": q_compressed_size,
-    "minmax_decoded": q_minmax_decoded,
-    "select_for": q_select_for,
-    "point_lookup": q_point_lookup,
-    "search_d1": q_search_d1,
-    "search_for": q_search_for,
-    "masked_pack": q_masked_pack,
-    "masked_d1": q_masked_d1,
-    "avx_roundtrip": q_avx_roundtrip,
-    "fastset": q_fastset,
-    "fastset_for": q_fastset_for,
-    "fastset_d1": q_fastset_d1,
-    "search_sorted": q_search_sorted,
-    "search_sorted_for": q_search_sorted_for,
-    "minmax_encoded": q_minmax_encoded,
-    "range_count": q_range_count,
-    "encoded_dedup": q_encoded_dedup,
-    "fsst_roundtrip": q_fsst_roundtrip,
-    "exact_dedup": q_exact_dedup,
-    "token_count": q_token_count,
-    "vocab_topk": q_vocab_topk,
-    "decontaminate": q_decontaminate,
-    "training_mix": q_training_mix,
-    "contains_token": q_contains_token,
-    "corpus_shuffle": q_corpus_shuffle,
-    "split_corpus": q_split_corpus,
-    "stratified_sample": q_stratified_sample,
-    "line_dedup": q_line_dedup,
-    "pack_chunks": q_pack_chunks,
-    "pack_by_source": q_pack_by_source,
-    "tokenize": q_tokenize,
-    "corpus_build": q_corpus_build,
-    "pii_scrub": q_pii_scrub,
-    "repetition": q_repetition,
-    "jsonl_ingest": q_jsonl_ingest,
-    "bpe_token_count": q_bpe_token_count,
-    "stopwords": q_stopwords,
-    "quality": q_quality,
-    "ngram_jaccard": q_ngram_jaccard,
-    "source_overlap": q_source_overlap,
-    "ann_topk": q_ann_topk,
-    "lang_id": q_lang_id,
+    # --- 1. no driver-green row before round 6 ---
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -1687,6 +1681,56 @@ QUERIES = {
     "streaming_encode": q_streaming_encode,
     "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
     "streaming_window": q_streaming_window,
+    # --- 2. new or changed in round 6 ---
+    "fastset_family": q_fastset_family,
+    "masked_family": q_masked_family,
+    "tokenize": q_tokenize,
+    "corpus_build": q_corpus_build,
+    "pack_chunks": q_pack_chunks,
+    "pack_by_source": q_pack_by_source,
+    "stratified_sample": q_stratified_sample,
+    # --- 3. highest-value stable gates ---
+    "bitpack_roundtrip": q_bitpack_roundtrip,
+    "for_roundtrip": q_for_roundtrip,
+    "d1_roundtrip": q_d1_roundtrip,
+    "rle_roundtrip": q_rle_roundtrip,
+    "dict_roundtrip": q_dict_roundtrip,
+    "auto_roundtrip": q_auto_roundtrip,
+    "fsst_roundtrip": q_fsst_roundtrip,
+    "avx_roundtrip": q_avx_roundtrip,
+    "encoded_dedup": q_encoded_dedup,
+    "exact_dedup": q_exact_dedup,
+    "contains_token": q_contains_token,
+    "training_mix": q_training_mix,
+    "corpus_shuffle": q_corpus_shuffle,
+    "split_corpus": q_split_corpus,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
+    "vocab_topk": q_vocab_topk,
+    # --- 4. tail (>50): every gate below has a green CORRECTNESS_r05 row ---
+    "maxbits": q_maxbits,
+    "maxbits_d1": q_maxbits_d1,
+    "compressed_size": q_compressed_size,
+    "minmax_decoded": q_minmax_decoded,
+    "minmax_encoded": q_minmax_encoded,
+    "select_for": q_select_for,
+    "point_lookup": q_point_lookup,
+    "search_d1": q_search_d1,
+    "search_for": q_search_for,
+    "search_sorted": q_search_sorted,
+    "search_sorted_for": q_search_sorted_for,
+    "range_count": q_range_count,
+    "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "stopwords": q_stopwords,
+    "quality": q_quality,
+    "pii_scrub": q_pii_scrub,
+    "repetition": q_repetition,
+    "jsonl_ingest": q_jsonl_ingest,
+    "ngram_jaccard": q_ngram_jaccard,
+    "source_overlap": q_source_overlap,
+    "ann_topk": q_ann_topk,
+    "lang_id": q_lang_id,
 }
 
 _SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "
@@ -1800,65 +1844,51 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(event_id AS INT) AS tok
 FROM events
 """,
-    "masked_pack": """
-SELECT CAST(user_id AS BIGINT) AS user_id,
+    "masked_family": """
+SELECT CAST(user_id AS BIGINT) AS key, 'plain' AS mode,
        CAST(row_number() OVER (PARTITION BY user_id
             ORDER BY event_id, event_id) - 1 AS INT) AS pos,
        CAST(event_id % 8192 AS INT) AS tok
 FROM events
+UNION ALL
+SELECT * FROM (
+  WITH t AS (
+    SELECT o_custkey,
+           row_number() OVER w - 1 AS pos,
+           (o_orderkey - lag(o_orderkey, 1, 0) OVER w) % 256 AS dm
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
+  SELECT CAST(o_custkey AS BIGINT) AS key, 'd1' AS mode,
+         CAST(pos AS INT) AS pos,
+         CAST(sum(dm) OVER (PARTITION BY o_custkey ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS INT) AS tok
+  FROM t)
 """,
-    "fastset": """
+    "fastset_family": """
 WITH t AS (
   SELECT o_custkey, o_orderkey,
-         row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_orderkey, o_orderkey) - 1 AS pos,
-         count(*) OVER (PARTITION BY o_custkey) AS c
-  FROM orders)
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         row_number() OVER w - 1 AS pos,
+         count(*) OVER (PARTITION BY o_custkey) AS c,
+         min(o_orderkey) OVER (PARTITION BY o_custkey) AS mn,
+         lag(o_orderkey, 1, 0) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey, o_orderkey))
+SELECT CAST(o_custkey AS BIGINT) AS key, 'plain' AS mode,
        CAST(pos AS INT) AS pos,
        CAST(CASE WHEN pos = LEAST(50, c - 1) THEN 0
             ELSE o_orderkey END AS INT) AS tok
 FROM t WHERE c BETWEEN 1 AND 128
-""",
-    "fastset_for": """
-WITH t AS (
-  SELECT o_custkey, o_orderkey,
-         row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_orderkey, o_orderkey) - 1 AS pos,
-         count(*) OVER (PARTITION BY o_custkey) AS c,
-         min(o_orderkey) OVER (PARTITION BY o_custkey) AS mn
-  FROM orders)
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+UNION ALL
+SELECT CAST(o_custkey AS BIGINT) AS key, 'for' AS mode,
        CAST(pos AS INT) AS pos,
        CAST(CASE WHEN pos = LEAST(50, c - 1) THEN mn
             ELSE o_orderkey END AS INT) AS tok
 FROM t WHERE c BETWEEN 1 AND 128
-""",
-    "fastset_d1": """
-WITH t AS (
-  SELECT o_custkey, o_orderkey,
-         row_number() OVER w - 1 AS pos,
-         count(*) OVER (PARTITION BY o_custkey) AS c,
-         lag(o_orderkey, 1, 0) OVER w AS prev
-  FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+UNION ALL
+SELECT CAST(o_custkey AS BIGINT) AS key, 'd1' AS mode,
        CAST(pos AS INT) AS pos,
        CAST(CASE WHEN pos = c - 1 THEN prev ELSE o_orderkey END AS INT) AS tok
 FROM t WHERE c BETWEEN 1 AND 128
-""",
-    "masked_d1": """
-WITH t AS (
-  SELECT o_custkey,
-         row_number() OVER w - 1 AS pos,
-         (o_orderkey - lag(o_orderkey, 1, 0) OVER w) % 256 AS dm
-  FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey))
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
-       CAST(pos AS INT) AS pos,
-       CAST(sum(dm) OVER (PARTITION BY o_custkey ORDER BY pos
-            ROWS UNBOUNDED PRECEDING) AS INT) AS tok
-FROM t
 """,
     "search_sorted": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
