@@ -301,8 +301,8 @@ def _input_files(path: str, snapshot_id: int | None = None) -> list[str]:
     recurse (e.g. the resumable writer's ``shard=N`` layout)."""
     from pathlib import Path
 
-    if (Path(path) / "metadata" / "version-hint.text").is_file():
-        from . import iceberg
+    from . import iceberg
+    if iceberg.is_iceberg_table(path):
         # ONE metadata-tree walk: name-safety guard (renamed/promoted/
         # re-added columns make name-addressed reads unsafe), delete
         # refusal, and the live-file list all come from the same
@@ -408,8 +408,8 @@ def _role_columns(path: str, roles: list[str],
     (assert_fused_name_safe) has already refused any snapshot whose
     live files carry other names."""
     from pathlib import Path
-    if (Path(path) / "metadata" / "version-hint.text").is_file():
-        from . import iceberg
+    from . import iceberg
+    if iceberg.is_iceberg_table(path):
         return iceberg.fused_role_columns(path, roles, meta=meta)
     return {r: r for r in roles}
 
@@ -589,9 +589,8 @@ def decode_files(spark: SparkSession, path: str,
 
     del_map = eq_map = None
     ice_meta = None
-    if plan is not None or (Path(path) / "metadata"
-                            / "version-hint.text").is_file():
-        from . import iceberg
+    from . import iceberg
+    if plan is not None or iceberg.is_iceberg_table(path):
         # ONE metadata-tree walk covers the name-safety guard, the live
         # file list, and the delete inventory — at 10^5-10^6 files each
         # extra walk is a full manifest-tree read.  ``plan`` reuses a
@@ -649,12 +648,20 @@ def decode_files(spark: SparkSession, path: str,
     out_names = ["doc_id", "source", "seg_id", "tokens"]
     out_schema = DECODED_SCHEMA
 
-    def _deleted_positions(del_paths, path_):
-        import pyarrow.dataset as pads
-        dset = pads.dataset(list(del_paths), format="parquet")
-        t = dset.to_table(filter=pads.field("file_path") == path_,
-                          columns=["pos"])
-        return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
+    def _deleted_positions(del_paths, path_, cache: dict):
+        """Sorted deleted positions of one data file; cached per task on
+        (delete paths, data file) — row-group work units of the same file
+        share an assignment, so without the cache every delete file is
+        re-read once PER ROW GROUP on heavily deleted tables."""
+        ck = (tuple(del_paths), path_)
+        if ck not in cache:
+            import pyarrow.dataset as pads
+            dset = pads.dataset(list(del_paths), format="parquet")
+            t = dset.to_table(filter=pads.field("file_path") == path_,
+                              columns=["pos"])
+            cache[ck] = np.sort(
+                t.column("pos").to_numpy(zero_copy_only=False))
+        return cache[ck]
 
     def _eq_killers(eq_spec: str, cache: dict):
         """[(key col names, set of deleted key tuples/values)] for one
@@ -677,6 +684,7 @@ def decode_files(spark: SparkSession, path: str,
 
     def fn(it):
         eq_cache: dict = {}
+        pos_cache: dict = {}
         for batch in it:
             for path_, rg, rg_off, dels, eq in zip(
                     batch.column(0).to_pylist(),
@@ -685,7 +693,7 @@ def decode_files(spark: SparkSession, path: str,
                     batch.column(3).to_pylist(),
                     batch.column(4).to_pylist()):
                 pf = pq.ParquetFile(path_, pre_buffer=True)
-                dead = (_deleted_positions(dels, path_)
+                dead = (_deleted_positions(dels, path_, pos_cache)
                         if dels else None)
                 killers = _eq_killers(eq, eq_cache) if eq else None
                 unit_cols = cols

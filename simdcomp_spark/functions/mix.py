@@ -155,7 +155,16 @@ def stratified_sample(df: DataFrame, k: int, seed: int,
                        "with a larger oversample"))
                ).otherwise(F.lit(0)).alias("_g")))
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col))
-    return (cand.join(F.broadcast(checked), source_col)
-            .withColumn("_rk", F.row_number().over(w) + F.col("_g"))
-            .where(F.col("_rk") <= k)
-            .drop("_rk", "_g", "_n_src"))
+    out = (cand.join(F.broadcast(checked), source_col)
+           .withColumn("_rk", F.row_number().over(w) + F.col("_g"))
+           .where(F.col("_rk") <= k)
+           .drop("_rk", "_g", "_n_src"))
+    # materialize the (bounded: ≤ k rows/source) result eagerly, then
+    # release the prefilter cache — returning a lazy frame over `cand`
+    # would leak one persisted DataFrame per call for the session
+    # lifetime.  localCheckpoint also runs the in-plan undershoot guard
+    # HERE, so a failed draw raises at the call site, not at first use.
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()

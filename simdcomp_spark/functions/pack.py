@@ -170,8 +170,11 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     docs = (df_tokens.select(grp.alias("_grp"),
                              ord_expr.alias("_ord"), "tokens")
             .join(offs.hint("shuffle_hash"), ["_grp", "_ord"]))
-    first_c = (F.col("_start") / L).cast("long")
-    last_c = ((F.col("_start") + F.col("_n") - 1) / L).cast("long")
+    # integer division, NOT `/` (double): past ~2^53 cumulative tokens a
+    # double-rounded quotient silently shifts chunk ids by one — `div`
+    # keeps chunk assignment exact at any stream offset
+    first_c = F.expr(f"_start div {int(chunk_len)}")
+    last_c = F.expr(f"(_start + _n - 1) div {int(chunk_len)}")
     pieces = (docs
               .select("_grp", "tokens", "_start", "_n",
                       F.explode(F.sequence(first_c, last_c))

@@ -511,10 +511,17 @@ def _current_version(table_dir: str) -> int:
     version N+1, never re-collides with an already-published vN."""
     mdir = _meta_dir(table_dir)
     hint = mdir / "version-hint.text"
-    if not hint.is_file():
+    if hint.is_file():
+        v = int(hint.read_text().strip())
+    elif (mdir / "v1.metadata.json").is_file():
+        # First-commit crash window: v1.metadata.json (the commit point)
+        # was published but the writer died before writing the advisory
+        # hint.  The table IS committed — start the upward probe at 1
+        # instead of declaring it not-a-table.
+        v = 1
+    else:
         raise FileNotFoundError(f"{table_dir}: not an Iceberg table "
                                 "(no metadata/version-hint.text)")
-    v = int(hint.read_text().strip())
     while True:
         nxt = mdir / f"v{v + 1}.metadata.json"
         if not nxt.is_file():
@@ -525,6 +532,15 @@ def _current_version(table_dir: str) -> int:
             return v
         v += 1
 
+
+
+def is_iceberg_table(table_dir: str) -> bool:
+    """True when ``table_dir`` holds a committed table: the hint fast-path
+    OR a published v1.metadata.json (hint-less first-commit crash window —
+    the metadata publish is the commit point, the hint is advisory)."""
+    mdir = _meta_dir(table_dir)
+    return (mdir / "version-hint.text").is_file() or \
+        (mdir / "v1.metadata.json").is_file()
 
 
 def _current_schema(meta: dict) -> dict:
@@ -898,7 +914,7 @@ def export_encoded(df: DataFrame, table_dir: str,
     identity partition spec on that column (e.g. ``source`` for the
     north-rule table shape); appends inherit it.  Returns the table
     metadata."""
-    if (_meta_dir(table_dir) / "version-hint.text").is_file():
+    if is_iceberg_table(table_dir):
         raise FileExistsError(
             f"{table_dir} is already an Iceberg table — use append()")
     return _write_snapshot(df.sparkSession, table_dir, df, None,
@@ -2644,7 +2660,8 @@ def remove_orphan_files(table_dir: str, older_than_s: float = 86400.0,
     return out
 
 
-def rollback_last_snapshot(table_dir: str) -> dict:
+def rollback_last_snapshot(table_dir: str, expected_id: int | None = None
+                           ) -> dict:
     """Metadata commit that DROPS the most recent snapshot, restoring the
     previous one as current (or an empty table if it was the first).
 
@@ -2653,12 +2670,26 @@ def rollback_last_snapshot(table_dir: str) -> dict:
     the log also un-records its resume lineage, so the re-run (with the
     fixed encoder) re-encodes exactly that batch.  The dropped snapshot's
     data files become orphans (remove_orphan_files reclaims them);
-    sequence numbers stay monotonic (the dropped one is not reused)."""
+    sequence numbers stay monotonic (the dropped one is not reused).
+
+    ``expected_id`` pins WHICH snapshot the caller intends to drop: if a
+    concurrent append landed after it, the log tail is an innocent
+    snapshot and blind rollback would destroy it while leaving the bad
+    one current — the same optimistic-concurrency discipline the commit
+    path enforces, applied to the undo path.  Callers reverting a
+    specific commit must pass it."""
     meta = _load_metadata(table_dir)
     version = meta.pop("__loaded_version")
     if not meta["snapshots"]:
         raise ValueError(f"{table_dir}: no snapshot to roll back")
     dropped = meta["snapshots"][-1]
+    if expected_id is not None and dropped["snapshot-id"] != expected_id:
+        raise RuntimeError(
+            f"{table_dir}: refusing rollback — expected snapshot "
+            f"{expected_id} at the log tail but found "
+            f"{dropped['snapshot-id']} (a concurrent commit landed after "
+            "the snapshot being reverted; resolve it explicitly instead "
+            "of dropping an innocent snapshot)")
     for name, r in meta.get("refs", {}).items():
         if name != "main" and r["snapshot-id"] == dropped["snapshot-id"]:
             raise ValueError(

@@ -270,7 +270,7 @@ def encode_resumable_iceberg(df: DataFrame, table_dir: str,
                           F.sum(F.length("payload")).alias("p"))
         extra = {"simdcomp-shards": ",".join(str(s) for s in batch),
                  "simdcomp-total-shards": str(shards)}
-        if (Path(table_dir) / "metadata" / "version-hint.text").is_file():
+        if iceberg.is_iceberg_table(table_dir):
             meta = iceberg.append(enc, table_dir, extra_summary=extra)
         else:
             meta = iceberg.export_encoded(enc, table_dir,
@@ -377,7 +377,7 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
         extra = {"simdcomp-input-files":
                  _json.dumps([rel[f] for f in batch]),
                  "simdcomp-input-path": str(input_path)}
-        if (Path(table_dir) / "metadata" / "version-hint.text").is_file():
+        if iceberg.is_iceberg_table(table_dir):
             meta = iceberg.append(enc, table_dir, extra_summary=extra)
         else:
             meta = iceberg.export_encoded(enc, table_dir,
@@ -398,7 +398,11 @@ def encode_files_resumable_iceberg(spark, input_path: str, table_dir: str,
             bad = engine.verify_roundtrip(
                 spark.read.parquet(*batch), dec)
             if bad:
-                iceberg.rollback_last_snapshot(table_dir)
+                # pin the snapshot being reverted: a concurrent append
+                # landing between this batch's commit and the rollback
+                # must fail the rollback, not be silently destroyed
+                iceberg.rollback_last_snapshot(
+                    table_dir, expected_id=snap["snapshot-id"])
                 raise RuntimeError(
                     f"round-trip verification failed for {bad} rows in "
                     f"batch {i // step} — snapshot "

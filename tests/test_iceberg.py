@@ -138,6 +138,49 @@ def test_commit_protocol_survives_torn_commit(spark, unit_df, tmp_path):
     assert iceberg.read_table(spark, table).count() == n2 + 5
 
 
+def test_first_commit_crash_window_hintless_table(spark, unit_df, tmp_path):
+    """A writer that crashed between publishing v1.metadata.json (the
+    commit point) and writing version-hint.text has still COMMITTED the
+    table: readers probe for v1 when the hint is absent instead of
+    declaring the directory not-a-table, and the next commit restores
+    the hint (ADVICE r5: first-commit crash window)."""
+    table = str(tmp_path / "hintless")
+    enc = engine.encode(unit_df, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    n1 = iceberg.read_table(spark, table).count()
+    hint = Path(table) / "metadata" / "version-hint.text"
+    hint.unlink()                                  # simulate the crash
+    assert iceberg.is_iceberg_table(table)
+    assert iceberg.read_table(spark, table).count() == n1
+    # liveness: append treats the hint-less table as existing (v2 next)
+    iceberg.append(enc.limit(5), table)
+    assert hint.read_text().strip() == "2"
+    assert iceberg.read_table(spark, table).count() == n1 + 5
+    # a directory with neither hint nor v1 is still refused
+    with pytest.raises(FileNotFoundError, match="not an Iceberg table"):
+        iceberg.read_table(spark, str(tmp_path / "nothing"))
+
+
+def test_rollback_pins_expected_snapshot(spark, unit_df, tmp_path):
+    """rollback_last_snapshot(expected_id=...) must refuse when a
+    concurrent append moved the log tail: blind rollback would destroy
+    the innocent newest snapshot and leave the bad one current
+    (ADVICE r5, manifest verify arm)."""
+    table = str(tmp_path / "pinned_rb")
+    enc = engine.encode(unit_df, codec="bitpack", split_threshold=None)
+    iceberg.export_encoded(enc, table)
+    bad = iceberg.append(enc.limit(10), table)["current-snapshot-id"]
+    # concurrent append lands AFTER the snapshot we want to revert
+    innocent = iceberg.append(enc.limit(3), table)["current-snapshot-id"]
+    with pytest.raises(RuntimeError, match="refusing rollback"):
+        iceberg.rollback_last_snapshot(table, expected_id=bad)
+    # the innocent snapshot is untouched and still current
+    assert iceberg.snapshots(table)[-1]["snapshot-id"] == innocent
+    # pinning the actual tail works
+    iceberg.rollback_last_snapshot(table, expected_id=innocent)
+    assert iceberg.snapshots(table)[-1]["snapshot-id"] == bad
+
+
 def test_written_layout_is_spec_shaped(spark, unit_df, tmp_path):
     """Structural conformance of the on-disk tree: version-hint, vN
     metadata json with required v2 keys, avro manifest list with spec
