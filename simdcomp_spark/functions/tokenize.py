@@ -11,22 +11,30 @@ input tokenizes totally).  Deterministic and engine-reproducible by
 construction — the DuckDB oracle replays it exactly with a recursive
 CTE over the same vocabulary.
 
-Spark shape: a Pandas UDF (Arrow-batched) — genuine per-character
-control flow is the sanctioned UDF case; there is no JVM expression
-for longest-match scanning.  The UDF is embarrassingly parallel
-(zero exchanges, whole-stage scan → udf → output) and keeps a
-size-capped word → ids memo per partition: corpus word frequency is
-Zipfian, so the memo turns the per-character loop into a dict hit for
-the bulk of occurrences while the cap bounds worker memory.  The vocabulary here is a fixed demo table (ASCII singles
-+ common English merges); a production run swaps in a learned one —
-every code path is vocabulary-agnostic.
+Spark shape: an Arrow-batched UDF (``mapInArrow``) — genuine
+per-character control flow is the sanctioned UDF case; there is no JVM
+expression for longest-match scanning.  It is embarrassingly parallel
+(zero exchanges, whole-stage scan → udf → output).  The per-core hot
+loop is a ~40-line C byte-trie DFA (native.tokenize_greedy, same
+lazy-gcc+ctypes pattern as the codec kernels) fed the Arrow string
+buffer directly — no per-row Python, no per-row str materialization.
+When the C toolchain is unavailable (or SIMDCOMP_NO_NATIVE=1) the
+byte-identical Python path runs instead, with a size-capped word → ids
+memo per partition (corpus word frequency is Zipfian, so the memo turns
+the per-character loop into a dict hit for the bulk of occurrences
+while the cap bounds worker memory).  The vocabulary here is a fixed
+demo table (ASCII singles + common English merges); a production run
+swaps in a learned one — every code path is vocabulary-agnostic (the
+trie is built from whatever VOCAB holds).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 _MERGES = (
@@ -64,15 +72,79 @@ def tokenize_word(w: str) -> list[int]:
     return out
 
 
+_TRIE_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _trie_arrays(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-trie DFA of ``vocab`` as two flat int32 arrays:
+    ``trans[node*256 + byte]`` = next node or -1 (node 0 = root) and
+    ``accept[node]`` = token id or -1.  Memory is O(nodes × 1 KiB) —
+    ~100 MB for a 50k-entry learned vocab, built once per executor and
+    shared by every task.  Entries may not contain the separator byte
+    0x20 (the DFA treats it as a hard word boundary)."""
+    key = id(vocab)
+    hit = _TRIE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    trans: list[list[int]] = [[-1] * 256]
+    accept: list[int] = [-1]
+    for tok, tid in vocab.items():
+        bs = tok.encode("utf-8")
+        if b" " in bs:
+            raise ValueError(f"vocab entry {tok!r} contains the separator "
+                             "byte 0x20 — split-on-space semantics forbid it")
+        node = 0
+        for b in bs:
+            nxt = trans[node][b]
+            if nxt < 0:
+                nxt = len(trans)
+                trans[node][b] = nxt
+                trans.append([-1] * 256)
+                accept.append(-1)
+            node = nxt
+        accept[node] = int(tid)
+    out = (np.array(trans, dtype=np.int32).ravel(),
+           np.array(accept, dtype=np.int32))
+    _TRIE_CACHE.clear()          # one live vocab per process is the norm
+    _TRIE_CACHE[key] = out
+    return out
+
+
+def _string_slots(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string column → (full data buffer uint8, absolute slot
+    starts, slot ends), nulls clamped to empty — the zero-copy feed for
+    the C DFA (the buffer is NOT re-sliced per row)."""
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(
+            col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    starts, ends = off[:-1].copy(), off[1:].copy()
+    if col.null_count:
+        nulls = np.asarray(col.is_null())
+        ends[nulls] = starts[nulls]
+    return data, starts, ends
+
+
 def wordpiece_tokenize(df: DataFrame, col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(id_col, tokens array<int>, n_tok int) for every document; empty
     or NULL text yields an empty array (documents are never dropped)."""
+    trans, accept = _trie_arrays(VOCAB)
+    unk = UNK_ID
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-PARTITION word memo, size-capped: Zipfian reuse makes most
-        # occurrences a dict hit, while the cap bounds worker memory on
-        # web-scale partitions full of distinct "words" (URLs, hashes)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import engine, native
+
+        # per-PARTITION word memo for the Python fallback, size-capped:
+        # Zipfian reuse makes most occurrences a dict hit, while the cap
+        # bounds worker memory on web-scale partitions full of distinct
+        # "words" (URLs, hashes)
         memo: dict[str, list[int]] = {}
         MEMO_CAP = 1 << 20
 
@@ -91,17 +163,32 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
                 out.extend(ids)
             return out
 
-        for pdf in batches:
-            toks = pdf[col].map(doc_tokens)
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "tokens": toks,
-                "n_tok": toks.map(len).astype("int32"),
-            })
+        for batch in batches:
+            ids_col, text_col = batch.column(0), batch.column(1)
+            res = None
+            if pa.types.is_string(text_col.type) or pa.types.is_large_string(
+                    text_col.type):
+                data, starts, ends = _string_slots(text_col)
+                res = native.tokenize_greedy(data, starts, ends,
+                                             trans, accept, unk)
+            if res is not None:
+                flat, lens = res
+            else:                      # no C toolchain: Python fallback
+                toks = [doc_tokens(t) for t in text_col.to_pylist()]
+                lens = np.array([len(t) for t in toks], dtype=np.int64)
+                flat = np.fromiter(
+                    (i for t in toks for i in t), dtype=np.int32,
+                    count=int(lens.sum()))
+            tokens_arr = pa.ListArray.from_arrays(
+                engine._offsets32(lens), pa.array(flat, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids_col, tokens_arr,
+                 pa.array(lens.astype(np.int32), type=pa.int32())],
+                names=[id_col, "tokens", "n_tok"])
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, tokens array<int>, n_tok int"
-    return df.select(id_col, col).mapInPandas(fn, schema=out_schema)
+    return df.select(id_col, col).mapInArrow(fn, schema=out_schema)
 
 
 def tokenize_oracle_ctes(table: str = "documents") -> str:

@@ -671,6 +671,50 @@ void content_hash(const uint32_t *flat, const int64_t *row_off,
         out[2 * r + 1] = h2;
     }
 }
+
+/* Greedy longest-match subword tokenizer over a byte-trie DFA.
+ *
+ * The trie is vocabulary-agnostic, built caller-side as numpy arrays:
+ * trans[node*256 + byte] = next node or -1, accept[node] = token id or -1
+ * (node 0 = root).  Semantics replicate functions/tokenize.tokenize_word
+ * exactly: 0x20 is a hard separator (no vocab entry may contain it —
+ * guarded at trie build), maximal munch restarts at the cursor after each
+ * emit, and the no-match fallback emits unk_id and advances ONE UTF-8
+ * CHARACTER (skip continuation bytes), matching the str-domain Python
+ * loop on multibyte input.  buf is the Arrow string buffer itself;
+ * starts/ends are absolute slot offsets (null slots: end == start).
+ * out must hold (sum of slot byte lengths) int32s — one token consumes
+ * at least one byte, so that bound is exact-worst-case. */
+void tokenize_greedy(const uint8_t *buf, const int64_t *starts,
+                     const int64_t *ends, int64_t nrows,
+                     const int32_t *trans, const int32_t *accept,
+                     int32_t unk_id, int32_t *out, int64_t *out_lens)
+{
+    int64_t k = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t i = starts[r], e = ends[r], k0 = k;
+        while (i < e) {
+            uint8_t b = buf[i];
+            if (b == 0x20) { i++; continue; }
+            int32_t node = 0, best_id = -1;
+            int64_t j = i, best_end = i;
+            do {
+                int32_t nxt = trans[((int64_t)node << 8) | buf[j]];
+                if (nxt < 0) break;
+                node = nxt; j++;
+                int32_t a = accept[node];
+                if (a >= 0) { best_id = a; best_end = j; }
+            } while (j < e);
+            if (best_id >= 0) { out[k++] = best_id; i = best_end; }
+            else {
+                out[k++] = unk_id;
+                i++;
+                while (i < e && (buf[i] & 0xC0) == 0x80) i++;
+            }
+        }
+        out_lens[r] = k - k0;
+    }
+}
 """
 
 _lock = threading.Lock()
@@ -698,9 +742,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v12.so")
+            so = os.path.join(d, "simdcomp_kernels_v13.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v12.c")
+                src = os.path.join(d, "simdcomp_kernels_v13.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -758,6 +802,10 @@ def _load() -> ctypes.CDLL | None:
             lib.rle_runs.argtypes = [u32p, i64p, i64, u32p, i64p, i64p]
             lib.content_hash.restype = None
             lib.content_hash.argtypes = [u32p, i64p, i64, u64p]
+            lib.tokenize_greedy.restype = None
+            lib.tokenize_greedy.argtypes = [u8p, i64p, i64p, i64, i32p,
+                                            i32p, ctypes.c_int32, i32p,
+                                            i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -1006,3 +1054,26 @@ def content_hash(flat: np.ndarray, lens: np.ndarray) -> np.ndarray | None:
     out = np.empty(2 * max(lens.size, 1), dtype=np.uint64)
     lib.content_hash(_pu32(flat), _p64(row_off), lens.size, _pu64(out))
     return out[:2 * lens.size].view(np.uint8)
+
+
+def tokenize_greedy(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                    trans: np.ndarray, accept: np.ndarray, unk_id: int
+                    ) -> tuple[np.ndarray, np.ndarray] | None:
+    """C greedy longest-match tokenizer over a byte-trie DFA; returns
+    (flat int32 token ids, per-row int64 counts) or None when the C
+    toolchain is unavailable (caller falls back to the Python path,
+    which is byte-identical — asserted in tests/test_functions.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    nrows = starts.size
+    cap = int((ends - starts).sum())
+    out = np.empty(max(cap, 1), dtype=np.int32)
+    out_lens = np.empty(max(nrows, 1), dtype=np.int64)
+    lib.tokenize_greedy(_p8(buf), _p64(starts), _p64(ends), nrows,
+                        _pi32(trans), _pi32(accept),
+                        ctypes.c_int32(unk_id), _pi32(out), _p64(out_lens))
+    total = int(out_lens[:nrows].sum())
+    return out[:total], out_lens[:nrows]

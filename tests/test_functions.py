@@ -967,6 +967,43 @@ def test_wordpiece_tokenize(spark):
         assert got[d] == (want, len(want)), d
 
 
+def test_tokenize_c_dfa_matches_python_reference():
+    """The C byte-trie DFA (native.tokenize_greedy) must be byte-identical
+    to the scalar Python reference on adversarial inputs: NULLs, empty
+    strings, multi-space runs, multibyte UTF-8 (UNK advances one CHARACTER,
+    not one byte), out-of-vocab ASCII, long words, and non-space
+    whitespace (tabs/newlines are NOT separators).  Also pins the
+    sliced-array (non-zero Arrow offset) path."""
+    import pyarrow as pa
+    from simdcomp_spark import native
+    from simdcomp_spark.functions import tokenize as tk
+    if native._load() is None:
+        pytest.skip("no C toolchain")
+    texts = ["the thing is", "", None, "héllo wörld ☃ the",
+             "  double  spaces ", "xyz@#$ %", "a" * 300 + " the",
+             "日本語テキスト the end", "ingion theing",
+             "\t tab\nnewline the", " ", "€" * 5]
+    trans, accept = tk._trie_arrays(tk.VOCAB)
+
+    def want_of(t):
+        return [] if t is None else [
+            i for w in t.split(" ") if w for i in tk.tokenize_word(w)]
+
+    for arr in (pa.array(texts, type=pa.string()),
+                pa.array(texts, type=pa.string()).slice(2, 7)):
+        data, starts, ends = tk._string_slots(arr)
+        flat, lens = native.tokenize_greedy(data, starts, ends,
+                                            trans, accept, tk.UNK_ID)
+        off = 0
+        for i in range(len(arr)):
+            t = arr[i].as_py()
+            assert flat[off:off + lens[i]].tolist() == want_of(t), t
+            off += lens[i]
+    # vocab entries containing the separator byte are refused at build
+    with pytest.raises(ValueError, match="separator"):
+        tk._trie_arrays({"a b": 0})
+
+
 def test_pack_chunks_composite_order_key(spark):
     """Segment-split tables pack in (doc_id, seg_id) order via a list
     order_col; per-doc segments stay adjacent and in order, NULL members
