@@ -48,6 +48,8 @@ corpus scope, with documents instead of deltas as the unit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -212,3 +214,95 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                    .cast("int")))).alias("doc_starts"))
         cols.append("doc_starts")
     return pieces.groupBy("_grp", "chunk_id").agg(*aggs).select(*cols)
+
+def pack_greedy(df_tokens: DataFrame, chunk_len: int,
+                id_col: str = "doc_id", buckets: int = 1024) -> DataFrame:
+    """Boundary-respecting sequence packing: documents are NEVER cut
+    mid-document — each chunk holds whole docs, so chunks carry
+    ``n_tok ≤ chunk_len`` (padding fills the gap at train time) and no
+    attention mask ever straddles a truncated document.  The price vs
+    :func:`pack_chunks` is fill waste (reported in BENCH.md) instead of
+    boundary cuts.
+
+    Determinism without a global sequential pass: docs are assigned to
+    ``buckets`` fixed hash buckets (``pmod(xxhash64(id), B)`` — content
+    stable, engine-reproducible), and NEXT-FIT packing runs per bucket
+    over docs in ``id_col`` order: keep appending docs to the open chunk
+    while they fit, open a new chunk otherwise.  Output chunk identity is
+    ``(bucket, chunk_id)`` — reruns, engines, and partitionings all
+    produce identical chunks (the DuckDB oracle replays the whole thing:
+    hash in generated SQL, next-fit as a recursive CTE).
+
+    Scale shape: next-fit is inherently sequential, but only WITHIN a
+    bucket, over a SKINNY (id, n_tok) frame — ~12 B/doc, never the
+    arrays.  ``applyInPandas`` runs one python loop per bucket
+    (~1M docs/s/core; size ``buckets`` so docs/bucket stays ~10^6), then
+    the chunk assignment joins back to the arrays with the same
+    shuffle_hash discipline as pack_chunks and ONE chunk-keyed exchange
+    reassembles.  Docs longer than ``chunk_len`` cannot be packed uncut —
+    they are refused loudly (split them upstream with pack_chunks or the
+    engine's split_long_rows; silently truncating a document corrupts
+    training data).
+    """
+    if chunk_len <= 0:
+        raise ValueError(f"chunk_len must be positive, got {chunk_len}")
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    n_tok = (F.coalesce(F.col("n_tok").cast("long"), F.lit(0))
+             if "n_tok" in df_tokens.columns
+             else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
+    oversize_guard = F.when(
+        n_tok > chunk_len,
+        F.raise_error(F.lit(
+            f"pack_greedy: a document exceeds chunk_len={chunk_len} — "
+            "boundary-respecting packing cannot cut it; split oversized "
+            "docs upstream"))).otherwise(n_tok)
+    null_guard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"pack_greedy: {id_col} contains NULL — every doc needs an "
+            "id"))).otherwise(F.col(id_col))
+    skinny = (df_tokens
+              .select(null_guard.alias("_id"), oversize_guard.alias("_n"))
+              .where(F.col("_n") > 0)
+              .withColumn("_bkt", F.pmod(F.xxhash64("_id"),
+                                         F.lit(buckets)).cast("int")))
+
+    L = int(chunk_len)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ns = pdf["_n"].to_numpy()
+        chunk = np.empty(ns.size, dtype=np.int64)
+        cid, fill = 0, L   # fill=L forces the first doc to open chunk 1
+        for i, n in enumerate(ns):       # next-fit: sequential by design
+            if fill + n <= L:
+                fill += n
+            else:
+                cid += 1
+                fill = n
+            chunk[i] = cid
+        return pd.DataFrame({"_id": pdf["_id"], "_bkt": pdf["_bkt"],
+                             "_chunk": chunk})
+
+    id_type = df_tokens.schema[id_col].dataType.simpleString()
+    asg = skinny.groupBy("_bkt").applyInPandas(
+        assign, schema=f"_id {id_type}, _bkt int, _chunk long")
+
+    # the NULL-id guard must also ride the ARRAY side: the equi-join's
+    # inferred isnotnull(_id) can empty this side first, and AQE's
+    # empty-relation propagation then skips the skinny branch (and its
+    # guard) entirely — a NULL id would silently drop instead of raising
+    docs = (df_tokens.select(null_guard.alias("_id"), "tokens")
+            .join(asg.hint("shuffle_hash"), "_id"))
+    return (docs.groupBy("_bkt", "_chunk")
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_id").alias("i"),
+                             F.col("tokens").alias("t")))),
+                lambda x: x.t)).alias("tokens"),
+                F.count("*").alias("n_docs"))
+            .select(F.col("_bkt").alias("bucket"),
+                    F.col("_chunk").alias("chunk_id"), "tokens",
+                    F.size("tokens").alias("n_tok"),
+                    F.col("n_docs").cast("int").alias("n_docs")))

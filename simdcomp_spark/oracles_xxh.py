@@ -420,3 +420,52 @@ def training_mix_oracle(rates: dict[str, int]) -> str:
     return (f"SELECT doc_id, source FROM ({sql}) "
             f"WHERE ((({signed}) % 100) + 100) % 100 "
             f"< CASE {cases} ELSE -1 END")
+
+
+def pack_greedy_oracle(chunk_len: int, buckets: int) -> str:
+    """DuckDB replay of functions.pack.pack_greedy over the lineitem
+    token table (arrays keyed by l_orderkey, valued l_partkey in
+    (l_linenumber, l_partkey) order): bucket = pmod(XXH64.hashLong(id,
+    42), buckets) in generated SQL, next-fit packing as a recursive CTE
+    stepping one doc per bucket per iteration, per-chunk content/order
+    checksums recomposed from per-doc sums (w + offset*s)."""
+    base = (
+        "SELECT id, n, s, w, " + to_unsigned("id") + " AS ub FROM ("
+        "SELECT l_orderkey AS id, count(*) AS n, sum(v) AS s, "
+        "sum(v * p) AS w FROM ("
+        "SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS v, "
+        "row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_partkey) - 1 AS p FROM lineitem) "
+        "GROUP BY l_orderkey)")
+    hashed = layered_select(base, hash_long_layers("ub", _u(42), "h64"))
+    signed = to_signed("h64")
+    B, L = int(buckets), int(chunk_len)
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT id, n, s, w, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY id) AS i
+  FROM (SELECT id, n, s, w,
+               CAST(((({signed}) % {B}) + {B}) % {B} AS INT) AS bucket
+        FROM ({hashed}))),
+st(bucket, i, chunk, fill) AS (
+  SELECT bucket, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST({L} AS BIGINT)
+  FROM (SELECT DISTINCT bucket FROM docs)
+  UNION ALL
+  SELECT d.bucket, s2.i + 1,
+         CASE WHEN s2.fill + d.n <= {L} THEN s2.chunk ELSE s2.chunk + 1 END,
+         CASE WHEN s2.fill + d.n <= {L} THEN s2.fill + d.n ELSE d.n END
+  FROM st s2 JOIN docs d ON d.bucket = s2.bucket AND d.i = s2.i + 1),
+placed AS (
+  SELECT d.bucket, st.chunk, d.id, d.n, d.s, d.w
+  FROM st JOIN docs d ON d.bucket = st.bucket AND d.i = st.i),
+off AS (
+  SELECT *, sum(n) OVER (PARTITION BY bucket, chunk ORDER BY id
+           ROWS UNBOUNDED PRECEDING) - n AS o
+  FROM placed)
+SELECT bucket, chunk AS chunk_id,
+       CAST(sum(n) AS INT) AS n_tok,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(s) AS BIGINT) AS tok_sum,
+       CAST(sum(w + o * s) AS BIGINT) AS tok_wsum
+FROM off GROUP BY bucket, chunk
+"""

@@ -835,6 +835,25 @@ def q_corpus_build(spark, sf_dir):
         _tok_wsum())
 
 
+def q_pack_greedy(spark, sf_dir):
+    """Boundary-respecting greedy packing (no mid-document cuts):
+    lineitem token arrays hash-bucketed and NEXT-FIT packed into
+    ≤64-token chunks; the oracle replays the bucket hash in generated
+    SQL and the next-fit recurrence as a recursive CTE.  Per-chunk
+    n_tok/n_docs + content/order checksums pin chunk membership AND
+    intra-chunk order."""
+    from .functions import pack
+    tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
+                       "l_linenumber", "l_partkey", "lineitem")
+    packed = pack.pack_greedy(
+        tok.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   "tokens", "n_tok"), 64, buckets=32)
+    return packed.select(
+        "bucket", "chunk_id",
+        F.col("n_tok").cast("int").alias("n_tok"), "n_docs",
+        _tok_sum(), _tok_wsum())
+
+
 def q_pack_by_source(spark, sf_dir):
     """Per-domain sequence packing: each group (l_orderkey % 4 as a
     synthetic domain) packs as its own stream — chunks never mix
@@ -1688,6 +1707,7 @@ QUERIES = {
     "corpus_build": q_corpus_build,
     "pack_chunks": q_pack_chunks,
     "pack_by_source": q_pack_by_source,
+    "pack_greedy": q_pack_greedy,
     "stratified_sample": q_stratified_sample,
     # --- 3. highest-value stable gates ---
     "bitpack_roundtrip": q_bitpack_roundtrip,
@@ -2419,6 +2439,7 @@ FROM toks GROUP BY gp // 512
 """
 
 
+ORACLES["pack_greedy"] = oracles_xxh.pack_greedy_oracle(64, 32)
 ORACLES["tokenize"] = _tokenize_oracle()
 ORACLES["corpus_build"] = _corpus_build_oracle()
 ORACLES["corpus_shuffle"] = oracles_xxh.corpus_shuffle_oracle(SHUFFLE_SEED)

@@ -967,6 +967,45 @@ def test_wordpiece_tokenize(spark):
         assert got[d] == (want, len(want)), d
 
 
+def test_pack_greedy_boundary_respecting(spark):
+    """pack_greedy never cuts a document: every doc's tokens appear
+    contiguously inside exactly one chunk, all chunks fit chunk_len,
+    next-fit order within a bucket is doc-id order, and oversized /
+    NULL-id docs raise in-plan."""
+    from simdcomp_spark.functions import pack
+    rows = [(i, list(range(i * 10, i * 10 + 3 + (i % 4)))) for i in
+            range(1, 40)]
+    df = spark.createDataFrame(
+        [(d, t) for d, t in rows], "doc_id long, tokens array<int>")
+    out = pack.pack_greedy(df, 11, buckets=4).collect()
+    body = {d: t for d, t in rows}
+    seen = []
+    for r in out:
+        assert 0 < r["n_tok"] <= 11 and r["n_tok"] == len(r["tokens"])
+        toks = r["tokens"]
+        i = 0
+        docs_in_chunk = 0
+        while i < len(toks):            # chunk = concat of WHOLE docs
+            d = toks[i] // 10
+            assert toks[i:i + len(body[d])] == body[d], (r, d)
+            i += len(body[d])
+            docs_in_chunk += 1
+            seen.append(d)
+        assert docs_in_chunk == r["n_docs"]
+    assert sorted(seen) == sorted(body)      # every doc exactly once
+    # determinism: a different partitioning yields identical chunks
+    out2 = pack.pack_greedy(df.repartition(7), 11, buckets=4).collect()
+    key = lambda r: (r["bucket"], r["chunk_id"])  # noqa: E731
+    assert sorted([(key(r), r["tokens"]) for r in out]) == \
+        sorted([(key(r), r["tokens"]) for r in out2])
+    with pytest.raises(Exception, match="exceeds chunk_len"):
+        pack.pack_greedy(df, 5, buckets=4).collect()
+    withnull = spark.createDataFrame(
+        [(None, [1, 2])], "doc_id long, tokens array<int>")
+    with pytest.raises(Exception, match="contains NULL"):
+        pack.pack_greedy(withnull, 8).collect()
+
+
 def test_tokenize_c_dfa_matches_python_reference():
     """The C byte-trie DFA (native.tokenize_greedy) must be byte-identical
     to the scalar Python reference on adversarial inputs: NULLs, empty
