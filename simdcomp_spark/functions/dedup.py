@@ -293,7 +293,8 @@ def source_overlap(df: DataFrame, col: str = "text", k: int = 3,
 
 def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
                           source_col: str = "source",
-                          num_hashes: int = 128) -> DataFrame:
+                          num_hashes: int = 128,
+                          max_sources: int = 10_000) -> DataFrame:
     """MinHash estimate of :func:`source_overlap`'s Jaccard at any
     scale: per source, the min of ``num_hashes`` seeded XXH64s over its
     shingles (one aggregation, map-side combinable — the shuffle moves
@@ -301,7 +302,15 @@ def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
     signatures compare pairwise.  Returns ``(src_a, src_b, matches,
     num_hashes)``: matches/num_hashes estimates Jaccard with standard
     error ~= sqrt(J(1-J)/num_hashes).  Property-tested against the
-    exact operator."""
+    exact operator.
+
+    Scale bound (loud, in-plan): the pairwise signature compare is a
+    cross join over SOURCES — C(S, 2) output rows of ``num_hashes``
+    comparisons each.  That is the right tool for source/domain counts
+    (10s-1000s); above ``max_sources`` (default 10^4 ≈ 5·10^7 pairs) the
+    plan raises rather than letting the sketch be misused as a DOC-level
+    comparator (use minhash_lsh for documents — bucket-joined, never
+    all-pairs)."""
     sh = df.select(F.col(source_col).alias("src"),
                    F.explode(_shingles(col, k)).alias("sh"))
     # same seeded family as minhash_signatures (xxhash64(sh, i)), so
@@ -309,6 +318,19 @@ def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
     sig = sh.groupBy("src").agg(*[
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)])
+    # in-plan source-count guard: a window count over the (tiny: one row
+    # per source) signature frame; the guard column is FOLDED into the
+    # kept `matches` output (always 0 when within bounds) so column
+    # pruning cannot elide the check
+    from pyspark.sql import Window
+    n_src = F.count("*").over(Window.partitionBy())
+    sig = sig.withColumn(
+        "_guard",
+        F.when(n_src > max_sources, F.raise_error(F.lit(
+            f"source_overlap_sketch: more than {max_sources} distinct "
+            "sources — the pairwise signature compare is O(sources^2); "
+            "this is a SOURCE-level tool, use minhash_lsh for doc-level "
+            "near-dup"))).otherwise(F.lit(0)))
     a = sig.alias("a")
     b = sig.alias("b")
     matches = sum(
@@ -317,5 +339,5 @@ def source_overlap_sketch(df: DataFrame, col: str = "text", k: int = 3,
     return (a.join(b, F.col("a.src") < F.col("b.src"))
             .select(F.col("a.src").alias("src_a"),
                     F.col("b.src").alias("src_b"),
-                    matches.alias("matches"),
+                    (matches + F.col("a._guard")).alias("matches"),
                     F.lit(num_hashes).alias("num_hashes")))

@@ -12,6 +12,7 @@ pair-by-pair (the driver hashes values after sorting columns by name).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import engine, fixtures, kernels as K, oracles_xxh, strings
@@ -908,19 +909,33 @@ def q_vocab_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end: documents' bytes stand in for opaque
-    media payloads (no media libs in this container), the deterministic fake
-    decoder exercises the real Arrow/UDF/schema machinery."""
+    """Multimodal image path end-to-end on REAL PNG bytes: each document's
+    UTF-8 bytes become the pixels of an actual 16-wide grayscale PNG
+    (multimodal.encode_gray_png — stored zlib blocks, so the file size is
+    a pure function of the text length) and the REGISTERED image decoder
+    (Pillow when importable, else the stdlib zlib+unfilter PNG decoder)
+    decodes it inside extract_features.  n_bytes pins the exact PNG byte
+    length, frames pins the decoded pixel count — both recomputed by the
+    SQL oracle from octet_length(text) alone; pixel-level content
+    correctness is pinned in tests/test_functions.py with known images."""
     from .functions import multimodal as mm
+
+    @F.pandas_udf("binary")
+    def to_png(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: mm.encode_gray_png((t or "").encode("utf-8")))
+
     df = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        to_png("text").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(16).alias("width"), F.lit(0).alias("height"),
         F.lit(0).alias("duration_ms"))
-    feats = mm.extract_features(
-        df, decoders={"image": mm.deterministic_fake_decoder("image")})
+    # resolve the REAL decoder explicitly (not via the mutable module
+    # registry, which tests may repoint at the deterministic fake)
+    dec = mm.pillow_image_decoder() or mm.stdlib_png_decoder()
+    feats = mm.extract_features(df, decoders={"image": dec})
     return feats.select("media_id", "kind", "n_bytes", "frames")
 
 
@@ -2085,11 +2100,19 @@ SELECT doc_id,
 FROM documents
 """,
     "multimodal_features": """
+WITH g AS (
+  SELECT doc_id,
+         GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 16.0)
+                     AS BIGINT)) AS h
+  FROM documents),
+s AS (SELECT doc_id, h, h * 17 AS raw FROM g)
 SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 4
-            ELSE LEAST(64, octet_length(encode(text))) END AS INT) AS frames
-FROM documents
+       -- 57 fixed bytes (sig + IHDR + IDAT/IEND framing) + stored-zlib
+       -- stream: 2 hdr + 5 per stored block + raw + 4 adler
+       CAST(57 + 2 + 5 * CAST(CEIL(raw / 65535.0) AS BIGINT) + raw + 4
+            AS BIGINT) AS n_bytes,
+       CAST(16 * h AS INT) AS frames
+FROM s
 """,
     "quality": """
 SELECT doc_id,

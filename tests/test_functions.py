@@ -209,6 +209,88 @@ def test_cosine_neardup_pairs(spark):
     assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_stdlib_png_decoder_pixel_exact():
+    """The zero-dependency PNG decoder must reproduce pixels exactly for
+    every filter type (0-4 incl. Paeth), gray/RGB/RGBA/palette color
+    types, and refuse what it cannot decode.  The reference writer here
+    filters FORWARD from the spec independently of the decoder's
+    unfiltering (they share only RFC 2083)."""
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def write_png(px, ctype, filters, plte=None):
+        h, w, nch = px.shape
+        raw = bytearray()
+        prev = np.zeros(w * nch, dtype=np.int32)
+        for y in range(h):
+            line = px[y].reshape(-1).astype(np.int32)
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            for x in range(w * nch):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                        4: paeth(a, b, c)}[ft]
+                raw.append((int(line[x]) - pred) & 0xFF)
+            prev = line
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) \
+            + chunk(b"IEND", b"")
+
+    dec = multimodal.stdlib_png_decoder()
+    rng = np.random.default_rng(11)
+    # gray, every filter type exercised
+    g = rng.integers(0, 256, (7, 5, 1), dtype=np.uint8)
+    got = dec(write_png(g, 0, [0, 1, 2, 3, 4]), {})
+    assert np.array_equal(got, g.reshape(7, 5).astype(np.float32).ravel())
+    # RGB: luma formula
+    rgb = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    got = dec(write_png(rgb, 2, [4, 3, 1]), {})
+    f = rgb.astype(np.float32)
+    want = (.299 * f[:, :, 0] + .587 * f[:, :, 1] + .114 * f[:, :, 2])
+    assert np.allclose(got, want.astype(np.float32).ravel())
+    # RGBA: alpha ignored
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    got = dec(write_png(rgba, 6, [2, 4]), {})
+    f = rgba.astype(np.float32)
+    want = (.299 * f[:, :, 0] + .587 * f[:, :, 1] + .114 * f[:, :, 2])
+    assert np.allclose(got, want.astype(np.float32).ravel())
+    # palette
+    plte = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (5, 6, 1), dtype=np.uint8)
+    got = dec(write_png(idx, 3, [0, 1], plte=plte), {})
+    f = plte[idx[:, :, 0]].astype(np.float32)
+    want = (.299 * f[:, :, 0] + .587 * f[:, :, 1] + .114 * f[:, :, 2])
+    assert np.allclose(got, want.astype(np.float32).ravel())
+    # the deterministic writer round-trips through the decoder
+    data = bytes(range(256)) * 3
+    png = multimodal.encode_gray_png(data, width=16)
+    got = dec(png, {})
+    assert got[:len(data)].astype(np.uint8).tobytes() == data
+    assert got.size == 16 * -(-len(data) // 16)
+    # refusals: bad signature, 16-bit depth
+    with pytest.raises(ValueError, match="signature"):
+        dec(b"JUNK" + png, {})
+    deep = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0) + b"\0\0\0\0")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        dec(deep, {})
+
+
 def test_multimodal_plumbing(spark):
     multimodal.set_decoder("image", multimodal.deterministic_fake_decoder("image"))
     rows = [(f"m{i}", "image", bytes([i] * (100 + i)), "image/fake", 10, 10, 0)
@@ -268,14 +350,23 @@ def test_multimodal_default_decoders(spark):
         has_pil = False
     if not has_pil:
         # another test may have registered a fake image decoder globally;
-        # the contract under test is the PRISTINE registry (auto-detect
-        # found no Pillow → image must fail loudly)
+        # the contract under test is the PRISTINE registry: without
+        # Pillow, auto-detect registers the stdlib PNG decoder — the
+        # image path stays REAL (decodes an actual PNG end-to-end) and
+        # garbage payloads fail loudly instead of pretending
         saved = multimodal._DECODERS.pop("image", None)
         try:
-            assert "image" not in multimodal.register_default_decoders()
-            with pytest.raises(PythonException, match="no 'image' decoder"):
+            assert "image" in multimodal.register_default_decoders()
+            png = multimodal.encode_gray_png(bytes(range(64)), width=8)
+            ok_df = spark.createDataFrame(
+                [("p", "image", bytearray(png), "image/png", 8, 8, 0)],
+                multimodal.MEDIA_SCHEMA)
+            row = multimodal.extract_features(ok_df).collect()[0]
+            assert row["frames"] == 64 and row["n_bytes"] == len(png)
+            with pytest.raises(PythonException, match="not a PNG"):
                 multimodal.extract_features(img_df).collect()
         finally:
+            multimodal._DECODERS.pop("image", None)
             if saved is not None:
                 multimodal._DECODERS["image"] = saved
 
@@ -1096,3 +1187,8 @@ def test_source_overlap_exact_and_sketch(spark):
           for r in ddp.source_overlap_sketch(df, num_hashes=256).collect()}
     assert abs(sk[("a", "b")] - j_exact) < 0.12
     assert sk[("a", "c")] < 0.1 and sk[("b", "c")] < 0.1
+    # O(sources^2) misuse guard: above max_sources the plan raises
+    # loudly instead of running the quadratic signature compare
+    with pytest.raises(Exception, match="O\\(sources\\^2\\)"):
+        ddp.source_overlap_sketch(
+            df, num_hashes=8, max_sources=2).collect()
