@@ -24,11 +24,18 @@ Two self-contained layers:
   examples PUBLISHED IN the Avro 1.11 specification itself — zigzag
   table, the spec's record example, and a golden container file fixture
   (tests/test_iceberg.py::test_avro_wire_format_matches_spec_examples,
-  ::test_avro_golden_container_bytes) — and deflate-codec files built to
-  the spec's framing read back equal (::test_avro_deflate_codec_reads).
-  Codecs beyond null/deflate (snappy, zstd) are refused loudly;
-  cross-reading manifests written by a real Iceberg runtime is untested
-  here and should be validated before relying on it;
+  ::test_avro_golden_container_bytes) — deflate-codec files built to
+  the spec's framing read back equal (::test_avro_deflate_codec_reads) —
+  and a CLEAN-ROOM second reader implementation
+  (tests/avro_independent.py: its own varint/zigzag/union/block code,
+  strict sync-marker and block-consumption checks) cross-reads every
+  manifest, manifest list, and delete manifest the writer emits and
+  agrees record-for-record
+  (::test_avro_independent_reader_cross_reads_all_manifests).  Codecs
+  beyond null/deflate (snappy, zstd) are refused loudly; a golden
+  fixture from a real Iceberg runtime remains the one check this
+  environment cannot produce — validate against one before relying on
+  cross-runtime reads;
 * the **Iceberg table protocol**: ``export_encoded`` publishes an encoded
   DataFrame as a new Iceberg table, ``append`` commits another snapshot,
   ``read_table`` loads the current (or any historic) snapshot by walking
