@@ -196,11 +196,35 @@ def run_bench() -> dict:
     for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
                  "auto_roundtrip", "compressed_size", "exact_dedup",
                  "token_count", "ann_topk", "fsst_roundtrip",
-                 "pack_chunks", "tokenize", "corpus_build"):
+                 "pack_chunks", "pack_greedy", "tokenize", "corpus_build"):
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(spark, SF_DIR).count()
         queries[name] = time.perf_counter() - t0
+
+    # boundary-cut rate (stream-cut) vs fill utilization (greedy) at the
+    # SAME chunk_len over the same corpus — the trade the two packers make
+    try:
+        from pyspark.sql import functions as _Fp
+        from simdcomp_spark.functions import pack as _pk
+        from simdcomp_spark.queries import tokens_table as _tt
+        _tok = _tt(spark, SF_DIR, "lineitem", "l_orderkey",
+                   "l_linenumber", "l_partkey", "lineitem").select(
+            _Fp.col("doc_id").cast("long").alias("doc_id"),
+            "tokens", "n_tok")
+        _st = _pk.pack_chunks(_tok, 512, with_boundaries=True).agg(
+            _Fp.count("*").alias("c"),
+            _Fp.sum((( _Fp.size("doc_starts") == 0)
+                     | (_Fp.col("doc_starts")[0] != 0)).cast("int")
+                    ).alias("cont")).first()
+        extras["pack_stream_cut_rate"] = round(_st["cont"] / _st["c"], 4)
+        _gr = _pk.pack_greedy(_tok, 512, buckets=CPUS).agg(
+            _Fp.count("*").alias("c"),
+            _Fp.sum("n_tok").alias("t")).first()
+        extras["pack_greedy_fill"] = round(_gr["t"] / (_gr["c"] * 512), 4)
+        extras["pack_greedy_cut_rate"] = 0.0   # by construction
+    except Exception:
+        pass
 
     # indexed IVF: the index build is the amortized OFFLINE step (ivf_build
     # writes the partitioned table once; every later query prunes at the
@@ -241,6 +265,32 @@ def run_bench() -> dict:
         extras["fsst_decode_mb_s_core"] = round(
             flat.size / (time.perf_counter() - t0) / 1e6, 1)
         extras["fsst_ratio"] = round(enc.size / max(1, flat.size), 4)
+    except Exception:
+        pass
+
+    # tokenizer core throughput (single core, memo-cold, C trie DFA) on
+    # the real documents text — the per-core number the mapInArrow path
+    # scales with; numpy/python fallback path would report ~0.7
+    try:
+        import pyarrow.parquet as _pq
+        import pyarrow as _pa
+        from simdcomp_spark import native as _nat
+        from simdcomp_spark.functions import tokenize as _tk
+        col = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                             columns=["text"]).column("text")
+        col = col.combine_chunks()
+        if isinstance(col, _pa.ChunkedArray):
+            col = col.chunk(0)
+        trans, accept = _tk._trie_arrays(_tk.VOCAB)
+        data, starts, ends = _tk._string_slots(col)
+        res = _nat.tokenize_greedy(data, starts, ends, trans, accept,
+                                   _tk.UNK_ID)           # warm/compile
+        if res is not None:
+            t0 = time.perf_counter()
+            _flat, _lens = _nat.tokenize_greedy(
+                data, starts, ends, trans, accept, _tk.UNK_ID)
+            extras["tokenize_mtok_s_core"] = round(
+                int(_lens.sum()) / (time.perf_counter() - t0) / 1e6, 1)
     except Exception:
         pass
     out = {

@@ -82,7 +82,10 @@ def _trie_arrays(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
     ~100 MB for a 50k-entry learned vocab, built once per executor and
     shared by every task.  Entries may not contain the separator byte
     0x20 (the DFA treats it as a hard word boundary)."""
-    key = id(vocab)
+    # content key, not id(): a recycled object id after GC would silently
+    # serve the WRONG trie for a new vocabulary.  Hashing the items is a
+    # one-time ~ms cost per wordpiece_tokenize call, driver-side only.
+    key = (len(vocab), hash(frozenset(vocab.items())))
     hit = _TRIE_CACHE.get(key)
     if hit is not None:
         return hit
