@@ -65,11 +65,14 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import time
 import uuid
 import zlib
 from pathlib import Path
+
+import numpy as np
 
 import pyarrow as pa
 
@@ -570,6 +573,165 @@ def _load_metadata(table_dir: str) -> dict:
     return meta
 
 
+# ---------------------------------------------------------------------------
+# Partition transforms (Iceberg spec "Partition Transforms" + Appendix B
+# 32-bit hash requirements): identity, bucket[N], truncate[W]
+# ---------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit over ``data`` — the hash the Iceberg spec's
+    bucket transform requires (Appendix B; test-pinned to the spec's own
+    vectors: hash of long 34 = 2017239379, of "iceberg" = 1210000089)."""
+    c1, c2, M = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    h = seed & M
+    nblk = len(data) // 4
+    for i in range(nblk):
+        k = int.from_bytes(data[4 * i:4 * i + 4], "little")
+        k = rotl((k * c1) & M, 15) * c2 & M
+        h = (rotl(h ^ k, 13) * 5 + 0xE6546B64) & M
+    tail = data[4 * nblk:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        h ^= rotl((k * c1) & M, 15) * c2 & M
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    return h ^ (h >> 16)
+
+
+def _murmur3_32_long_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3_32 over int64 values hashed as the spec's
+    8-byte little-endian longs (ints hash as longs so int/long agree)."""
+    x = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+    u32 = np.uint32
+
+    def rotl(a, r):
+        return (a << u32(r)) | (a >> u32(32 - r))
+
+    h = np.zeros(x.size, np.uint32)                      # seed 0
+    for blk in (x & np.uint64(0xFFFFFFFF), x >> np.uint64(32)):
+        k = blk.astype(np.uint32)
+        k = rotl(k * u32(0xCC9E2D51), 15) * u32(0x1B873593)
+        h = rotl(h ^ k, 13) * u32(5) + u32(0xE6546B64)
+    h ^= u32(8)
+    h ^= h >> u32(16)
+    h *= u32(0x85EBCA6B)
+    h ^= h >> u32(13)
+    h *= u32(0xC2B2AE35)
+    return h ^ (h >> u32(16))
+
+
+def bucket_value(value, src_type: str, n: int) -> int | None:
+    """``bucket[n]`` of one value: (murmur3 & Int.MAX) % n, per spec."""
+    if value is None:
+        return None
+    if src_type in ("int", "long"):
+        h = murmur3_32(int(value).to_bytes(8, "little", signed=True))
+    elif src_type == "string":
+        h = murmur3_32(str(value).encode("utf-8"))
+    else:
+        raise NotImplementedError(f"bucket over {src_type!r}")
+    return (h & 0x7FFFFFFF) % n
+
+
+_PARTITION_BY_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$")
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+
+def _parse_partition_by(partition_by: str) -> tuple[str, str, int | None]:
+    """'col' → (identity, col, None); 'bucket(16, col)' → (bucket, col,
+    16); 'truncate(4, col)' → (truncate, col, 4)."""
+    m = _PARTITION_BY_RE.match(partition_by)
+    if m is None:
+        return "identity", partition_by.strip(), None
+    return m.group(1), m.group(3), int(m.group(2))
+
+
+def _transform_of(pf: dict) -> tuple[str, int | None]:
+    """(name, param) of a spec field's transform; refuses unknown ones
+    loudly (year/month/day/hour/void are not implemented here)."""
+    t = pf["transform"]
+    if t == "identity":
+        return "identity", None
+    m = _TRANSFORM_RE.match(t)
+    if m is None:
+        raise NotImplementedError(
+            f"partition transform {t!r} (identity, bucket[N], "
+            "truncate[W] supported)")
+    return m.group(1), int(m.group(2))
+
+
+def _transform_result_type(tname: str, src_type: str) -> str:
+    return "int" if tname == "bucket" else src_type
+
+
+def _transform_column(tname: str, param: int | None, src_col: str,
+                      src_type: str):
+    """Spark Column computing a transform of ``src_col`` — identity and
+    truncate are pure JVM expressions; bucket is a vectorized
+    (Arrow-batched) pandas UDF over the numpy murmur3 kernel for
+    int/long, per-value for string."""
+    if tname == "identity":
+        return F.col(src_col)
+    if tname == "truncate":
+        if src_type in ("int", "long"):
+            # spec: v - floorMod(v, W) — exact on negatives via pmod
+            return (F.col(src_col)
+                    - F.pmod(F.col(src_col), F.lit(int(param)))
+                    ).cast("int" if src_type == "int" else "long")
+        if src_type == "string":
+            return F.substring(F.col(src_col), 1, int(param))
+        raise NotImplementedError(f"truncate over {src_type!r}")
+    if tname == "bucket":
+        import pandas as pd_
+
+        if src_type in ("int", "long"):
+            def _b(s):
+                mask = s.isna()
+                vals = s.fillna(0).to_numpy(dtype="int64")
+                out = ((_murmur3_32_long_vec(vals)
+                        & np.uint32(0x7FFFFFFF))
+                       % np.uint32(int(param))).astype("int32")
+                res = pd_.Series(out, index=s.index, dtype="Int32")
+                res[mask] = None
+                return res
+        elif src_type == "string":
+            def _b(s):
+                return s.map(lambda v: None if v is None else
+                             bucket_value(v, "string", int(param))
+                             ).astype("Int32")
+        else:
+            raise NotImplementedError(f"bucket over {src_type!r}")
+        # real class objects, not string annotations — `from __future__
+        # import annotations` strings don't resolve inside pyspark's
+        # type-hint inference when pandas is imported locally
+        _b.__annotations__ = {"s": pd_.Series, "return": pd_.Series}
+        return F.pandas_udf(_b, "int")(F.col(src_col))
+    raise NotImplementedError(tname)
+
+
+def _spec_partition_exprs(spec: dict, schema: dict) -> list[tuple[str, object]]:
+    """[(partition field name, Spark Column)] computing every spec
+    field's transform from the table schema — the single source for the
+    physical ``partitionBy`` layout in append/export AND compaction."""
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for pf in spec["fields"]:
+        tname, param = _transform_of(pf)
+        src = by_id[pf["source-id"]]
+        out.append((pf["name"],
+                    _transform_column(tname, param, src["name"],
+                                      src["type"])))
+    return out
+
+
 def _part_values_of(path: str, part_cols: list[str],
                     types: dict[str, str]) -> dict:
     """Identity-partition values of a data file, parsed from its Hive-style
@@ -630,25 +792,35 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
             raise ValueError("partition_by is set at table creation; "
                              "appends inherit the table's spec")
     elif partition_by:
-        f = by_name.get(partition_by)
+        tname, src_col, param = _parse_partition_by(partition_by)
+        f = by_name.get(src_col)
         if f is None or f["type"] not in _ICEBERG_TO_AVRO:
             raise ValueError(
                 f"partition_by={partition_by!r}: need an existing "
                 f"string/int/long column, have "
                 f"{ {k: v['type'] for k, v in by_name.items()} }")
+        if tname == "bucket" and f["type"] not in ("int", "long",
+                                                   "string"):
+            raise NotImplementedError(
+                f"bucket over {f['type']!r} (int/long/string)")
+        if param is not None and param <= 0:
+            raise ValueError(f"{tname} parameter must be positive")
+        pname = (src_col if tname == "identity"
+                 else f"{src_col}_{tname}")
+        tstr = "identity" if tname == "identity" else f"{tname}[{param}]"
         spec = {"spec-id": 0, "fields": [
-            {"name": partition_by, "transform": "identity",
+            {"name": pname, "transform": tstr,
              "source-id": f["id"], "field-id": 1000}]}
     else:
         spec = {"spec-id": 0, "fields": []}
+    by_id = {f["id"]: f for f in table_schema["fields"]}
+    part_cols, part_types, part_fields = [], {}, []
     for pf in spec["fields"]:
-        if pf["transform"] != "identity":
-            raise NotImplementedError(
-                f"partition transform {pf['transform']!r} (identity only)")
-    part_cols = [pf["name"] for pf in spec["fields"]]
-    part_types = {c: by_name[c]["type"] for c in part_cols}
-    part_fields = [(pf["name"], part_types[pf["name"]], pf["field-id"])
-                   for pf in spec["fields"]]
+        tname, _param = _transform_of(pf)        # loud on unknown
+        rt = _transform_result_type(tname, by_id[pf["source-id"]]["type"])
+        part_cols.append(pf["name"])
+        part_types[pf["name"]] = rt
+        part_fields.append((pf["name"], rt, pf["field-id"]))
 
     # 1. data files (append into a per-snapshot subdir — no clobbering).
     # Field-id stamping: new tables always (rename/drop/promote safe),
@@ -663,8 +835,8 @@ def _write_snapshot(spark, table_dir: str, df: DataFrame,
     out = str(data_dir / f"snap-{snap_id}")
     if part_cols:
         dup = df
-        for c in part_cols:
-            dup = dup.withColumn(f"_p_{c}", F.col(c))
+        for name, expr in _spec_partition_exprs(spec, table_schema):
+            dup = dup.withColumn(f"_p_{name}", expr)
         dup.write.mode("error").partitionBy(
             *[f"_p_{c}" for c in part_cols]).parquet(out)
         files = sorted(str(p) for p in Path(out).rglob("*.parquet"))
@@ -1309,20 +1481,45 @@ def prune_files(table_dir: str, col: str, lo=None, hi=None,
     fid, ftype = fields[col]["id"], fields[col]["type"]
     spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
     part_field = next((pf for pf in spec["fields"]
-                       if pf["source-id"] == fid
-                       and pf["transform"] == "identity"), None)
+                       if pf["source-id"] == fid), None)
+    tname = param = None
+    if part_field is not None:
+        tname, param = _transform_of(part_field)
+        bucket_eq = (bucket_value(lo, ftype, param)
+                     if tname == "bucket" and lo is not None
+                     and lo == hi else None)
     out = []
     for d in entries:
         if part_field is not None:
-            # identity-partitioned column: the partition struct holds the
-            # file's exact value — prune from the SPEC, no bounds read
             pv = (d.get("partition") or {}).get(part_field["name"])
             if pv is not None:
-                if (hi is not None and pv > hi) or \
-                   (lo is not None and pv < lo):
+                if tname == "identity":
+                    # the partition struct holds the file's exact value —
+                    # prune from the SPEC, no bounds read
+                    if (hi is not None and pv > hi) or \
+                       (lo is not None and pv < lo):
+                        continue
+                    out.append(d)
                     continue
-                out.append(d)
-                continue
+                if tname == "bucket":
+                    # only an EQUALITY probe prunes a hash bucket; range
+                    # predicates fall through to the column bounds below
+                    if bucket_eq is not None and pv != bucket_eq:
+                        continue
+                elif tname == "truncate":
+                    # file holds values v with truncate(v) == pv:
+                    # ints cover [pv, pv+W); strings have prefix pv
+                    # (so v >= pv) — prune on the SOUND directions only,
+                    # bounds below refine the rest
+                    if ftype in ("int", "long"):
+                        if (hi is not None and pv > hi) or \
+                           (lo is not None and pv + param - 1 < lo):
+                            continue
+                    else:
+                        if (hi is not None and pv > hi) or \
+                           (lo is not None and len(lo) >= param
+                                and pv < lo[:param]):
+                            continue
         lbs = {e["key"]: e["value"] for e in (d.get("lower_bounds") or [])}
         ubs = {e["key"]: e["value"] for e in (d.get("upper_bounds") or [])}
         if fid in lbs and fid in ubs:
@@ -1837,8 +2034,11 @@ def _spec_part_fields(meta: dict) -> tuple[dict, list[tuple]]:
     table's default spec — the manifest-entry partition-struct schema."""
     spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
     by_id = {f["id"]: f for f in _current_schema(meta)["fields"]}
-    return spec, [(pf["name"], by_id[pf["source-id"]]["type"],
-                   pf["field-id"]) for pf in spec["fields"]]
+    return spec, [
+        (pf["name"],
+         _transform_result_type(_transform_of(pf)[0],
+                                by_id[pf["source-id"]]["type"]),
+         pf["field-id"]) for pf in spec["fields"]]
 
 
 def _mlist_record(manifest_path: str, spec_id: int, content: int,
@@ -2153,8 +2353,8 @@ def compact_files(spark: SparkSession, table_dir: str) -> dict:
     out = str(Path(table_dir) / "data" / f"snap-{snap_id}")
     if part_cols:
         dup = df
-        for c in part_cols:
-            dup = dup.withColumn(f"_p_{c}", F.col(c))
+        for name, expr in _spec_partition_exprs(spec, schema):
+            dup = dup.withColumn(f"_p_{name}", expr)
         dup.write.mode("error").partitionBy(
             *[f"_p_{c}" for c in part_cols]).parquet(out)
         files = sorted(str(p) for p in Path(out).rglob("*.parquet"))

@@ -1202,37 +1202,50 @@ def q_iceberg_prune(spark, sf_dir):
 
 
 def q_iceberg_partition_prune(spark, sf_dir):
-    """Identity partition spec end-to-end: customer published PARTITIONED
-    BY c_mktsegment (iceberg.export_encoded(partition_by=...)), manifests
-    carry the partition value per file and — asserted here — NO column
-    bounds for the partition column, so the file pruning for the segment
-    filter can only come from the partition SPEC.  Raises unless files
-    were actually dropped, so the gate cannot pass on a full scan."""
+    """All three partition transforms end-to-end — identity, bucket[8]
+    (spec murmur3, Appendix-B-pinned), truncate[2] — each on its own
+    customer table: manifests carry the transformed partition value per
+    file and each probe must STRICTLY reduce the live file set from the
+    spec alone before the exact row filter runs (raises otherwise, so
+    the gate cannot pass on a full scan).  Identity additionally asserts
+    the partition column carries NO manifest bounds (spec-level pruning
+    is the only possible source)."""
     import os
     from . import iceberg
     base = _stream_tmp(sf_dir, "icebergpart")
-    table = os.path.join(base, "table")
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal")
-    meta = iceberg.export_encoded(cust, table, partition_by="c_mktsegment")
-    seg_fid = next(f["id"] for f in meta["schemas"][0]["fields"]
-                   if f["name"] == "c_mktsegment")
-    live = iceberg.data_files(table)
-    for d in live:
-        if seg_fid in {e["key"] for e in (d.get("lower_bounds") or [])}:
+    parts = []
+    for mode, pby, probe in (
+            ("identity", "c_mktsegment",
+             ("c_mktsegment", "BUILDING", "BUILDING")),
+            ("bucket", "bucket(8, c_custkey)", ("c_custkey", 7, 7)),
+            ("truncate", "truncate(2, c_mktsegment)",
+             ("c_mktsegment", "MACHINERY", "MACHINERY"))):
+        table = os.path.join(base, mode)
+        meta = iceberg.export_encoded(cust, table, partition_by=pby)
+        live = iceberg.data_files(table)
+        if mode == "identity":
+            seg_fid = next(f["id"] for f in meta["schemas"][0]["fields"]
+                           if f["name"] == "c_mktsegment")
+            for d in live:
+                if seg_fid in {e["key"]
+                               for e in (d.get("lower_bounds") or [])}:
+                    raise AssertionError(
+                        "partition column carries manifest bounds — the "
+                        "prune below would not prove spec-level pruning")
+        pruned = iceberg.prune_files(table, *probe)
+        if not 0 < len(pruned) < len(live):
             raise AssertionError(
-                "partition column carries manifest bounds — the prune "
-                "below would not prove spec-level pruning")
-    pruned = iceberg.prune_files(table, "c_mktsegment",
-                                 "BUILDING", "BUILDING")
-    if not 0 < len(pruned) < len(live):
-        raise AssertionError(
-            f"partition spec pruned {len(live)}->{len(pruned)} files; "
-            "expected a strict reduction")
-    return (iceberg.read_table(
-                spark, table,
-                between=("c_mktsegment", "BUILDING", "BUILDING"))
-            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+                f"{mode}: partition spec pruned {len(live)}->"
+                f"{len(pruned)} files; expected a strict reduction")
+        parts.append(iceberg.read_table(spark, table, between=probe)
+                     .select(F.lit(mode).alias("mode"), "c_custkey",
+                             "c_mktsegment", "c_acctbal"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_iceberg_pos_delete(spark, sf_dir):
@@ -2196,8 +2209,14 @@ WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey) // 4 FROM orders)
                      AND (SELECT (2 * MAX(o_orderkey)) // 5 FROM orders)
 """,
     "iceberg_partition_prune": """
-SELECT c_custkey, c_mktsegment, c_acctbal
+SELECT 'identity' AS mode, c_custkey, c_mktsegment, c_acctbal
 FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'bucket' AS mode, c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_custkey = 7
+UNION ALL
+SELECT 'truncate' AS mode, c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_mktsegment = 'MACHINERY'
 """,
     "iceberg_roundtrip": """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -171,6 +171,92 @@ def test_avro_independent_reader_cross_reads_all_manifests(
     assert n_records >= 6
 
 
+def test_partition_transform_hash_spec_vectors():
+    """The bucket transform's hash is pinned to the Iceberg spec's own
+    Appendix B vectors: murmur3_x86_32 of long 34 (8-byte LE) is
+    2017239379 — identical for int 34, since ints hash as longs — and of
+    the UTF-8 bytes of "iceberg" is 1210000089.  The vectorized numpy
+    kernel must agree with the scalar byte implementation everywhere,
+    including negatives."""
+    import numpy as np
+    assert iceberg.murmur3_32((34).to_bytes(8, "little")) == 2017239379
+    assert iceberg.murmur3_32(b"iceberg") == 1210000089
+    assert iceberg.bucket_value(34, "long", 16) == \
+        iceberg.bucket_value(34, "int", 16) == 2017239379 % 16
+    vals = np.array([0, 1, -1, 34, 2**62, -2**62, 123456789],
+                    dtype=np.int64)
+    vec = iceberg._murmur3_32_long_vec(vals)
+    for i, v in enumerate(vals):
+        assert int(vec[i]) == iceberg.murmur3_32(
+            int(v).to_bytes(8, "little", signed=True)), v
+
+
+def test_partition_transforms_end_to_end(spark, tmp_path):
+    """bucket[N] and truncate[W] partition specs: the manifest partition
+    struct carries the TRANSFORMED value (int bucket id / truncated
+    value), equality probes prune buckets strictly, range probes prune
+    truncate partitions, appends inherit the transform, compaction
+    rewrites into the same layout, and unknown transforms are refused
+    loudly."""
+    df = spark.range(0, 400).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"))
+        .alias("w"),
+        (F.col("id") * 3).cast("int").alias("v"))
+
+    tb = str(tmp_path / "bkt")
+    meta = iceberg.export_encoded(df, tb, partition_by="bucket(8, k)")
+    pf = meta["partition-specs"][0]["fields"][0]
+    assert pf["transform"] == "bucket[8]" and pf["name"] == "k_bucket"
+    live = iceberg.data_files(tb)
+    assert {d["partition"]["k_bucket"] for d in live} == set(range(8))
+    # every file's partition value is the spec bucket of its rows
+    for d in live:
+        b = d["partition"]["k_bucket"]
+        ks = [r["k"] for r in spark.read.parquet(d["file_path"])
+              .select("k").collect()]
+        assert all(iceberg.bucket_value(k, "long", 8) == b for k in ks)
+    pruned = iceberg.prune_files(tb, "k", 123, 123)
+    want_b = iceberg.bucket_value(123, "long", 8)
+    assert pruned and {d["partition"]["k_bucket"] for d in pruned} == \
+        {want_b} and len(pruned) < len(live)
+    got = iceberg.read_table(spark, tb, between=("k", 123, 123)).collect()
+    assert len(got) == 1 and got[0]["k"] == 123
+    # append inherits; compaction keeps the layout
+    iceberg.append(df.limit(50), tb)
+    iceberg.delete_where(spark, tb, F.col("k") == 123)
+    res = iceberg.compact_files(spark, tb)
+    assert res is not None
+    assert iceberg.read_table(
+        spark, tb, between=("k", 123, 123)).count() == 0
+    after = iceberg.data_files(tb)
+    assert all("k_bucket" in d["partition"] for d in after)
+
+    tt = str(tmp_path / "trunc")
+    iceberg.export_encoded(df, tt, partition_by="truncate(100, k)")
+    livet = iceberg.data_files(tt)
+    assert {d["partition"]["k_truncate"] for d in livet} == \
+        {0, 100, 200, 300}
+    assert {d["partition"]["k_truncate"]
+            for d in iceberg.prune_files(tt, "k", 150, 250)} == {100, 200}
+    assert iceberg.read_table(spark, tt, between=("k", 150, 250)) \
+        .count() == 101
+
+    # bucket over a string column (per-value murmur3 over UTF-8 bytes)
+    ts = str(tmp_path / "bstr")
+    iceberg.export_encoded(df, ts, partition_by="bucket(4, w)")
+    pruned_s = iceberg.prune_files(ts, "w", "w3", "w3")
+    assert 0 < len(pruned_s) < len(iceberg.data_files(ts))
+    assert iceberg.read_table(spark, ts, between=("w", "w3", "w3")) \
+        .count() == df.where(F.col("w") == "w3").count()
+
+    with pytest.raises(ValueError, match="need an existing"):
+        iceberg.export_encoded(df, str(tmp_path / "bad"),
+                               partition_by="bucket(4, nope)")
+    with pytest.raises(NotImplementedError, match="transform"):
+        iceberg._transform_of({"transform": "year"})
+
+
 def test_first_commit_crash_window_hintless_table(spark, unit_df, tmp_path):
     """A writer that crashed between publishing v1.metadata.json (the
     commit point) and writing version-hint.text has still COMMITTED the
@@ -537,10 +623,12 @@ def test_partition_spec_identity_on_source(spark, tmp_path):
         iceberg._write_snapshot(spark, table, df,
                                 iceberg._load_metadata(table),
                                 partition_by="source")
-    # non-identity specs are refused, not silently mis-partitioned
+    # unimplemented transforms are refused, not silently mis-partitioned
+    # (bucket[N]/truncate[W] are implemented — see
+    # test_partition_transforms_end_to_end)
     meta2 = iceberg._load_metadata(table)
-    meta2["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
-    with pytest.raises(NotImplementedError, match="identity"):
+    meta2["partition-specs"][0]["fields"][0]["transform"] = "year"
+    with pytest.raises(NotImplementedError, match="transform"):
         iceberg._write_snapshot(spark, table, df, meta2)
 
 
