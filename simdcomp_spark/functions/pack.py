@@ -271,17 +271,20 @@ def pack_greedy(df_tokens: DataFrame, chunk_len: int,
     L = int(chunk_len)
 
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .. import native
         pdf = pdf.sort_values("_id", kind="mergesort")
-        ns = pdf["_n"].to_numpy()
-        chunk = np.empty(ns.size, dtype=np.int64)
-        cid, fill = 0, L   # fill=L forces the first doc to open chunk 1
-        for i, n in enumerate(ns):       # next-fit: sequential by design
-            if fill + n <= L:
-                fill += n
-            else:
-                cid += 1
-                fill = n
-            chunk[i] = cid
+        ns = pdf["_n"].to_numpy(dtype="int64")
+        chunk = native.next_fit(ns, L)   # C loop: ~100M docs/s/core
+        if chunk is None:                # no toolchain: identical Python
+            chunk = np.empty(ns.size, dtype=np.int64)
+            cid, fill = 0, L   # fill=L forces first doc to open chunk 1
+            for i, n in enumerate(ns):   # next-fit: sequential by design
+                if fill + n <= L:
+                    fill += n
+                else:
+                    cid += 1
+                    fill = n
+                chunk[i] = cid
         return pd.DataFrame({"_id": pdf["_id"], "_bkt": pdf["_bkt"],
                              "_chunk": chunk})
 

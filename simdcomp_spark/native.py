@@ -672,6 +672,21 @@ void content_hash(const uint32_t *flat, const int64_t *row_off,
     }
 }
 
+/* Next-fit bin packing over one bucket's doc sizes: chunk[i] is the
+ * 1-based running chunk id; a doc opens a new chunk when it no longer
+ * fits.  Sequential by definition (each decision depends on the running
+ * fill) — the distribution axis is the BUCKET, this loop is per bucket. */
+void next_fit(const int64_t *ns, int64_t n, int64_t cap, int64_t *chunk)
+{
+    int64_t cid = 0, fill = cap;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t v = ns[i];
+        if (fill + v <= cap) fill += v;
+        else { cid += 1; fill = v; }
+        chunk[i] = cid;
+    }
+}
+
 /* Greedy longest-match subword tokenizer over a byte-trie DFA.
  *
  * The trie is vocabulary-agnostic, built caller-side as numpy arrays:
@@ -742,9 +757,9 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             d = _build_dir()
-            so = os.path.join(d, "simdcomp_kernels_v13.so")
+            so = os.path.join(d, "simdcomp_kernels_v14.so")
             if not os.path.exists(so):
-                src = os.path.join(d, "simdcomp_kernels_v13.c")
+                src = os.path.join(d, "simdcomp_kernels_v14.c")
                 with open(src, "w") as f:
                     f.write(_C_SRC)
                 tmp = so + f".tmp.{os.getpid()}"
@@ -802,6 +817,8 @@ def _load() -> ctypes.CDLL | None:
             lib.rle_runs.argtypes = [u32p, i64p, i64, u32p, i64p, i64p]
             lib.content_hash.restype = None
             lib.content_hash.argtypes = [u32p, i64p, i64, u64p]
+            lib.next_fit.restype = None
+            lib.next_fit.argtypes = [i64p, i64, i64, i64p]
             lib.tokenize_greedy.restype = None
             lib.tokenize_greedy.argtypes = [u8p, i64p, i64p, i64, i32p,
                                             i32p, ctypes.c_int32, i32p,
@@ -1077,3 +1094,16 @@ def tokenize_greedy(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                         ctypes.c_int32(unk_id), _pi32(out), _p64(out_lens))
     total = int(out_lens[:nrows].sum())
     return out[:total], out_lens[:nrows]
+
+
+def next_fit(ns: np.ndarray, cap: int) -> np.ndarray | None:
+    """C next-fit chunk assignment over one bucket's doc sizes; returns
+    1-based int64 chunk ids, or None when the C toolchain is unavailable
+    (caller falls back to the identical Python loop)."""
+    lib = _load()
+    if lib is None:
+        return None
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    out = np.empty(max(ns.size, 1), dtype=np.int64)
+    lib.next_fit(_p64(ns), ns.size, int(cap), _p64(out))
+    return out[:ns.size]

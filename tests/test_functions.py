@@ -1097,6 +1097,39 @@ def test_pack_greedy_boundary_respecting(spark):
         pack.pack_greedy(withnull, 8).collect()
 
 
+def test_next_fit_c_matches_python_reference():
+    """native.next_fit (the C inner loop of pack_greedy's per-bucket
+    assignment) must match the Python next-fit loop exactly — same
+    1-based running chunk ids — on random doc-size streams, including
+    empty input and docs that exactly fill the cap."""
+    from simdcomp_spark import native
+    if native._load() is None:
+        pytest.skip("no C toolchain")
+
+    def py_next_fit(ns, cap):
+        chunk = np.empty(ns.size, dtype=np.int64)
+        cid, fill = 0, cap
+        for i, v in enumerate(ns):
+            if fill + v <= cap:
+                fill += v
+            else:
+                cid += 1
+                fill = v
+            chunk[i] = cid
+        return chunk
+
+    rng = np.random.default_rng(13)
+    cases = [(np.array([], dtype=np.int64), 8),
+             (np.array([8, 8, 8], dtype=np.int64), 8)]
+    for _ in range(50):
+        cap = int(rng.integers(1, 64))
+        n = int(rng.integers(0, 400))
+        cases.append((rng.integers(1, cap + 1, n).astype(np.int64), cap))
+    for ns, cap in cases:
+        got = native.next_fit(ns, cap)
+        assert (got == py_next_fit(ns, cap)).all(), (ns[:8], cap)
+
+
 def test_tokenize_c_dfa_matches_python_reference():
     """The C byte-trie DFA (native.tokenize_greedy) must be byte-identical
     to the scalar Python reference on adversarial inputs: NULLs, empty
