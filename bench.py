@@ -196,7 +196,8 @@ def run_bench() -> dict:
     for name in ("bitpack_roundtrip", "for_roundtrip", "d1_roundtrip",
                  "auto_roundtrip", "compressed_size", "exact_dedup",
                  "token_count", "ann_topk", "fsst_roundtrip",
-                 "pack_chunks", "pack_greedy", "tokenize", "corpus_build"):
+                 "pack_chunks", "pack_greedy", "tokenize", "corpus_build",
+                 "intersect_postings"):
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(spark, SF_DIR).count()

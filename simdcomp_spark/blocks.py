@@ -447,6 +447,103 @@ def search_sorted_for_flat(lens: np.ndarray, widths: np.ndarray,
     return out
 
 
+def intersect_sorted_flat(lens_a: np.ndarray, widths_a: np.ndarray,
+                          inits_a: np.ndarray, payload_a: np.ndarray,
+                          plens_a: np.ndarray,
+                          lens_b: np.ndarray, widths_b: np.ndarray,
+                          inits_b: np.ndarray, payload_b: np.ndarray,
+                          plens_b: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Rowwise sorted-set intersection of two d1-encoded batches — the
+    inverted-index SvS kernel the reference's search/select symbols exist
+    to serve (``simdsearchd1``'s per-block init zone map,
+    /root/reference/src/simdpackedsearch.c, applied list-vs-list).
+
+    Per row r: values common to A[r] and B[r], both SORTED ascending
+    (the d1 contract :func:`search_sorted_flat` already assumes).  Side A
+    (callers pass the smaller/probe side) decodes fully — one batched
+    pass; side B is ZONE-SKIPPED: a B block decodes only when some A
+    value of the same row falls inside its [init_b, next_init_b]
+    envelope, so probe lists touching few blocks leave most of B's
+    payload bytes unread.  With strictly increasing rows this is set
+    intersection; if B carries duplicates the output keeps B's
+    multiplicity for matched values.
+
+    Everything is batch-vectorized — the per-row membership tests ride on
+    ONE global ``searchsorted`` over (row_index << 32 | value) uint64
+    keys, monotone because rows are concatenated in order and sorted
+    within.  Returns (flat uint32 matches, int64 match count per row).
+    """
+    lens_a = np.asarray(lens_a, dtype=np.int64)
+    lens_b = np.asarray(lens_b, dtype=np.int64)
+    nrows = lens_a.size
+    assert lens_b.size == nrows, (lens_a.size, lens_b.size)
+    out_lens = np.zeros(nrows, dtype=np.int64)
+    if nrows == 0 or int(lens_a.sum()) == 0 or int(lens_b.sum()) == 0:
+        return np.zeros(0, dtype=U32), out_lens
+
+    # side A: full batched decode → global monotone uint64 keys
+    flat_a = decode_flat(lens_a, widths_a, inits_a, payload_a, plens_a,
+                         "d1")
+    row_of_a = np.repeat(np.arange(nrows, dtype=np.uint64),
+                         lens_a).astype(np.uint64)
+    keyed_a = (row_of_a << np.uint64(32)) | flat_a.astype(np.uint64)
+
+    # side B geometry + per-block sorted-d1 envelopes (same zone math as
+    # engine.contains_token's assume_sorted path: block b's values lie in
+    # [init_b, init_{b+1}], each row's LAST block bounded by its own
+    # cumulative-delta span)
+    (row_id, blk_len, nblocks, widths_b, sizes, excl,
+     row_first_block) = _block_geometry(lens_b, widths_b)
+    total_blocks = row_id.size
+    inits_b = np.ascontiguousarray(inits_b, dtype=U32)
+    payload_b = np.ascontiguousarray(payload_b, dtype=np.uint8)
+    row_pl_starts = np.concatenate(([0], np.cumsum(plens_b)[:-1]))
+    row_base = excl[np.minimum(row_first_block, total_blocks - 1)]
+    src_start = row_pl_starts[row_id] + (excl - row_base[row_id])
+
+    span = np.where(widths_b >= 32, np.int64(0xFFFFFFFF),
+                    (np.int64(1) << widths_b.astype(np.int64)) - 1)
+    lb = inits_b.astype(np.int64)
+    ub = np.empty(total_blocks, dtype=np.int64)
+    ub[:-1] = lb[1:]
+    ne = np.nonzero(nblocks > 0)[0]
+    last_blk = row_first_block[ne] + nblocks[ne] - 1
+    blen_last = lens_b[ne] - K.FULL_BLOCK * (nblocks[ne] - 1)
+    ub[last_blk] = np.minimum(lb[last_blk] + blen_last * span[last_blk],
+                              0xFFFFFFFF)
+
+    rk = row_id.astype(np.uint64) << np.uint64(32)
+    g_lb = rk | lb.astype(np.uint64)
+    g_ub = rk | ub.astype(np.uint64)
+    surv = np.nonzero(np.searchsorted(keyed_a, g_lb, side="left")
+                      < np.searchsorted(keyed_a, g_ub, side="right"))[0]
+    if surv.size == 0:
+        return np.zeros(0, dtype=U32), out_lens
+
+    # decode ONLY surviving blocks, grouped by (block length, width)
+    cand_lens = blk_len[surv]
+    cand_off = np.cumsum(cand_lens) - cand_lens
+    cand_flat = np.empty(int(cand_lens.sum()), dtype=U32)
+    keys = cand_lens * 64 + widths_b[surv].astype(np.int64)
+    for key in np.unique(keys):
+        blen, b = int(key) // 64, int(key) % 64
+        sel = np.nonzero(keys == key)[0]
+        vals = _decode_block_group(payload_b, src_start[surv[sel]], blen,
+                                   b, "d1", inits_b[surv[sel]])
+        idx = cand_off[sel][:, None] + np.arange(blen, dtype=np.int64)
+        cand_flat[idx] = vals
+
+    cand_row = np.repeat(row_id[surv], cand_lens).astype(np.uint64)
+    keyed_c = (cand_row << np.uint64(32)) | cand_flat.astype(np.uint64)
+    pos = np.searchsorted(keyed_a, keyed_c, side="left")
+    hit = pos < keyed_a.size
+    hit[hit] = keyed_a[pos[hit]] == keyed_c[hit]
+    out_lens = np.bincount(cand_row[hit].astype(np.int64),
+                           minlength=nrows).astype(np.int64)
+    return cand_flat[hit], out_lens
+
+
 # ---------------------------------------------------------------------------
 # list-of-bytes wrappers (codec-registry interface; tests + pandas UDF path)
 # ---------------------------------------------------------------------------

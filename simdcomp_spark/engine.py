@@ -1223,6 +1223,61 @@ def minmax_sorted(df_encoded: DataFrame) -> DataFrame:
                    "min_tok int, max_tok int")
 
 
+def intersect_encoded(df_pairs: DataFrame, key_cols: list[str]
+                      ) -> DataFrame:
+    """Compressed-domain sorted-set intersection over PAIRED encoded rows
+    — the inverted-index SvS query the reference's packed search/select
+    symbols serve (simdsearchd1's init zone map,
+    /root/reference/src/simdpackedsearch.c, applied list-vs-list without
+    decompressing the large side).
+
+    ``df_pairs`` carries, per row, two d1-encoded SORTED lists as
+    ``a_n_tok, a_codec, a_widths, a_inits, a_payload`` and the ``b_``
+    quintuple (build it with a join; broadcast the probe side — side A
+    is decoded fully, side B only where its per-block zone envelopes
+    admit an A value), plus any ``key_cols`` to pass through.  Returns
+    key_cols + ``common`` (array<int>, ascending) + ``n_common``.
+    Non-d1 rows raise in-plan: the zone math is sound only for the d1
+    family's chain inits (re-encode with codec='d1' first)."""
+    sides = [f"{s}_{c}" for s in ("a", "b")
+             for c in ("n_tok", "codec", "widths", "inits", "payload")]
+    src = df_pairs.select(*key_cols, *sides)
+    nk = len(key_cols)
+    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in src.schema.fields[:nk])
+
+    def fn(it):
+        from . import blocks as B
+        for batch in it:
+            col = {n: batch.column(nk + i) for i, n in enumerate(sides)}
+            bad = set()
+            for s in ("a", "b"):
+                bad |= set(col[f"{s}_codec"].unique().to_pylist()) - {"d1"}
+            if bad:
+                raise ValueError(
+                    f"intersect_encoded: d1-only (sorted zone maps); got "
+                    f"codec(s) {sorted(bad)} — re-encode with codec='d1'")
+            args = []
+            for s in ("a", "b"):
+                n_toks = col[f"{s}_n_tok"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                wf, _wl = _binary_to_flat(col[f"{s}_widths"])
+                inf_, _il = _binary_to_flat(col[f"{s}_inits"])
+                pf, pl = _binary_to_flat(col[f"{s}_payload"])
+                args += [n_toks, wf,
+                         np.ascontiguousarray(inf_).view(np.uint32),
+                         pf, pl]
+            out_flat, out_lens = B.intersect_sorted_flat(*args)
+            yield pa.RecordBatch.from_arrays(
+                [*(batch.column(i) for i in range(nk)),
+                 _list_from_flat(out_flat.view(np.int32), out_lens),
+                 pa.array(out_lens.astype(np.int32))],
+                names=[*key_cols, "common", "n_common"])
+
+    return src.mapInArrow(
+        fn, schema=f"{key_schema}, common array<int>, n_common int")
+
+
 def _strong_content_hash(cand: DataFrame) -> DataFrame:
     """Decode candidate rows and stamp a CRYPTOGRAPHIC per-row content hash
     (sha256 over the raw little-endian int32 token bytes).

@@ -855,6 +855,40 @@ def q_pack_greedy(spark, sf_dir):
         _tok_sum(), _tok_wsum())
 
 
+def q_intersect_postings(spark, sf_dir):
+    """Compressed-domain inverted-index intersection (SvS) — the query
+    simdcomp's packed search/select symbols exist to serve
+    (/root/reference/src/simdpackedsearch.c): posting lists (event_type
+    → sorted distinct user_ids) are d1-encoded, then every type pair is
+    intersected WITHOUT decompressing the large side — side B decodes
+    only blocks whose [init, next-init] zone envelopes admit a probe
+    value (payload skipping proven by the poisoned-payload pytest).
+    Plan: tiny probe side broadcast, one mapInArrow, no other exchange.
+    Oracle: plain self-join on the distinct (type, user) pairs."""
+    ev = _t(spark, sf_dir, "events")
+    posting = (
+        ev.select("event_type", F.col("user_id").cast("long").alias("u"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.col("u").cast("int")))
+             .alias("tokens")))
+    tok = posting.select(
+        F.col("event_type").alias("doc_id"), "tokens",
+        F.size("tokens").alias("n_tok"), F.lit("events").alias("source"))
+    enc = engine.encode(tok, codec="d1", split_threshold=None)
+    quint = ["n_tok", "codec", "widths", "inits", "payload"]
+    a = enc.select(F.col("doc_id").alias("type_a"),
+                   *[F.col(c).alias(f"a_{c}") for c in quint])
+    b = enc.select(F.col("doc_id").alias("type_b"),
+                   *[F.col(c).alias(f"b_{c}") for c in quint])
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    out = engine.intersect_encoded(pairs, ["type_a", "type_b"])
+    return (out.select("type_a", "type_b",
+                       F.explode("common").alias("u"))
+            .select("type_a", "type_b",
+                    F.col("u").cast("long").alias("user_id")))
+
+
 def q_pack_by_source(spark, sf_dir):
     """Per-domain sequence packing: each group (l_orderkey % 4 as a
     synthetic domain) packs as its own stream — chunks never mix
@@ -1736,6 +1770,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "pack_by_source": q_pack_by_source,
     "pack_greedy": q_pack_greedy,
+    "intersect_postings": q_intersect_postings,
     "stratified_sample": q_stratified_sample,
     # --- 3. highest-value stable gates ---
     "bitpack_roundtrip": q_bitpack_roundtrip,
@@ -2072,6 +2107,13 @@ kept AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        string_agg(line, chr(10) ORDER BY pos) AS text
 FROM kept GROUP BY doc_id
+""",
+    "intersect_postings": """
+WITH p AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.user_id AS BIGINT) AS user_id
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
 """,
     "contains_token": """
 WITH tok AS (

@@ -249,3 +249,108 @@ def test_contains_token_sorted_d1_zone(spark):
     got = {r["doc_id"] for r in
            engine.contains_token(enc, 5 * 1000).collect()}
     assert got == {"5"}
+
+
+def _enc_quintuple(rows):
+    """Encode a ragged list of sorted uint32 rows with d1; return the
+    flat-arg tuple intersect_sorted_flat takes for one side."""
+    lens = np.fromiter((r.size for r in rows), dtype=np.int64,
+                       count=len(rows))
+    flat = np.concatenate([r for r in rows if r.size]
+                          or [np.zeros(0, np.uint32)]).astype(np.uint32)
+    enc = blocks.encode_flat(flat, lens, "d1")
+    return lens, enc.widths, enc.inits, enc.payload, enc.payload_lens
+
+
+def test_intersect_sorted_flat_matches_numpy():
+    """Zone-skipped SvS intersection == np.intersect1d per row on random
+    sorted DISTINCT rows of many shapes (empty, short-tail, multi-block,
+    disjoint, identical)."""
+    rng = np.random.default_rng(23)
+    shapes = [(0, 0), (1, 1), (5, 300), (128, 128), (129, 4096),
+              (1000, 1000), (300, 0), (4096, 50), (127, 129)]
+    rows_a, rows_b = [], []
+    for na, nb in shapes:
+        # overlapping domains so intersections are non-trivial
+        pool = rng.choice(2**20, size=max(na + nb, 1) * 2, replace=False)
+        rows_a.append(np.sort(pool[:na]).astype(np.uint32))
+        rows_b.append(np.sort(pool[na // 2:na // 2 + nb])
+                      .astype(np.uint32))
+    # plus: disjoint ranges (all B blocks prunable), identical rows
+    rows_a += [np.arange(100, dtype=np.uint32),
+               np.arange(500, dtype=np.uint32) * 3]
+    rows_b += [np.arange(10**6, 10**6 + 900, dtype=np.uint32),
+               np.arange(500, dtype=np.uint32) * 3]
+    out_flat, out_lens = blocks.intersect_sorted_flat(
+        *_enc_quintuple(rows_a), *_enc_quintuple(rows_b))
+    off = np.cumsum(out_lens) - out_lens
+    for i, (a, b) in enumerate(zip(rows_a, rows_b)):
+        want = np.intersect1d(a, b)
+        got = out_flat[off[i]:off[i] + out_lens[i]]
+        assert (got == want).all(), (i, got[:5], want[:5])
+
+
+def test_intersect_sorted_flat_skips_pruned_payload():
+    """Pruning proof: garble the payload bytes of every B block whose
+    zone envelope excludes all A values — identical result means those
+    bytes were never decoded."""
+    rng = np.random.default_rng(29)
+    # A probes live in [0, 1000); B has those plus far-away blocks
+    a = [np.sort(rng.choice(1000, 80, replace=False)).astype(np.uint32)]
+    b = [np.concatenate([
+        np.sort(rng.choice(1000, 100, replace=False)),
+        np.arange(10**7, 10**7 + 512)]).astype(np.uint32)]
+    la, wa, ia, pa_, pla = _enc_quintuple(a)
+    lb, wb, ib, pb, plb = _enc_quintuple(b)
+    want_flat, want_lens = blocks.intersect_sorted_flat(
+        la, wa, ia, pa_, pla, lb, wb, ib, pb, plb)
+    assert want_lens[0] > 0
+    # garble every byte belonging to blocks with init >= 10**7 (the
+    # far-away half) — sound zones must never read them
+    row_id, blk_start, blk_len, _nb = blocks._block_table(lb)
+    sizes = K.compressed_bytes_arr(blk_len, wb.astype(np.int64))
+    excl = np.cumsum(sizes) - sizes
+    poisoned = pb.copy()
+    for j in np.nonzero(ib.astype(np.int64) >= 10**7)[0]:
+        poisoned[excl[j]:excl[j] + sizes[j]] = 0xFF
+    got_flat, got_lens = blocks.intersect_sorted_flat(
+        la, wa, ia, pa_, pla, lb, wb, ib, poisoned, plb)
+    assert (got_lens == want_lens).all()
+    assert (got_flat == want_flat).all()
+
+
+def test_intersect_encoded_spark(spark):
+    """Engine-level pairwise intersection: broadcast-join pairs, exact
+    vs a driver-computed oracle; non-d1 input raises in-plan."""
+    from pyspark.sql import functions as F
+    from simdcomp_spark import engine
+
+    rng = np.random.default_rng(31)
+    lists = {f"t{i}": np.sort(rng.choice(5000, size=400 + 64 * i,
+                                         replace=False))
+             for i in range(4)}
+    df = spark.createDataFrame(
+        [(k, [int(x) for x in v], int(v.size), "u")
+         for k, v in lists.items()],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = engine.encode(df, codec="d1", split_threshold=None).cache()
+    quint = ["n_tok", "codec", "widths", "inits", "payload"]
+    a = enc.select(F.col("doc_id").alias("ka"),
+                   *[F.col(c).alias(f"a_{c}") for c in quint])
+    b = enc.select(F.col("doc_id").alias("kb"),
+                   *[F.col(c).alias(f"b_{c}") for c in quint])
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+    out = {(r["ka"], r["kb"]): (r["common"], r["n_common"])
+           for r in engine.intersect_encoded(pairs, ["ka", "kb"])
+           .collect()}
+    assert len(out) == 6
+    for (ka, kb), (common, n) in out.items():
+        want = np.intersect1d(lists[ka], lists[kb])
+        assert n == want.size and (np.array(common) == want).all()
+    # non-d1 rows must refuse loudly (zone math unsound otherwise)
+    enc_bp = engine.encode(df, codec="bitpack", split_threshold=None)
+    bad = (enc_bp.select(F.col("doc_id").alias("ka"),
+                         *[F.col(c).alias(f"a_{c}") for c in quint])
+           .join(F.broadcast(b), F.col("ka") < F.col("kb")))
+    with pytest.raises(Exception, match="d1-only"):
+        engine.intersect_encoded(bad, ["ka", "kb"]).collect()
