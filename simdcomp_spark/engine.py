@@ -791,12 +791,13 @@ def decode_incremental(spark: SparkSession, path: str,
 # decode
 # ---------------------------------------------------------------------------
 
-def _decode_batch_columns(n_tok_col: pa.Array, codec_col: pa.Array,
-                          widths_col: pa.Array, inits_col: pa.Array,
-                          payload_col: pa.Array) -> pa.Array:
-    """Shared decode core: encoded Arrow columns → tokens list<int32> array.
-    Used by both the scan-based :func:`decode` and the fused
-    :func:`decode_files` paths."""
+def _decode_batch_flat(n_tok_col: pa.Array, codec_col: pa.Array,
+                       widths_col: pa.Array, inits_col: pa.Array,
+                       payload_col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Decode core returning (flat uint32 tokens in row order, per-row
+    lengths) WITHOUT building an Arrow list array — callers that explode
+    anyway (the roundtrip gates) skip the list build + JVM list
+    deserialization + Generate entirely (guide §4.2)."""
     n_toks = n_tok_col.to_numpy(zero_copy_only=False).astype(np.int64)
     names = codec_col.unique().to_pylist()
     wf, wl = _binary_to_flat(widths_col)
@@ -823,6 +824,17 @@ def _decode_batch_columns(n_tok_col: pa.Array, codec_col: pa.Array,
                 inf[multi_arange(i_off[sel], il[sel])], il[sel],
                 pf[multi_arange(p_off[sel], pl[sel])], pl[sel])
             out[multi_arange(tok_off[sel], n_toks[sel])] = sub
+    return out, n_toks
+
+
+def _decode_batch_columns(n_tok_col: pa.Array, codec_col: pa.Array,
+                          widths_col: pa.Array, inits_col: pa.Array,
+                          payload_col: pa.Array) -> pa.Array:
+    """Shared decode core: encoded Arrow columns → tokens list<int32> array.
+    Used by both the scan-based :func:`decode` and the fused
+    :func:`decode_files` paths."""
+    out, n_toks = _decode_batch_flat(n_tok_col, codec_col, widths_col,
+                                     inits_col, payload_col)
     return _list_from_flat(out.view(np.int32), n_toks)
 
 

@@ -56,7 +56,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 def pack_chunks(df_tokens: DataFrame, chunk_len: int,
                 order_col: str | list[str] = "doc_id",
                 with_boundaries: bool = False,
-                partition_col: str | None = None) -> DataFrame:
+                partition_col: str | None = None,
+                skinny: DataFrame | None = None) -> DataFrame:
     """Pack ``(doc_id, tokens)`` rows into fixed-``chunk_len`` examples.
 
     Returns ``(chunk_id long, tokens array<int>, n_tok int)`` where
@@ -79,15 +80,28 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     ``size(tokens)`` (engine tables stamp it at encode) so the skinny
     pass never reads the arrays; pass a frame without it if yours is
     not authoritative.
+
+    ``skinny`` (optional) supplies the stage-1 offset pass its
+    ``(partition_col?, order cols, n_tok)`` rows from a CHEAPER plan than
+    ``df_tokens``: when the token arrays come out of an opaque stage
+    (mapInArrow decode, a tokenizer UDF), the offset pass — **and the
+    range partitioner's sampling job, which re-executes its child** —
+    would otherwise re-run that whole stage once or twice just to read
+    lengths Spark cannot prune through the UDF (guide §2.3/§4.1).  The
+    caller asserts ``skinny`` is row-aligned with ``df_tokens``: same
+    key set, and ``n_tok == size(tokens)`` row-for-row — a mismatch
+    mis-slices chunks (lengths drive the slicing; sizes come from the
+    real arrays).
     """
     if chunk_len <= 0:
         raise ValueError(f"chunk_len must be positive, got {chunk_len}")
     L = F.lit(int(chunk_len)).cast("long")
+    skinny_src = skinny if skinny is not None else df_tokens
     # prefer a pre-stamped n_tok (engine decode/encode tables carry one):
     # the skinny stage-1 scan then prunes to (order, n_tok) ≈ 12 B/row
     # and never touches the array column at all on that pass
     n_tok = (F.coalesce(F.col("n_tok").cast("long"), F.lit(0))
-             if "n_tok" in df_tokens.columns
+             if "n_tok" in skinny_src.columns
              else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
     # NULL group values would vanish at the offs equi-join (null keys
     # never match) — refuse them loudly instead of silently dropping docs
@@ -136,7 +150,7 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
         F.raise_error(F.lit(
             f"pack_chunks: {ord_cols} contains NULL — every doc needs "
             "an order key"))).otherwise(ord_expr)
-    skinny = (df_tokens
+    skinny = (skinny_src
               .select(grp.alias("_grp"),
                       ord_guard.alias("_ord"), n_tok.alias("_n"))
               .where(F.col("_n") > 0)
@@ -216,7 +230,9 @@ def pack_chunks(df_tokens: DataFrame, chunk_len: int,
     return pieces.groupBy("_grp", "chunk_id").agg(*aggs).select(*cols)
 
 def pack_greedy(df_tokens: DataFrame, chunk_len: int,
-                id_col: str = "doc_id", buckets: int = 1024) -> DataFrame:
+                id_col: str = "doc_id", buckets: int = 1024,
+                skinny: DataFrame | None = None,
+                max_bucket_docs: int = 10_000_000) -> DataFrame:
     """Boundary-respecting sequence packing: documents are NEVER cut
     mid-document — each chunk holds whole docs, so chunks carry
     ``n_tok ≤ chunk_len`` (padding fills the gap at train time) and no
@@ -243,13 +259,25 @@ def pack_greedy(df_tokens: DataFrame, chunk_len: int,
     they are refused loudly (split them upstream with pack_chunks or the
     engine's split_long_rows; silently truncating a document corrupts
     training data).
+
+    ``skinny`` (optional) supplies the assignment pass its
+    ``(id_col, n_tok)`` rows from a cheaper plan than ``df_tokens``
+    (same contract as :func:`pack_chunks`: row-aligned, authoritative
+    ``n_tok``) — without it, an opaque array-producing stage (decode,
+    tokenizer) is re-executed just to read lengths.  ``max_bucket_docs``
+    bounds the per-bucket sequential next-fit loop: a pathological id
+    distribution (or too few ``buckets`` for the corpus) raises loudly
+    instead of serializing one giant task (docs/bucket ~10^6 is the
+    sizing guidance — the guard, not a docstring, now enforces the
+    order of magnitude).
     """
     if chunk_len <= 0:
         raise ValueError(f"chunk_len must be positive, got {chunk_len}")
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    skinny_src = skinny if skinny is not None else df_tokens
     n_tok = (F.coalesce(F.col("n_tok").cast("long"), F.lit(0))
-             if "n_tok" in df_tokens.columns
+             if "n_tok" in skinny_src.columns
              else F.coalesce(F.size("tokens").cast("long"), F.lit(0)))
     oversize_guard = F.when(
         n_tok > chunk_len,
@@ -262,17 +290,31 @@ def pack_greedy(df_tokens: DataFrame, chunk_len: int,
         F.raise_error(F.lit(
             f"pack_greedy: {id_col} contains NULL — every doc needs an "
             "id"))).otherwise(F.col(id_col))
-    skinny = (df_tokens
+    skinny = (skinny_src
               .select(null_guard.alias("_id"), oversize_guard.alias("_n"))
               .where(F.col("_n") > 0)
               .withColumn("_bkt", F.pmod(F.xxhash64("_id"),
                                          F.lit(buckets)).cast("int")))
 
     L = int(chunk_len)
+    bucket_cap = int(max_bucket_docs)
 
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
         from .. import native
+        if len(pdf) > bucket_cap:
+            raise ValueError(
+                f"pack_greedy: bucket {int(pdf['_bkt'].iloc[0])} holds "
+                f"{len(pdf)} docs > max_bucket_docs={bucket_cap} — the "
+                "sequential next-fit task would straggle; raise `buckets` "
+                "(docs/bucket ~10^6) or max_bucket_docs")
         pdf = pdf.sort_values("_id", kind="mergesort")
+        if pdf["_id"].duplicated().any():
+            dup = pdf["_id"][pdf["_id"].duplicated()].iloc[0]
+            raise ValueError(
+                f"pack_greedy: duplicate {id_col} {dup!r} — one chunk "
+                "assignment per doc requires unique ids (duplicates "
+                "would cross-multiply at the array join and silently "
+                "corrupt chunks)")
         ns = pdf["_n"].to_numpy(dtype="int64")
         chunk = native.next_fit(ns, L)   # C loop: ~100M docs/s/core
         if chunk is None:                # no toolchain: identical Python

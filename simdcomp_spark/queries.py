@@ -23,15 +23,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def tokens_table(spark, sf_dir, table, key, order_col, val_col, source
                  ) -> DataFrame:
     """Group ``table`` by ``key``; tokens = val_col as int32, ordered by
-    (order_col, val_col) — the canonical array-building step."""
+    (order_col, val_col) — the canonical array-building step.
+
+    Shuffle-width discipline (guide §2.3 "narrower types"): the groupBy
+    exchange carries the collect_list partial aggregates, so element width
+    IS the shuffle width.  The generic shape is a 16-byte
+    ``struct(order long, val long)``; when both columns are integral the
+    same (order, val) sort key packs losslessly into ONE 8-byte long
+    (``order * 2^32 + val`` — ordering preserved for 0 ≤ order < 2^31,
+    0 ≤ val < 2^32), and when order_col == val_col the sort key is the
+    value itself, carried as a bare 4-byte int.  Both fast paths guard
+    their range (and NULLs, which collect_list would otherwise silently
+    drop where the struct path kept them) with an in-plan raise, so data
+    outside the packable range fails loudly instead of mis-sorting —
+    non-integral order columns (timestamps, doubles) keep the struct
+    path.  All three paths produce bit-identical arrays: val is cast to
+    long then truncated to int32 exactly as before."""
     df = _t(spark, sf_dir, table)
-    arr = F.transform(
-        F.array_sort(F.collect_list(F.struct(
-            F.col(order_col).alias("o"), F.col(val_col).cast("long").alias("v")))),
-        lambda s: s.v.cast("int"))
+    types = dict(df.dtypes)
+    o_int = types.get(order_col) in _INT_TYPES
+    v_int = types.get(val_col) in _INT_TYPES
+    o, v = F.col(order_col).cast("long"), F.col(val_col).cast("long")
+    if o_int and v_int and order_col == val_col:
+        bad = v.isNull() | (v < 0) | (v > 0x7FFFFFFF)
+        elem = F.when(bad, F.raise_error(F.lit(
+            f"tokens_table: {val_col} outside [0, 2^31) int-sort range"))
+        ).otherwise(v.cast("int"))
+        arr = F.array_sort(F.collect_list(elem))
+    elif o_int and v_int:
+        bad = (o.isNull() | v.isNull() | (o < 0) | (o > 0x7FFFFFFF)
+               | (v < 0) | (v > 0xFFFFFFFF))
+        packed = F.when(bad, F.raise_error(F.lit(
+            f"tokens_table: ({order_col}, {val_col}) outside the "
+            "packed-long sort range"))
+        ).otherwise(F.shiftleft(o, 32) + v)
+        arr = F.transform(
+            F.array_sort(F.collect_list(packed)),
+            lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF)).cast("int"))
+    else:
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col(order_col).alias("o"), v.alias("v")))),
+            lambda s: s.v.cast("int"))
     return (df.groupBy(key)
             .agg(arr.alias("tokens"))
             .select(F.col(key).cast("string").alias("doc_id"),
@@ -79,6 +118,32 @@ def _seg_cumsum_u32(vals: np.ndarray, lens: np.ndarray,
     return (cum - np.repeat(base_row, lens)).astype(np.uint32)
 
 
+def _decode_exploded(enc: DataFrame, key_name: str) -> DataFrame:
+    """Fused decode→explode for the roundtrip gates: one ``mapInArrow``
+    yields (key, pos, tok) rows straight from the engine's flat decode
+    core (``engine._decode_batch_flat`` — same mixed-codec routing as
+    ``engine.decode``), skipping the Arrow list-array build, the JVM
+    list deserialization, and the Generate/posexplode over millions of
+    rows (guide §4.2).  Row-identical to
+    ``decode → posexplode → cast``."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc
+    src = enc.select("doc_id", "n_tok", "codec", "widths", "inits",
+                     "payload")
+
+    def fn(it):
+        for batch in it:
+            flat, lens = engine._decode_batch_flat(
+                batch.column(1), batch.column(2), batch.column(3),
+                batch.column(4), batch.column(5))
+            uids = pc.cast(batch.column(0), pa_.int64()).to_numpy(
+                zero_copy_only=False)
+            starts = np.cumsum(lens) - lens
+            yield _explode_batch(key_name, uids, lens, starts, flat)
+
+    return src.mapInArrow(fn, schema=f"{key_name} long, pos int, tok int")
+
+
 def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str,
                         salt: bool = False) -> DataFrame:
     """Narrow (zero-shuffle) encode→decode by default — the plan the engine
@@ -88,15 +153,13 @@ def _roundtrip_exploded(tok_df: DataFrame, codec: str, key_name: str,
     compressed bytes instead of raw 32-bit token arrays, which is both the
     plan a real job would run and ~10x less sensitive to the sandbox's
     shuffle-I/O weather (the old pre-encode raw-token salt made this the
-    dominant, window-sensitive line of every bench)."""
+    dominant, window-sensitive line of every bench).  Decode+explode are
+    fused (:func:`_decode_exploded`), and Catalyst column pruning keeps
+    pid/enc_ns/content_hash/source off the salt exchange."""
     enc = engine.encode(tok_df, codec=codec, split_threshold=None, salt=False)
     if salt:
         enc = engine.salt_encoded(enc)
-    dec = engine.decode(enc, reassemble=False)
-    ex = dec.select(F.col("doc_id").cast("long").alias(key_name),
-                    F.posexplode("tokens").alias("pos", "tok"))
-    return ex.select(key_name, F.col("pos").cast("int").alias("pos"),
-                     F.col("tok").cast("int").alias("tok"))
+    return _decode_exploded(enc, key_name)
 
 
 _RT_ORACLE = """
@@ -152,11 +215,19 @@ def q_auto_roundtrip(spark, sf_dir):
     """Cost-model auto-selector round-trip (north rule): whatever codec the
     selector picks per partition must still decode bit-identically."""
     df = _t(spark, sf_dir, "events")
+    # same packed-long sort-key discipline as tokens_table (guide §2.3):
+    # (event_id, round(value*100)) packs into one 8-byte long for the
+    # collect_list exchange; range/NULL guarded with an in-plan raise
+    o = F.col("event_id").cast("long")
+    v = F.round(F.col("value") * 100, 0).cast("long")
+    bad = (o.isNull() | v.isNull() | (o < 0) | (o > 0x7FFFFFFF)
+           | (v < 0) | (v > 0xFFFFFFFF))
+    packed = F.when(bad, F.raise_error(F.lit(
+        "auto_roundtrip: (event_id, round(value*100)) outside the "
+        "packed-long sort range"))).otherwise(F.shiftleft(o, 32) + v)
     arr = F.transform(
-        F.array_sort(F.collect_list(F.struct(
-            F.col("event_id").alias("o"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("v")))),
-        lambda s: s.v.cast("int"))
+        F.array_sort(F.collect_list(packed)),
+        lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF)).cast("int"))
     tok = (df.groupBy("user_id").agg(arr.alias("tokens"))
            .select(F.col("user_id").cast("string").alias("doc_id"), "tokens",
                    F.size("tokens").alias("n_tok"), F.lit("ev").alias("source")))
@@ -780,9 +851,19 @@ def q_pack_chunks(spark, sf_dir):
     enc = engine.encode(tok, codec="auto", split_threshold=None,
                         salt=False)
     dec = engine.decode(enc, reassemble=False)
+    # skinny offset pass from the RAW table (count(*) per order ==
+    # size(tokens) by construction): without it, stage 1 AND the range
+    # partitioner's sampling job would each re-run the whole
+    # groupBy→encode→decode subtree just to read lengths (guide §2.3) —
+    # the opaque decode now executes exactly once, on the array branch
+    skinny = (_t(spark, sf_dir, "lineitem")
+              .groupBy("l_orderkey")
+              .agg(F.count("*").alias("n_tok"))
+              .select(F.col("l_orderkey").cast("long").alias("doc_id"),
+                      "n_tok"))
     packed = pack.pack_chunks(
         dec.select(F.col("doc_id").cast("long").alias("doc_id"),
-                   "tokens"), 512, with_boundaries=True)
+                   "tokens"), 512, with_boundaries=True, skinny=skinny)
     return packed.select(
         "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
@@ -824,11 +905,17 @@ def q_corpus_build(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.dedup_keep_first(docs)
     mixed = mix.training_mix(kept, MIX_RATES)
-    dec = _engine_roundtrip(tokenize.wordpiece_tokenize(mixed)
-                            .where(F.col("n_tok") > 0))
+    toks = tokenize.wordpiece_tokenize(mixed).where(F.col("n_tok") > 0)
+    dec = _engine_roundtrip(toks)
+    # skinny offset pass reads lengths from the TOKENIZER output (n_tok
+    # is preserved bit-for-bit by the encode→decode round trip), so the
+    # offset stage and the range sampler skip the engine round trip —
+    # encode+decode now run exactly once, on the array branch
+    skinny = toks.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         "n_tok")
     packed = pack.pack_chunks(
         dec.select(F.col("doc_id").cast("long").alias("doc_id"),
-                   "tokens"), 512)
+                   "tokens"), 512, skinny=skinny)
     return packed.select(
         "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
@@ -846,9 +933,18 @@ def q_pack_greedy(spark, sf_dir):
     from .functions import pack
     tok = tokens_table(spark, sf_dir, "lineitem", "l_orderkey",
                        "l_linenumber", "l_partkey", "lineitem")
+    # skinny assignment pass from the RAW table (count(*) per order ==
+    # size(tokens)): the per-bucket next-fit reads lengths only — without
+    # this, the whole groupBy+collect_list subtree ran a second time
+    # behind the applyInPandas exchange just to size the docs
+    skinny = (_t(spark, sf_dir, "lineitem")
+              .groupBy("l_orderkey")
+              .agg(F.count("*").alias("n_tok"))
+              .select(F.col("l_orderkey").cast("long").alias("doc_id"),
+                      "n_tok"))
     packed = pack.pack_greedy(
         tok.select(F.col("doc_id").cast("long").alias("doc_id"),
-                   "tokens", "n_tok"), 64, buckets=32)
+                   "tokens", "n_tok"), 64, buckets=32, skinny=skinny)
     return packed.select(
         "bucket", "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"), "n_docs",
@@ -899,10 +995,17 @@ def q_pack_by_source(spark, sf_dir):
                        "l_linenumber", "l_partkey", "lineitem")
     tok = tok.withColumn(
         "grp", (F.col("doc_id").cast("long") % 4))
+    # raw-table skinny for the offset pass (same discipline as
+    # pack_chunks/pack_greedy: count(*) per order == size(tokens))
+    skinny = (_t(spark, sf_dir, "lineitem")
+              .groupBy("l_orderkey")
+              .agg(F.count("*").alias("n_tok"))
+              .select(F.col("l_orderkey").cast("long").alias("doc_id"),
+                      (F.col("l_orderkey") % 4).alias("grp"), "n_tok"))
     packed = pack.pack_chunks(
         tok.select(F.col("doc_id").cast("long").alias("doc_id"),
                    "tokens", "grp"),
-        256, partition_col="grp")
+        256, partition_col="grp", skinny=skinny)
     return packed.select(
         F.col("grp").cast("long").alias("grp"), "chunk_id",
         F.col("n_tok").cast("int").alias("n_tok"),
