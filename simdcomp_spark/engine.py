@@ -367,6 +367,25 @@ def _rowgroup_units(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], "path string, rg int, rg_off long")
     par = max(int(spark.sparkContext.defaultParallelism), 1)
+    factor = int(os.environ.get("SIMDCOMP_UNIT_FACTOR", "4"))
+    # small-input fast path: when the file list alone already saturates
+    # the unit budget there is nothing for row-group planning to balance
+    # UNLESS some file is large — probe sizes with one driver-side stat
+    # per file (bounded: only attempted below par*factor files) and emit
+    # WHOLE-FILE units (rg = -1), skipping the distributed footer job,
+    # its exchange, and a stage of per-task overhead.  Workers iterate
+    # every row group of their file in order, so file-row offsets (the
+    # position-delete coordinate system) stay correct from rg_off = 0.
+    if len(files) <= par * factor:
+        try:
+            small = all(os.path.getsize(f) <= (256 << 20) for f in files)
+        except OSError:
+            small = False          # non-local paths: plan row groups
+        if small:
+            return (spark.createDataFrame(
+                [(f, -1, 0) for f in files],
+                "path string, rg int, rg_off long")
+                .repartition(len(files)))
     fdf = _file_name_df(spark, files)
 
     def footer_counts(it):
@@ -393,7 +412,6 @@ def _rowgroup_units(spark: SparkSession, path: str,
     units = (counts.where(F.size("offs") > 0)
              .select("path",
                      F.posexplode("offs").alias("rg", "rg_off")))
-    factor = int(os.environ.get("SIMDCOMP_UNIT_FACTOR", "4"))
     return units.repartition(par * factor)
 
 
@@ -455,8 +473,9 @@ def encode_files(spark: SparkSession, path: str, codec: str = "auto",
             for path_, rg in zip(batch.column(0).to_pylist(),
                                  batch.column(1).to_pylist()):
                 pf = pq.ParquetFile(path_, pre_buffer=True)
+                rgs = [rg] if rg >= 0 else None   # -1 = whole-file unit
                 for rb in pf.iter_batches(batch_size=batch_rows,
-                                          row_groups=[rg],
+                                          row_groups=rgs,
                                           columns=cols):
                     rb = rb.select(cols)  # parquet yields file order
                     t0 = time.perf_counter_ns()
@@ -712,8 +731,9 @@ def decode_files(spark: SparkSession, path: str,
                     unit_cols = cols + [c for c in extra_cols
                                         if c in need]
                 cur = rg_off
+                rgs = [rg] if rg >= 0 else None   # -1 = whole-file unit
                 for rb in pf.iter_batches(batch_size=batch_rows,
-                                          row_groups=[rg],
+                                          row_groups=rgs,
                                           columns=unit_cols):
                     rb = rb.select(unit_cols)  # parquet yields file order
                     n = rb.num_rows

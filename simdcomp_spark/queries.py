@@ -647,8 +647,15 @@ def q_encoded_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_fsst_roundtrip(spark, sf_dir):
+    # one symbol table per PARTITION, not per Arrow batch: the fixture's
+    # documents arrive as a single-row-group scan (one partition), and
+    # per-batch retraining put ~25 sequential 90 ms pure-Python train()
+    # calls on that one core — the gate's subject is the byte-exact
+    # round trip (identical under any table), so it trains once and the
+    # C encode/decode kernels do the rest.  The drift-tracking per-batch
+    # retrain stays the operator default and keeps its pytest coverage.
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    enc = strings.fsst_encode(df, "text")
+    enc = strings.fsst_encode(df, "text", retrain_batches=1 << 30)
     dec = strings.fsst_decode(enc, "text_fsst", "text")
     return dec.select("doc_id", "text")
 
@@ -962,12 +969,13 @@ def q_intersect_postings(spark, sf_dir):
     Plan: tiny probe side broadcast, one mapInArrow, no other exchange.
     Oracle: plain self-join on the distinct (type, user) pairs."""
     ev = _t(spark, sf_dir, "events")
+    # collect_set folds the old distinct + collect_list into ONE
+    # aggregation: per-type distinct user sets in a single exchange
+    # instead of two (guide §2.4) — identical sorted posting lists
     posting = (
-        ev.select("event_type", F.col("user_id").cast("long").alias("u"))
-        .distinct()
+        ev.select("event_type", F.col("user_id").cast("int").alias("u"))
         .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list(F.col("u").cast("int")))
-             .alias("tokens")))
+        .agg(F.array_sort(F.collect_set("u")).alias("tokens")))
     tok = posting.select(
         F.col("event_type").alias("doc_id"), "tokens",
         F.size("tokens").alias("n_tok"), F.lit("events").alias("source"))
