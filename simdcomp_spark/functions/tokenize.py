@@ -75,16 +75,25 @@ def tokenize_word(w: str) -> list[int]:
 _TRIE_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _trie_arrays(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+TRIE_MAX_NODES = 1 << 18        # 256 MB of trans rows — override per call
+
+
+def _trie_arrays(vocab: dict[str, int],
+                 max_nodes: int = TRIE_MAX_NODES
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Byte-trie DFA of ``vocab`` as two flat int32 arrays:
     ``trans[node*256 + byte]`` = next node or -1 (node 0 = root) and
-    ``accept[node]`` = token id or -1.  Memory is O(nodes × 1 KiB) —
-    ~100 MB for a 50k-entry learned vocab, built once per executor and
-    shared by every task.  Entries may not contain the separator byte
-    0x20 (the DFA treats it as a hard word boundary)."""
+    ``accept[node]`` = token id or -1.  Memory is nodes × 1 KiB with
+    nodes ≤ 1 + Σ entry bytes: ~1 KiB/entry-byte WORST case when
+    prefixes share nothing — a 50k-entry vocab of ~6-byte entries
+    budgets ~300 MB, not the "~100 MB" an earlier note assumed for
+    strong sharing.  ``max_nodes`` (default 2^18 ≈ 256 MB) refuses a
+    pathological vocabulary LOUDLY instead of silently OOM-ing the
+    executor that builds it.  Entries may not contain the separator
+    byte 0x20 (the DFA treats it as a hard word boundary)."""
     # content key, not id(): a recycled object id after GC would silently
     # serve the WRONG trie for a new vocabulary.  Hashing the items is a
-    # one-time ~ms cost per wordpiece_tokenize call, driver-side only.
+    # one-time ~ms cost per process.
     key = (len(vocab), hash(frozenset(vocab.items())))
     hit = _TRIE_CACHE.get(key)
     if hit is not None:
@@ -101,6 +110,13 @@ def _trie_arrays(vocab: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
             nxt = trans[node][b]
             if nxt < 0:
                 nxt = len(trans)
+                if nxt >= max_nodes:
+                    raise ValueError(
+                        f"vocabulary trie exceeds max_nodes={max_nodes} "
+                        f"(~{max_nodes // 1024} MiB of transition rows) — "
+                        "this vocabulary shares almost no prefixes; "
+                        "raise max_nodes deliberately or compress the "
+                        "alphabet before OOM-ing executors")
                 trans[node][b] = nxt
                 trans.append([-1] * 256)
                 accept.append(-1)
@@ -138,11 +154,18 @@ def wordpiece_tokenize(df: DataFrame, col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(id_col, tokens array<int>, n_tok int) for every document; empty
     or NULL text yields an empty array (documents are never dropped)."""
-    trans, accept = _trie_arrays(VOCAB)
+    # ship the (small) vocab dict in the closure, NOT the trie arrays:
+    # a learned 50k-entry vocab's DFA is hundreds of MB, and closure
+    # capture would serialize it into every task command.  Each worker
+    # PROCESS builds the trie once on first batch and the content-keyed
+    # module cache shares it across tasks under worker reuse (guide
+    # §4.5); the driver pays nothing.
+    vocab = dict(VOCAB)
     unk = UNK_ID
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .. import engine, native
+        trans, accept = _trie_arrays(vocab)
 
         # per-PARTITION word memo for the Python fallback, size-capped:
         # Zipfian reuse makes most occurrences a dict hit, while the cap

@@ -1837,71 +1837,20 @@ def q_masked_family(spark, sf_dir):
 
 # Driver-window ordering contract: the correctness driver runs the FIRST 50
 # entries of this dict each round.  Order is therefore a verification
-# posture, not cosmetics (VERDICT r5 "What's wrong" #1):
-#   1. gates with no prior driver-green row (round-5 additions: similarity,
-#      multimodal, all Iceberg, all streaming) come FIRST,
-#   2. then gates NEW or CHANGED this round,
-#   3. then the highest-value stable gates (roundtrips, dedup, corpus ops),
-#   4. the tail (>50) holds only gates with a green CORRECTNESS_r05 row,
-#      so r5 ∪ r6 covers every registered gate.
+# posture, not cosmetics (VERDICT r6 "Next round" #1):
+#   1. the 24 gates whose last driver-green row is r5 (they sat out the r6
+#      window) come FIRST, so their verification currency refreshes,
+#   2. then the 26 gates whose code paths CHANGED in round 7 (tokens_table
+#      packed sort key, fused decode-explode, pack skinny frames,
+#      whole-file fused-scan units) — all r6-green, re-verified on the
+#      new plans,
+#   3. the tail (>50) holds only gates with a green CORRECTNESS_r06 row
+#      and round-7-untouched query shapes, so r6 ∪ r7 covers all 74.
 # COVERAGE.md records per-gate "last driver-green" so window gaps stay
 # visible in-repo.
 QUERIES = {
-    # --- 1. no driver-green row before round 6 ---
-    "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "fingerprint": q_fingerprint,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-    "minhash_verified": q_minhash_verified,
-    "cosine_neardup": q_cosine_neardup,
-    "multimodal_features": q_multimodal_features,
-    "iceberg_roundtrip": q_iceberg_roundtrip,
-    "iceberg_prune": q_iceberg_prune,
-    "iceberg_partition_prune": q_iceberg_partition_prune,
-    "iceberg_pos_delete": q_iceberg_pos_delete,
-    "iceberg_eq_delete": q_iceberg_eq_delete,
-    "iceberg_incremental": q_iceberg_incremental,
-    "iceberg_tag": q_iceberg_tag,
-    "iceberg_wap": q_iceberg_wap,
-    "iceberg_maintenance": q_iceberg_maintenance,
-    "iceberg_dedup_delete": q_iceberg_dedup_delete,
-    "iceberg_schema_evolution": q_iceberg_schema_evolution,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_encode": q_streaming_encode,
-    "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
-    "streaming_window": q_streaming_window,
-    # --- 2. new or changed in round 6 ---
-    "fastset_family": q_fastset_family,
-    "masked_family": q_masked_family,
-    "tokenize": q_tokenize,
-    "corpus_build": q_corpus_build,
-    "pack_chunks": q_pack_chunks,
-    "pack_by_source": q_pack_by_source,
-    "pack_greedy": q_pack_greedy,
-    "intersect_postings": q_intersect_postings,
-    "stratified_sample": q_stratified_sample,
-    # --- 3. highest-value stable gates ---
-    "bitpack_roundtrip": q_bitpack_roundtrip,
-    "for_roundtrip": q_for_roundtrip,
-    "d1_roundtrip": q_d1_roundtrip,
-    "rle_roundtrip": q_rle_roundtrip,
-    "dict_roundtrip": q_dict_roundtrip,
-    "auto_roundtrip": q_auto_roundtrip,
-    "fsst_roundtrip": q_fsst_roundtrip,
-    "avx_roundtrip": q_avx_roundtrip,
-    "encoded_dedup": q_encoded_dedup,
-    "exact_dedup": q_exact_dedup,
-    "contains_token": q_contains_token,
-    "training_mix": q_training_mix,
-    "corpus_shuffle": q_corpus_shuffle,
-    "split_corpus": q_split_corpus,
-    "line_dedup": q_line_dedup,
-    "decontaminate": q_decontaminate,
+    # --- 1. last driver-green r5 (sat out the r6 window) ---
     "vocab_topk": q_vocab_topk,
-    # --- 4. tail (>50): every gate below has a green CORRECTNESS_r05 row ---
     "maxbits": q_maxbits,
     "maxbits_d1": q_maxbits_d1,
     "compressed_size": q_compressed_size,
@@ -1925,6 +1874,58 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "ann_topk": q_ann_topk,
     "lang_id": q_lang_id,
+    # --- 2. r6-green gates whose code paths changed in round 7 ---
+    "bitpack_roundtrip": q_bitpack_roundtrip,
+    "for_roundtrip": q_for_roundtrip,
+    "d1_roundtrip": q_d1_roundtrip,
+    "rle_roundtrip": q_rle_roundtrip,
+    "dict_roundtrip": q_dict_roundtrip,
+    "auto_roundtrip": q_auto_roundtrip,
+    "fsst_roundtrip": q_fsst_roundtrip,
+    "tokenize": q_tokenize,
+    "corpus_build": q_corpus_build,
+    "pack_chunks": q_pack_chunks,
+    "pack_by_source": q_pack_by_source,
+    "pack_greedy": q_pack_greedy,
+    "intersect_postings": q_intersect_postings,
+    "masked_family": q_masked_family,
+    "fastset_family": q_fastset_family,
+    "avx_roundtrip": q_avx_roundtrip,
+    "encoded_dedup": q_encoded_dedup,
+    "contains_token": q_contains_token,
+    "exact_dedup": q_exact_dedup,
+    "iceberg_roundtrip": q_iceberg_roundtrip,
+    "iceberg_pos_delete": q_iceberg_pos_delete,
+    "iceberg_eq_delete": q_iceberg_eq_delete,
+    "iceberg_incremental": q_iceberg_incremental,
+    "iceberg_maintenance": q_iceberg_maintenance,
+    "streaming_encode": q_streaming_encode,
+    "streaming_iceberg_ingest": q_streaming_iceberg_ingest,
+    # --- 3. tail (>50): r6-green, query shape untouched in round 7 ---
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "fingerprint": q_fingerprint,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "minhash_verified": q_minhash_verified,
+    "cosine_neardup": q_cosine_neardup,
+    "multimodal_features": q_multimodal_features,
+    "iceberg_prune": q_iceberg_prune,
+    "iceberg_partition_prune": q_iceberg_partition_prune,
+    "iceberg_tag": q_iceberg_tag,
+    "iceberg_wap": q_iceberg_wap,
+    "iceberg_dedup_delete": q_iceberg_dedup_delete,
+    "iceberg_schema_evolution": q_iceberg_schema_evolution,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_window": q_streaming_window,
+    "stratified_sample": q_stratified_sample,
+    "training_mix": q_training_mix,
+    "corpus_shuffle": q_corpus_shuffle,
+    "split_corpus": q_split_corpus,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
 }
 
 _SIZE_FORMULA = ("CASE WHEN w = 0 THEN 0 WHEN w = 32 THEN n * 4 "

@@ -1225,3 +1225,54 @@ def test_source_overlap_exact_and_sketch(spark):
     with pytest.raises(Exception, match="O\\(sources\\^2\\)"):
         ddp.source_overlap_sketch(
             df, num_hashes=8, max_sources=2).collect()
+
+
+def test_pack_skinny_and_guards_r7(spark):
+    """Round-7 optimization internals: (a) a caller-supplied skinny frame
+    yields chunk-identical output for both packers; (b) pack_greedy
+    refuses duplicate ids and over-full buckets loudly."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from simdcomp_spark.functions import pack
+
+    rows = [(i, list(range(i % 7 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>") \
+        .withColumn("n_tok", F.size("tokens"))
+    skinny = df.select("doc_id", "n_tok")
+
+    a = pack.pack_chunks(df.select("doc_id", "tokens"), 16).collect()
+    b = pack.pack_chunks(df.select("doc_id", "tokens"), 16,
+                         skinny=skinny).collect()
+    key = lambda r: r["chunk_id"]
+    assert sorted([(r["chunk_id"], r["n_tok"], list(r["tokens"]))
+                   for r in a]) == \
+        sorted([(r["chunk_id"], r["n_tok"], list(r["tokens"]))
+                for r in b])
+
+    g1 = pack.pack_greedy(df, 16, buckets=4).collect()
+    g2 = pack.pack_greedy(df, 16, buckets=4, skinny=skinny).collect()
+    norm = lambda rs: sorted((r["bucket"], r["chunk_id"], r["n_tok"],
+                              r["n_docs"], list(r["tokens"])) for r in rs)
+    assert norm(g1) == norm(g2)
+
+    dup = df.unionByName(df.limit(1))
+    with pytest.raises(Exception, match="duplicate"):
+        pack.pack_greedy(dup, 16, buckets=1).collect()
+
+    with pytest.raises(Exception, match="max_bucket_docs"):
+        pack.pack_greedy(df, 16, buckets=1, max_bucket_docs=10).collect()
+
+
+def test_trie_node_guard_r7():
+    """Round-7: the trie builder refuses vocabularies whose DFA exceeds
+    the node budget instead of silently allocating GBs."""
+    import pytest
+    from simdcomp_spark.functions import tokenize as tk
+
+    vocab = {f"zq{i:04d}": i for i in range(50)}   # no prefix sharing
+    with pytest.raises(ValueError, match="max_nodes"):
+        tk._trie_arrays(vocab, max_nodes=16)
+    # and a sane budget still builds
+    trans, accept = tk._trie_arrays(vocab, max_nodes=1 << 12)
+    assert accept.max() == 49
