@@ -96,6 +96,17 @@ def get_spark(app: str = "simdcomp_spark", cores: int | None = None,
         # free and re-fault every batch)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
+        # one core per task: pyarrow's worker-side compute/IO pools
+        # (parquet decode in the fused paths) default to ALL host cores
+        # per task — on a saturated executor that is pure oversubscription,
+        # and it silently inflates low-parallelism throughput (a "2-core"
+        # run decoding parquet with 32 arrow threads), corrupting scaling
+        # measurements.  Env-parameterized for deployments that dedicate
+        # >1 cpu per task (spark.task.cpus alignment).
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ.get("SIMDCOMP_WORKER_THREADS", "1"))
+        .config("spark.executorEnv.ARROW_IO_THREADS",
+                os.environ.get("SIMDCOMP_ARROW_IO_THREADS", "2"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         # shuffle/spill scratch on tmpfs when it has headroom (see
