@@ -869,14 +869,47 @@ def _decode_batch_columns(n_tok_col: pa.Array, codec_col: pa.Array,
     return _list_from_flat(out.view(np.int32), n_toks)
 
 
+def _bare_scan_plan(df: DataFrame) -> bool:
+    """True when ``df``'s optimized plan is just projections/filters over
+    ONE file relation — i.e. re-executing it costs a column-pruned scan,
+    not an arbitrary subtree.  Used to gate cheap metadata probes; any
+    parse surprise returns False (probe skipped, never wrong results)."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False
+    ok = ("Project", "Filter", "Relation", "LogicalRelation", "RelationV2")
+    names = [ln.lstrip(" :+-") for ln in tree.splitlines() if ln.strip()]
+    return 0 < len(names) <= 4 and all(n.startswith(ok) for n in names)
+
+
 def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     """encoded table → tokens table (doc_id, source, tokens, n_tok).
 
     reassemble=False keeps (doc_id, seg_id, tokens) segments and skips the
-    groupBy shuffle — use when no row exceeded the split threshold."""
+    groupBy shuffle — use when no row exceeded the split threshold.
+
+    reassemble=True avoids the groupBy when it can PROVE it is a no-op:
+    if the input is a bare scan (cheap to re-read — never an arbitrary
+    subtree), a one-pass probe of (max seg_id, count, distinct doc_ids)
+    checks that every doc is a single segment; the reassembly shuffle of
+    full token arrays is then dropped from the plan (guide §2.4 "remove
+    shuffles outright").  Tables WITH split rows (or opaque inputs) keep
+    the exact groupBy path."""
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
     src = df_encoded.select(*cols)
+    single_segment = False
+    if reassemble and _bare_scan_plan(df_encoded):
+        # two-step probe, cheapest first: a pruned seg_id-only scan
+        # answers the common split-table case without touching doc_id;
+        # the distinct check runs only when seg_ids are all 0
+        mx = df_encoded.select("seg_id").agg(F.max("seg_id")).first()[0]
+        if mx is None or mx == 0:
+            probe = df_encoded.select("doc_id").agg(
+                F.count("*").alias("n"),
+                F.countDistinct("doc_id").alias("nd")).first()
+            single_segment = probe["n"] == probe["nd"]
 
     def decode_fn(it):
         for batch in it:
@@ -891,6 +924,12 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     dec = src.mapInArrow(decode_fn, schema=DECODED_SCHEMA)
     if not reassemble:
         return dec.withColumn("n_tok", F.size("tokens"))
+    if single_segment:
+        # provably one segment per doc: row-identical to the groupBy
+        # (each "group" is one row; flatten of one sorted element is the
+        # element) with the array-moving exchange removed
+        return dec.select("doc_id", "source", "tokens") \
+            .withColumn("n_tok", F.size("tokens"))
     return reassemble_segments(dec)
 
 

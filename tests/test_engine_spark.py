@@ -397,10 +397,20 @@ def test_rowgroup_units_exceed_partitions(spark, tmp_path):
         "tokens": pa.array(tokens, pa.list_(pa.int32()))})
     pq.write_table(tbl, src / "part-0.parquet", row_group_size=rg_rows)
 
-    units = engine._rowgroup_units(spark, str(src))
-    cap = 4 * spark.sparkContext.defaultParallelism
-    assert units.rdd.getNumPartitions() <= cap
-    got = units.collect()
+    # r7 small-input fast path: one small file → ONE whole-file unit
+    # (rg = -1, workers iterate row groups in file order from rg_off 0)
+    fast = engine._rowgroup_units(spark, str(src)).collect()
+    assert [(r["rg"], r["rg_off"]) for r in fast] == [(-1, 0)]
+
+    # large files must take the distributed row-group planning path:
+    # pretend the file stats big so the fast path declines
+    import unittest.mock as mock
+    with mock.patch.object(engine.os.path, "getsize",
+                           return_value=1 << 30):
+        units = engine._rowgroup_units(spark, str(src))
+        cap = 4 * spark.sparkContext.defaultParallelism
+        assert units.rdd.getNumPartitions() <= cap
+        got = units.collect()
     assert len(got) == n_rows // rg_rows
     assert sorted(r["rg"] for r in got) == list(range(n_rows // rg_rows))
 
@@ -729,3 +739,38 @@ def test_resumable_ingest_final_manifest_rewrite(spark, unit_df, tmp_path):
     assert s2["encoded_files"] == 0 and s2["skipped"] == 6
     dec = engine.decode(iceberg.read_table(spark, table), reassemble=True)
     assert engine.verify_roundtrip(unit_df, dec) == 0
+
+
+def test_decode_single_segment_shortcut_r7(spark, tmp_path):
+    """r7: decode(reassemble=True) over a bare scan of a provably
+    single-segment table drops the reassembly exchange; split tables and
+    duplicate-doc tables keep the exact groupBy path."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", "s", list(range(i % 9 + 1))) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>") \
+        .withColumn("n_tok", F.size("tokens"))
+    enc = engine.encode(df, codec="auto", split_threshold=None)
+    p = str(tmp_path / "enc.parquet")
+    enc.write.parquet(p)
+    enc2 = spark.read.parquet(p)
+
+    fast = engine.decode(enc2, reassemble=True)
+    assert "Exchange" not in fast._jdf.queryExecution() \
+        .executedPlan().toString()
+    slow = engine.reassemble_segments(
+        engine.decode(enc2, reassemble=False).drop("n_tok"))
+    norm = lambda d: sorted((r["doc_id"], r["source"], tuple(r["tokens"]),
+                             r["n_tok"]) for r in d.collect())
+    assert norm(fast) == norm(slow)
+
+    # split table: shortcut must NOT fire, rows reassemble exactly
+    enc_s = engine.encode(df, codec="auto", split_threshold=4)
+    ps = str(tmp_path / "enc_s.parquet")
+    enc_s.write.parquet(ps)
+    dec_s = engine.decode(spark.read.parquet(ps), reassemble=True)
+    assert "Exchange" in dec_s._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert norm(dec_s) == norm(df.select("doc_id", "source", "tokens",
+                                         "n_tok"))
