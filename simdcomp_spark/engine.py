@@ -894,8 +894,19 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
     subtree), a one-pass probe of (max seg_id, count, distinct doc_ids)
     checks that every doc is a single segment; the reassembly shuffle of
     full token arrays is then dropped from the plan (guide §2.4 "remove
-    shuffles outright").  Tables WITH split rows (or opaque inputs) keep
-    the exact groupBy path."""
+    shuffles outright").
+
+    When reassembly IS needed, the shuffle moves the COMPRESSED segments
+    (repartition by doc_id + sort by seg_id, decode-and-concatenate
+    post-shuffle in one vectorized pass) rather than decoded 32-bit
+    arrays — 3-16× fewer bytes across the exchange and no
+    ObjectHashAggregate/array_sort/flatten over token arrays (guide §2.3
+    / §8: "make every shuffle but the last operate on a lightweight
+    proxy").  Concatenation in seg_id order is just merged row lengths
+    over the already-ordered flat decode buffer.  Note: rows with a
+    DUPLICATE (doc_id, seg_id) — malformed input the writer never emits
+    — concatenate in partition order rather than the old struct-sort's
+    content order."""
     cols = ["doc_id", "source", "seg_id", "n_tok", "codec", "widths",
             "inits", "payload"]
     src = df_encoded.select(*cols)
@@ -930,7 +941,82 @@ def decode(df_encoded: DataFrame, reassemble: bool = True) -> DataFrame:
         # element) with the array-moving exchange removed
         return dec.select("doc_id", "source", "tokens") \
             .withColumn("n_tok", F.size("tokens"))
-    return reassemble_segments(dec)
+    return _decode_reassembled(src)
+
+
+def _decode_reassembled(src: DataFrame) -> DataFrame:
+    """Reassembling decode over ENCODED segments: shuffle compressed
+    bytes by doc_id, sort segments in place, decode each partition's
+    batches through the flat core and merge contiguous same-doc rows by
+    summing their lengths (the flat buffer is already in concatenation
+    order).  The only state across Arrow batches is the open tail doc."""
+    spark = src.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    srt = (src.repartition(n, "doc_id")
+           .sortWithinPartitions("doc_id", "seg_id"))
+
+    def fn(it):
+        import pyarrow.compute as pc
+        carry_id = None          # python str of the open doc
+        carry_src = None
+        carry_flat: list[np.ndarray] = []
+
+        def emit_carry():
+            flat = (carry_flat[0] if len(carry_flat) == 1
+                    else np.concatenate(carry_flat))
+            return pa.RecordBatch.from_arrays(
+                [pa.array([carry_id], type=pa.string()),
+                 pa.array([carry_src], type=pa.string()),
+                 _list_from_flat(flat.view(np.int32),
+                                 np.array([flat.size], dtype=np.int64))],
+                names=["doc_id", "source", "tokens"])
+
+        for batch in it:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            flat, lens = _decode_batch_flat(
+                batch.column(3), batch.column(4), batch.column(5),
+                batch.column(6), batch.column(7))
+            ids = batch.column(0)
+            # contiguous same-doc runs: boundary where id[i] != id[i-1]
+            neq = pc.not_equal(ids.slice(1), ids.slice(0, nrows - 1))
+            neq = neq.to_numpy(zero_copy_only=False).astype(bool) \
+                if nrows > 1 else np.zeros(0, dtype=bool)
+            starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+            ends = np.concatenate((starts[1:], [nrows]))
+            off = np.concatenate(([0], np.cumsum(lens)))
+            first_id = ids[0].as_py()
+            if carry_id is not None and first_id == carry_id:
+                carry_flat.append(flat[:off[ends[0]]])
+                starts, ends = starts[1:], ends[1:]
+            elif carry_id is not None:
+                yield emit_carry()
+                carry_id = None
+                carry_flat = []
+            if starts.size:
+                if carry_id is not None:
+                    yield emit_carry()
+                # hold back the batch's last doc — it may continue
+                carry_id = ids[starts[-1]].as_py()
+                carry_src = batch.column(1)[starts[-1]].as_py()
+                carry_flat = [flat[off[starts[-1]]:off[ends[-1]]]]
+                starts, ends = starts[:-1], ends[:-1]
+            if starts.size:
+                doc_lens = off[ends] - off[starts]
+                take = pa.array(starts, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids.take(take), batch.column(1).take(take),
+                     _list_from_flat(
+                         flat[off[starts[0]]:off[ends[-1]]]
+                         .view(np.int32), doc_lens)],
+                    names=["doc_id", "source", "tokens"])
+        if carry_id is not None:
+            yield emit_carry()
+
+    out = srt.mapInArrow(
+        fn, schema="doc_id string, source string, tokens array<int>")
+    return out.withColumn("n_tok", F.size("tokens"))
 
 
 def reassemble_segments(dec: DataFrame) -> DataFrame:
