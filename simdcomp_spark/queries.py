@@ -1893,7 +1893,10 @@ QUERIES = {
     "avx_roundtrip": q_avx_roundtrip,
     "encoded_dedup": q_encoded_dedup,
     "contains_token": q_contains_token,
-    "exact_dedup": q_exact_dedup,
+    # iceberg_dedup_delete (not exact_dedup, whose shape is untouched)
+    # sits in the window: it exercises the round-7 compressed-segment
+    # reassembly path of decode(reassemble=True)
+    "iceberg_dedup_delete": q_iceberg_dedup_delete,
     "iceberg_roundtrip": q_iceberg_roundtrip,
     "iceberg_pos_delete": q_iceberg_pos_delete,
     "iceberg_eq_delete": q_iceberg_eq_delete,
@@ -1916,7 +1919,7 @@ QUERIES = {
     "iceberg_partition_prune": q_iceberg_partition_prune,
     "iceberg_tag": q_iceberg_tag,
     "iceberg_wap": q_iceberg_wap,
-    "iceberg_dedup_delete": q_iceberg_dedup_delete,
+    "exact_dedup": q_exact_dedup,
     "iceberg_schema_evolution": q_iceberg_schema_evolution,
     "streaming_dedup": q_streaming_dedup,
     "streaming_window": q_streaming_window,
